@@ -1,0 +1,270 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core — the engine capability the reference's pandas ops imply
+  * (merge/join, groupby-agg, value_counts, drop_duplicates, filters; see
+  * sheaswauger/dissertation-data-pipeline build_corpus.py:63-97 and
+  * build_master_corpus.py:118-140), expressed as declarative DataFrame plans
+  * so Catalyst handles pushdown, pruning and join strategy selection.
+  *
+  * Scale notes: dim tables (region/nation/supplier/customer) are broadcast;
+  * fact-fact joins shuffle on the join key (bucketing target at 100 TB); all
+  * aggregates are partial (map-side combine) HashAggregates. Every floating
+  * aggregate is rounded identically to its DuckDB oracle and every output is
+  * deterministically ordered with explicit tie-breaks.
+  */
+object Relational {
+
+  /** Net line revenue: l_extendedprice * (1 - l_discount). */
+  private def netPrice: org.apache.spark.sql.Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** TPC-H Q1 shape: scan-filter + groupBy multi-aggregate. */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(netPrice), 2).as("sum_disc_price"),
+        round(sum(netPrice * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: 3-way join + agg + deterministic top-N (ties broken on
+    * the rounded revenue then the key, so Spark and DuckDB select the same
+    * rows at the LIMIT boundary). */
+  def q3TopOrders(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-07-01"))
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-07-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(netPrice), 2).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1998-07-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: 6-table star join with the customer-nation = supplier-
+    * nation co-location constraint. region/nation/supplier broadcast. */
+  def q5RegionVolume(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(
+        col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1999-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(netPrice), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  private val q5Sql =
+    """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Conditional aggregation: per-year revenue share of one region
+    * (CASE inside sum — build_master_corpus.py:51 normalize_status is the
+    * same contains/CASE idiom, here over a ratio). */
+  def qMarketShare(s: SparkSession, d: String): DataFrame = {
+    val rev = netPrice
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(sum(when(col("r_name") === "AMERICA", rev).otherwise(lit(0.0))) / sum(rev), 6)
+          .as("america_share"),
+        round(sum(rev), 2).as("total_revenue"))
+      .orderBy("o_year")
+  }
+
+  private val qMarketShareSql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  round(sum(CASE WHEN r_name = 'AMERICA' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+      |        / sum(l_extendedprice * (1.0 - l_discount)), 6) AS america_share,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY 1
+      |ORDER BY o_year""".stripMargin
+
+  /** Window rank-per-group: top-3 customers by spend within each nation.
+    * Rank computed over the ROUNDED spend with c_custkey tie-break so both
+    * engines pick identical rows. Single shuffle on n_name. */
+  def qTopCustomerPerNation(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("spend"))
+    val w = Window.partitionBy("n_name").orderBy(col("spend").desc, col("o_custkey").asc)
+    spend
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("n_name", "rk", "c_name", "spend")
+      .orderBy("n_name", "rk")
+  }
+
+  private val qTopCustomerPerNationSql =
+    """WITH spend AS (
+      |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+      |  FROM orders GROUP BY o_custkey
+      |), ranked AS (
+      |  SELECT n_name,
+      |    CAST(row_number() OVER (PARTITION BY n_name ORDER BY spend DESC, o_custkey) AS BIGINT) AS rk,
+      |    c_name, spend
+      |  FROM spend
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |)
+      |SELECT n_name, rk, c_name, spend FROM ranked
+      |WHERE rk <= 3
+      |ORDER BY n_name, rk""".stripMargin
+
+  /** Hierarchical ROLLUP aggregate over region → nation.
+    *
+    * Expressed as re-aggregation of the finest-level partials (nation level →
+    * region level → grand total) instead of `Dataset.rollup`: scans the fact
+    * once and each coarser level aggregates the (tiny) previous level —
+    * exactly what you want at 100 TB, and it sidesteps a Spark 4.1 analyzer
+    * false-positive (ambiguous-self-join check fires on rollup grouping
+    * columns). Sums stay unrounded until the final projection so values match
+    * DuckDB's ROLLUP over raw rows. */
+  def qRollup(s: SparkSession, d: String): DataFrame = {
+    val l2 = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("c"), sum("c_acctbal").as("b"))
+    val l1 = l2.groupBy("r_name")
+      .agg(lit(null).cast("string").as("n_name"), sum("c").as("c"), sum("b").as("b"))
+      .select("r_name", "n_name", "c", "b")
+    val l0 = l2.agg(sum("c").as("c"), sum("b").as("b"))
+      .select(lit(null).cast("string").as("r_name"), lit(null).cast("string").as("n_name"),
+        col("c"), col("b"))
+    l2.select("r_name", "n_name", "c", "b").unionByName(l1).unionByName(l0)
+      .select(col("r_name"), col("n_name"), col("c").as("n_customers"),
+        round(col("b"), 2).as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  private val qRollupSql =
+    """SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** EXISTS / NOT EXISTS as left-semi / left-anti joins (no row duplication,
+    * shuffle only on the key). */
+  def qSemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val noOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("tag"))
+    val bigSpenders = c.join(
+        o.filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_big_order").as("tag"))
+    noOrders.unionAll(bigSpenders).orderBy("tag", "c_custkey")
+  }
+
+  private val qSemiAntiSql =
+    """SELECT c_custkey, 'no_orders' AS tag FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, 'has_big_order' AS tag FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY tag, c_custkey""".stripMargin
+
+  /** Broadcast dim-join chain: orders enriched with customer → nation →
+    * region. All three dims broadcast — zero shuffle of the fact table. */
+  def qOrdersEnriched(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "c_name", "n_name", "r_name")
+      .orderBy("o_orderkey")
+      .limit(200)
+
+  private val qOrdersEnrichedSql =
+    """SELECT o_orderkey, o_totalprice, o_orderstatus, c_name, n_name, r_name
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |ORDER BY o_orderkey
+      |LIMIT 200""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
+    Q("q3_top_orders", q3TopOrders, Some(q3Sql)),
+    Q("q5_region_volume", q5RegionVolume, Some(q5Sql)),
+    Q("q_market_share", qMarketShare, Some(qMarketShareSql)),
+    Q("q_top_customer_per_nation", qTopCustomerPerNation, Some(qTopCustomerPerNationSql)),
+    Q("q_rollup", qRollup, Some(qRollupSql)),
+    Q("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
+    Q("q_orders_enriched", qOrdersEnriched, Some(qOrdersEnrichedSql))
+  )
+}
