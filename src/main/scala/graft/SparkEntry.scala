@@ -10,7 +10,9 @@ object SparkEntry {
 
   /** All implemented operators, one Q per SURVEY.md §2 line. */
   def allQueries: Seq[Q] =
-    operators.Relational.all
+    operators.Relational.all ++
+      operators.Corpus.all ++
+      operators.TextAnalysis.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

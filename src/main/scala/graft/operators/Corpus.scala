@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's corpus pipeline (sheaswauger/dissertation-data-pipeline)
+  * re-expressed over the `documents` table:
+  *
+  *  - corpus_normalize        ← normalize_corpus.py:160-227 normalize_bill
+  *  - corpus_keyword_match    ← text_processor.py:119-131 search_keywords
+  *  - corpus_amendment_flag   ← normalize_corpus.py:60-77 detect_amendment
+  *  - corpus_build            ← build_corpus.py:63-97 (key derive, filter, dedup)
+  *  - corpus_summary          ← build_corpus.py:110-124 summary aggregations
+  *  - corpus_merge_sources    ← build_master_corpus.py:118-140 priority dedup
+  *  - corpus_status_normalize ← build_master_corpus.py:51 normalize_status
+  *
+  * All per-document work is codegen'd column expressions (no UDFs), so at
+  * 100 TB each operator is a single scan, optionally followed by exactly one
+  * shuffle (the groupBy/window key). Dedup windows partition on a content
+  * hash — uniformly distributed, so no skew handling needed.
+  */
+object Corpus {
+
+  private val keywords = Seq("spark", "join", "filter", "window", "hash", "stream")
+  private val amendmentSignals = Seq("merge", "window", "stream")
+
+  /** Per-document normalization + decisions-log word counts. */
+  def corpusNormalize(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val normalized = normalizeText(col("text"))
+    doc.select(
+        col("doc_id"),
+        normalized.as("normalized_text"),
+        wordCount(col("text")).as("raw_word_count"),
+        wordCount(normalized).as("normalized_word_count"))
+      .withColumn("words_removed_pct",
+        when(col("raw_word_count") > 0,
+          round((col("raw_word_count") - col("normalized_word_count")).cast("double")
+            * 100.0 / col("raw_word_count").cast("double"), 2))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  // The SQL mirrors normalizeText / wordCount expression-for-expression.
+  private val normChainSql =
+    """trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  lower(text), '&amp;', '&', 'g'), '&nbsp;', ' ', 'g'),
+      |  '(?m)^\s*\d+\s*$', '', 'g'), '[ \t]+', ' ', 'g'), '\n{3,}', e'\n\n', 'g'))""".stripMargin
+
+  private def wcSql(x: String) =
+    s"CASE WHEN length(trim($x)) = 0 THEN 0 ELSE array_length(regexp_split_to_array(trim($x), '\\s+')) END"
+
+  private val corpusNormalizeSql =
+    s"""WITH n AS (
+       |  SELECT doc_id, $normChainSql AS normalized_text,
+       |    ${wcSql("text")} AS raw_word_count
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, normalized_text, raw_word_count,
+       |    ${wcSql("normalized_text")} AS normalized_word_count
+       |  FROM n
+       |)
+       |SELECT doc_id, normalized_text, raw_word_count, normalized_word_count,
+       |  CASE WHEN raw_word_count > 0
+       |    THEN round((raw_word_count - normalized_word_count) * 100.0 / raw_word_count, 2)
+       |    ELSE 0.0 END AS words_removed_pct
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Case-insensitive multi-keyword search, exploded to (doc, keyword). */
+  def corpusKeywordMatch(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(array(keywords.map(lit): _*)).as("keyword"))
+      .filter(contains(lower(col("text")), col("keyword")))
+      .select("doc_id", "keyword")
+      .orderBy("doc_id", "keyword")
+
+  private val corpusKeywordMatchSql =
+    s"""SELECT doc_id, keyword
+       |FROM documents
+       |CROSS JOIN (VALUES ${keywords.map(k => s"('$k')").mkString(", ")}) k(keyword)
+       |WHERE contains(lower(text), keyword)
+       |ORDER BY doc_id, keyword""".stripMargin
+
+  /** Amendment-detection heuristic: any signal substring present. */
+  def corpusAmendmentFlag(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        amendmentSignals.map(sig => contains(lower(col("text")), lit(sig)))
+          .reduce(_ || _).as("is_amendment"))
+      .orderBy("doc_id")
+
+  private val corpusAmendmentFlagSql =
+    s"""SELECT doc_id,
+       |  (${amendmentSignals.map(sig => s"contains(lower(text), '$sig')").mkString(" OR ")}) AS is_amendment
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** build_corpus.py semantics: derive key, filter, content-hash dedup
+    * keeping the smallest id. */
+  def corpusBuild(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+    Tables.documents(s, d)
+      .filter(col("n_chars") > 50 && length(col("lang")) === 2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        concat_ws("_", col("lang"), col("doc_id").cast("string")).as("doc_key"),
+        col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusBuildSql =
+    """WITH ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents
+      |  WHERE n_chars > 50 AND length(lang) = 2
+      |)
+      |SELECT lang || '_' || CAST(doc_id AS VARCHAR) AS doc_key,
+      |  doc_id, lang, source, n_chars
+      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Corpus summary aggregations (counts, nunique, value_counts idioms). */
+  def corpusSummary(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        round(avg(col("n_chars").cast("double")), 2).as("avg_chars"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+
+  private val corpusSummarySql =
+    """SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+      |  round(avg(n_chars * 1.0), 2) AS avg_chars,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** build_master_corpus.py: provenance-priority dedup across merged sources.
+    * src0–src9 model the manually-curated source (priority 1), the rest the
+    * API pipeline (priority 2); merge key buckets collide on doc_id % 250. */
+  def corpusMergeSources(s: SparkSession, d: String): DataFrame = {
+    val prio = when(length(col("source")) <= 4, lit(1L)).otherwise(lit(2L))
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), prio.as("priority"),
+        (col("doc_id") % 250).as("merge_key"))
+    val w = Window.partitionBy("merge_key").orderBy(col("priority").asc, col("doc_id").asc)
+    keyed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("merge_key", "doc_id", "source", "priority")
+      .orderBy("merge_key")
+  }
+
+  private val corpusMergeSourcesSql =
+    """WITH keyed AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN length(source) <= 4 THEN 1 ELSE 2 END AS priority,
+      |    doc_id % 250 AS merge_key
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY merge_key ORDER BY priority, doc_id) AS rn
+      |  FROM keyed
+      |)
+      |SELECT merge_key, doc_id, source, CAST(priority AS BIGINT) AS priority
+      |FROM ranked WHERE rn = 1 ORDER BY merge_key""".stripMargin
+
+  /** normalize_status: CASE-on-contains canonicalization, over orders. */
+  def corpusStatusNormalize(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        when(col("o_orderstatus") === "F", "Fulfilled")
+          .when(col("o_orderstatus") === "O", "Open")
+          .otherwise("Other").as("status_norm"),
+        when(contains(col("o_orderpriority"), lit("URGENT")), "Urgent")
+          .when(contains(col("o_orderpriority"), lit("HIGH")), "High")
+          .otherwise("Normal").as("priority_class"),
+        col("o_totalprice"))
+      .groupBy("status_norm", "priority_class")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("status_norm", "priority_class")
+
+  private val corpusStatusNormalizeSql =
+    """SELECT
+      |  CASE WHEN o_orderstatus = 'F' THEN 'Fulfilled'
+      |       WHEN o_orderstatus = 'O' THEN 'Open'
+      |       ELSE 'Other' END AS status_norm,
+      |  CASE WHEN contains(o_orderpriority, 'URGENT') THEN 'Urgent'
+      |       WHEN contains(o_orderpriority, 'HIGH') THEN 'High'
+      |       ELSE 'Normal' END AS priority_class,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY status_norm, priority_class""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("corpus_normalize", corpusNormalize, Some(corpusNormalizeSql)),
+    Q("corpus_keyword_match", corpusKeywordMatch, Some(corpusKeywordMatchSql)),
+    Q("corpus_amendment_flag", corpusAmendmentFlag, Some(corpusAmendmentFlagSql)),
+    Q("corpus_build", corpusBuild, Some(corpusBuildSql)),
+    Q("corpus_summary", corpusSummary, Some(corpusSummarySql)),
+    Q("corpus_merge_sources", corpusMergeSources, Some(corpusMergeSourcesSql)),
+    Q("corpus_status_normalize", corpusStatusNormalize, Some(corpusStatusNormalizeSql))
+  )
+}

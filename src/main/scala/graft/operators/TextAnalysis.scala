@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM-training-data pipelines: token stats, quality
+  * scoring, n-gram-heuristic language ID, content fingerprinting. Extends the
+  * reference's word-count/decisions-log idioms (normalize_corpus.py:176-186)
+  * into the operators a 100 TB pretraining-data pipeline needs.
+  *
+  * Everything is a single-scan projection of codegen'd expressions — at scale
+  * these run at parquet read speed with no shuffle (the ORDER BY here is only
+  * for oracle determinism; a production pipeline would drop it).
+  */
+object TextAnalysis {
+
+  /** Per-language marker words (space-padded to approximate word boundaries —
+    * the n-gram heuristic). Scores are exact occurrence counts. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and "),
+    "de" -> Seq(" der ", " und "),
+    "es" -> Seq(" los ", " que "),
+    "fr" -> Seq(" les ", " est "),
+    "zh" -> Seq("的"))
+
+  /** Token counting + shape stats. */
+  def textTokenStats(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    doc.select(
+        col("doc_id"),
+        wordCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars"),
+        nonSpaceCount(col("text")).as("n_nonspace"),
+        punctCount(col("text")).cast("long").as("n_punct"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0,
+          round(col("n_nonspace").cast("double") / col("n_tokens").cast("double"), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(col("len_chars") > 0,
+          round(col("n_punct").cast("double") / col("len_chars").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  private val textTokenStatsSql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |    length(text) AS len_chars,
+      |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+      |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_tokens, len_chars, n_nonspace, n_punct,
+      |  CASE WHEN n_tokens > 0 THEN round(n_nonspace * 1.0 / n_tokens, 4) ELSE 0.0 END AS avg_token_len,
+      |  CASE WHEN len_chars > 0 THEN round(n_punct * 1.0 / len_chars, 6) ELSE 0.0 END AS punct_ratio
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length / alpha-ratio / punctuation composite with a
+    * bucket label, the filter a pretraining pipeline applies before training.
+    * The bucket is derived from the ROUNDED score so both engines agree at
+    * threshold boundaries. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val base = doc.select(
+      col("doc_id"),
+      wordCount(col("text")).as("n_tokens"),
+      length(col("text")).cast("long").as("len_chars"),
+      alphaCount(lower(col("text"))).as("n_alpha"),
+      punctCount(col("text")).cast("long").as("n_punct"))
+    val tokenScore = least(lit(1.0), col("n_tokens").cast("double") / 100.0)
+    val alphaRatio = when(col("len_chars") > 0,
+      col("n_alpha").cast("double") / col("len_chars").cast("double")).otherwise(lit(0.0))
+    val punctRatio = when(col("len_chars") > 0,
+      col("n_punct").cast("double") / col("len_chars").cast("double")).otherwise(lit(0.0))
+    base
+      .withColumn("quality_score",
+        round(tokenScore * 0.5 + alphaRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2, 4))
+      .withColumn("quality_bucket",
+        when(col("quality_score") >= 0.8, "high")
+          .when(col("quality_score") >= 0.5, "medium")
+          .otherwise("low"))
+      .select("doc_id", "n_tokens", "quality_score", "quality_bucket")
+      .orderBy("doc_id")
+  }
+
+  private val textQualitySql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |    length(text) AS len_chars,
+      |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+      |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+      |  FROM documents
+      |), scored AS (
+      |  SELECT doc_id, n_tokens,
+      |    round(least(1.0, n_tokens * 1.0 / 100.0) * 0.5
+      |      + (CASE WHEN len_chars > 0 THEN n_alpha * 1.0 / len_chars ELSE 0.0 END) * 0.3
+      |      + (1.0 - CASE WHEN len_chars > 0 THEN n_punct * 1.0 / len_chars ELSE 0.0 END) * 0.2,
+      |      4) AS quality_score
+      |  FROM b
+      |)
+      |SELECT doc_id, n_tokens, quality_score,
+      |  CASE WHEN quality_score >= 0.8 THEN 'high'
+      |       WHEN quality_score >= 0.5 THEN 'medium'
+      |       ELSE 'low' END AS quality_bucket
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** Language ID by marker-word frequency, argmax with a fixed priority order
+    * (en > de > es > fr > zh on ties) so prediction is deterministic. */
+  def textLangid(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    def score(markers: Seq[String]): Column =
+      markers.map(m => occurrences(padded, m)).reduce(_ + _).cast("long")
+    val scored = doc.select(
+      (Seq(col("doc_id"), col("lang").as("actual_lang")) ++
+        langMarkers.map { case (l, ms) => score(ms).as(s"s_$l") }): _*)
+    val langs = langMarkers.map(_._1)
+    // argmax with fixed tie priority: first lang whose score >= max of the rest
+    val predicted = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), elseCol) =>
+        val rest = langs.drop(i + 1).map(r => col(s"s_$r"))
+        val restMax = if (rest.size == 1) rest.head else greatest(rest: _*)
+        when(col(s"s_$l") >= restMax, lit(l)).otherwise(elseCol)
+    }
+    scored
+      .withColumn("predicted_lang", predicted)
+      .withColumn("lang_match", col("predicted_lang") === col("actual_lang"))
+      .orderBy("doc_id")
+  }
+
+  private val textLangidSql = {
+    def occ(m: String) =
+      s"CAST((length(p.pad) - length(replace(p.pad, '$m', ''))) / ${m.length} AS BIGINT)"
+    val scores = langMarkers.map { case (l, ms) =>
+      ms.map(occ).mkString("(", " + ", s") AS s_$l")
+    }.mkString(",\n    ")
+    val langs = langMarkers.map(_._1)
+    val caseArms = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"s_$r")
+      val restMax = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
+      s"WHEN s_$l >= $restMax THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH p AS (
+       |  SELECT doc_id, lang AS actual_lang, ' ' || lower(text) || ' ' AS pad
+       |  FROM documents
+       |), scored AS (
+       |  SELECT doc_id, actual_lang,
+       |    $scores
+       |  FROM p
+       |)
+       |SELECT doc_id, actual_lang, ${langs.map(l => s"s_$l").mkString(", ")},
+       |  CASE $caseArms ELSE '${langs.last}' END AS predicted_lang,
+       |  (CASE $caseArms ELSE '${langs.last}' END) = actual_lang AS lang_match
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** Content fingerprinting: md5 digest + 64-bit hex prefix, the identity a
+    * dedup pipeline carries instead of the full text. */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp"),
+        substring(md5(col("text")), 1, 16).as("fp64"))
+      .orderBy("doc_id")
+
+  private val textFingerprintSql =
+    """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 16) AS fp64
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("text_token_stats", textTokenStats, Some(textTokenStatsSql)),
+    Q("text_quality", textQuality, Some(textQualitySql)),
+    Q("text_langid", textLangid, Some(textLangidSql)),
+    Q("text_fingerprint", textFingerprint, Some(textFingerprintSql))
+  )
+}
