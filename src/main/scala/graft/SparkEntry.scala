@@ -12,7 +12,10 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     operators.Relational.all ++
       operators.Corpus.all ++
-      operators.TextAnalysis.all
+      operators.TextAnalysis.all ++
+      operators.Sessionize.all ++
+      operators.Dedup.all ++
+      operators.Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

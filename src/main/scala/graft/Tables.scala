@@ -23,7 +23,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    * ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanosecond LONG instead —
+    * downstream operators do exact integer arithmetic on it (ns→ms via
+    * integer division; double math would lose precision above 2^53). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Strip leading/trailing whitespace of ALL kinds. SQL `trim()` (Spark and
+    * DuckDB alike) removes only spaces — Python's `.strip()`/`.split()`
+    * semantics in the reference need tabs/newlines stripped too.
+    * DuckDB: regexp_replace(x, '^\s+|\s+$', '', 'g'). */
+  def wsTrim(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** The reference's normalize_plain_text chain (normalize_corpus.py:117):
     * lowercase → HTML-entity decode → strip numeric-only lines → collapse
     * spaces/tabs → collapse 3+ newlines → trim.
@@ -27,15 +34,15 @@ object TextFunctions {
     val n3 = regexp_replace(n2, "(?m)^\\s*\\d+\\s*$", "")
     val n4 = regexp_replace(n3, "[ \\t]+", " ")
     val n5 = regexp_replace(n4, "\\n{3,}", "\n\n")
-    trim(n5)
+    wsTrim(n5)
   }
 
   /** Whitespace-token count (normalize_corpus.py:176 `len(raw_text.split())`).
-    * DuckDB: CASE WHEN length(trim(x))=0 THEN 0 ELSE
-    * array_length(regexp_split_to_array(trim(x),'\s+')) END. */
+    * DuckDB: CASE WHEN length(<wsTrim>)=0 THEN 0 ELSE
+    * array_length(regexp_split_to_array(<wsTrim>,'\s+')) END. */
   def wordCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0L))
-      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+    when(length(wsTrim(c)) === 0, lit(0L))
+      .otherwise(size(split(wsTrim(c), "\\s+")).cast("long"))
 
   /** Count of non-overlapping occurrences of literal `marker` (length-delta
     * trick; exact, codegen'd). DuckDB:
@@ -60,7 +67,7 @@ object TextFunctions {
     * column. Empty array when the text has fewer than k tokens.
     * Built from split + transform + slice — fully codegen'd, no UDF. */
   def wordShingles(c: Column, k: Int): Column = {
-    val toks = split(trim(c), "\\s+")
+    val toks = split(wsTrim(c), "\\s+")
     val n = size(toks)
     array_distinct(
       when(n < k, array().cast("array<string>"))

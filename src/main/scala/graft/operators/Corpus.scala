@@ -46,12 +46,15 @@ object Corpus {
 
   // The SQL mirrors normalizeText / wordCount expression-for-expression.
   private val normChainSql =
-    """trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    """regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |  lower(text), '&amp;', '&', 'g'), '&nbsp;', ' ', 'g'),
-      |  '(?m)^\s*\d+\s*$', '', 'g'), '[ \t]+', ' ', 'g'), '\n{3,}', e'\n\n', 'g'))""".stripMargin
+      |  '(?m)^\s*\d+\s*$', '', 'g'), '[ \t]+', ' ', 'g'), '\n{3,}', e'\n\n', 'g'),
+      |  '^\s+|\s+$', '', 'g')""".stripMargin
 
-  private def wcSql(x: String) =
-    s"CASE WHEN length(trim($x)) = 0 THEN 0 ELSE array_length(regexp_split_to_array(trim($x), '\\s+')) END"
+  private def wcSql(x: String) = {
+    val t = "regexp_replace(" + x + ", '^\\s+|\\s+$', '', 'g')"
+    "CASE WHEN length(" + t + ") = 0 THEN 0 ELSE array_length(regexp_split_to_array(" + t + ", '\\s+')) END"
+  }
 
   private val corpusNormalizeSql =
     s"""WITH n AS (

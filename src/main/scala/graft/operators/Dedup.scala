@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for LLM-training-data pipelines: exact, MinHash/LSH,
+  * SimHash, and embedding-cosine near-dup. Generalizes the reference's
+  * drop_duplicates idioms (build_corpus.py:96, build_master_corpus.py:137) to
+  * the near-dup detection a 100 TB corpus needs.
+  *
+  * Scale design: every variant is (1) a map-side signature computation
+  * (codegen'd expressions, no UDFs), (2) ONE shuffle on a uniformly
+  * distributed signature/band key, (3) candidate pairs only within buckets
+  * (|pairs| ≪ n²), (4) exact verification only on candidates. Nothing ever
+  * materializes the full n² pair space.
+  */
+object Dedup {
+
+  /** Exact dedup: content-hash groupBy, keep the smallest doc_id, map every
+    * doc to its keeper (is_dup marks losers). One shuffle on md5 — uniform,
+    * skew-free. */
+  def dedupExact(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    Tables.documents(s, d)
+      .withColumn("keeper", min("doc_id").over(w))
+      .select(col("doc_id"), col("keeper"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupExactSql =
+    """SELECT doc_id,
+      |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** 1-band MinHash LSH, fully SQL-expressible: bucket documents by the
+    * minimum md5 of their 3-word shingles, generate candidate pairs within
+    * buckets, verify with exact Jaccard, keep pairs ≥ 0.5.
+    *
+    * This is the oracle-checkable core of the LSH idea (P[min-hash collision]
+    * = Jaccard); `dedup_minhash_lsh` below is the production k×b variant. */
+  def dedupMinhash1Band(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(wordShingles(normalizeText(col("text")), 3)).as("shingle"))
+    sh.cache()
+    val minhash = sh.groupBy("doc_id").agg(min(md5(col("shingle"))).as("mh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = minhash.as("a").join(minhash.as("b"),
+        col("a.mh") === col("b.mh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val inter = pairs
+      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("za"), col("za.doc_id") === col("doc_a"))
+      .join(sizes.as("zb"), col("zb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") /
+          (col("za.n_sh") + col("zb.n_sh") - col("n_common")).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // Shingle CTE mirrors wordShingles(normalizeText(text), 3): tokenize the
+  // normalized text, emit distinct 3-grams (1-based list indexing).
+  private val shingleCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(lower(text), '&amp;', '&', 'g'),
+      |      '&nbsp;', ' ', 'g'), '(?m)^\s*\d+\s*$', '', 'g'), '[ \t]+', ' ', 'g'),
+      |      '\n{3,}', e'\n\n', 'g'), '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, t, unnest(generate_series(1, array_length(t) - 2)) AS i
+      |  FROM toks WHERE array_length(t) >= 3
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM idx
+      |)""".stripMargin
+
+  private val dedupMinhash1BandSql =
+    s"""WITH $shingleCte,
+       |mh AS (SELECT doc_id, min(md5(shingle)) AS mh FROM sh GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM mh a JOIN mh b ON a.mh = b.mh AND a.doc_id < b.doc_id
+       |),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS n_common
+       |  FROM pairs p
+       |  JOIN sh sa ON sa.doc_id = p.doc_a
+       |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY p.doc_a, p.doc_b
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(n_common * 1.0 / (za.n_sh + zb.n_sh - n_common), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes za ON za.doc_id = doc_a
+       |JOIN sizes zb ON zb.doc_id = doc_b
+       |WHERE round(n_common * 1.0 / (za.n_sh + zb.n_sh - n_common), 4) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Production MinHash+LSH: k=32 hash permutations (xxhash64 seeded by
+    * index), 8 bands × 4 rows, candidate pairs from band-bucket collisions,
+    * verified with exact Jaccard over shingle sets. Rows-only check (the
+    * banding isn't reasonably SQL-expressible); MinHashLshSpec asserts it
+    * finds exactly the high-Jaccard pairs the exact computation finds. */
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val numHashes = 32
+    val bands = 8
+    val rowsPerBand = numHashes / bands
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), wordShingles(normalizeText(col("text")), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    // signature[i] = min over shingles of xxhash64(i, shingle)
+    val sig = docs.select(
+      col("doc_id"), col("shingles"),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("shingles"), sh => xxhash64(i, sh)))).as("sig"))
+    // band hash = xxhash64 over the band's slice of the signature
+    val banded = sig.select(
+        col("doc_id"), col("shingles"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))))
+          .as(Seq("band_idx", "band_hash")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup: 64-bit signature from token-hash bit votes, candidate
+    * pairs blocked on equal 16-bit chunks (pigeonhole: hamming ≤ 3 implies
+    * one of 4 chunks matches), verified with exact hamming distance.
+    * Rows-only check; SimHashSpec covers semantics. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(split(normalizeText(col("text")), "\\s+")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    // variable-distance shifts need the SQL builtin (the Scala shiftleft/
+    // shiftright helpers only accept Int literals)
+    def shl(v: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      call_function("shiftleft", v, n)
+    def shr(v: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      call_function("shiftright", v, n)
+    // bit b of the signature = sign of sum over tokens of ±1 by token-hash bit
+    val sig = docs.select(
+      col("doc_id"),
+      aggregate(
+        sequence(lit(0), lit(63)),
+        lit(0L),
+        (acc, b) => acc.bitwiseOR(
+          shl(
+            when(aggregate(col("toks"), lit(0L),
+              (vote, t) => vote +
+                when(shr(xxhash64(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+              > 0, lit(1L)).otherwise(lit(0L)),
+            b))).as("simhash"))
+    val chunked = sig.select(col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => shr(col("simhash"), c * 16).bitwiseAND(0xFFFFL)))
+        .as(Seq("chunk_idx", "chunk")))
+    val cand = chunked.as("a").join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup: same-label blocking (the IVF idea — compare
+    * only within a coarse partition), exact cosine on candidates, pairs above
+    * threshold. Vector math via zip_with/aggregate — codegen'd, no UDF. */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    val normed = emb.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val pairs = normed.as("a").join(normed.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
+    pairs.filter(col("cosine") >= 0.35).orderBy("vec_a", "vec_b")
+  }
+
+  private val dedupEmbeddingSql =
+    """WITH v AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS e
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+      |)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Q("dedup_minhash_1band", dedupMinhash1Band, Some(dedupMinhash1BandSql)),
+    Q("dedup_minhash_lsh", dedupMinhashLsh, None),
+    Q("dedup_simhash", dedupSimhash, None),
+    Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql))
+  )
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log operators over the `events` table: gap-based sessionization,
+  * tumbling-window aggregation, and JSON property extraction — the log-style
+  * capabilities the reference's progress/cache tracking
+  * (scripts/legislation/utils.py:14-60 ProgressTracker) implies, generalized
+  * to the shapes a web-scale event pipeline needs.
+  *
+  * Scale: sessionize is ONE shuffle on user_id, then two window passes and a
+  * partial aggregate, all within the same partitioning — Catalyst reuses the
+  * exchange. Timestamps are compared/emitted as epoch-milliseconds BIGINTs so
+  * Spark's µs precision and DuckDB's ns precision floor identically.
+  */
+object Sessionize {
+
+  private val gapMs = 30L * 60 * 1000
+
+  /** Gap-based sessionization (30-min inactivity) + per-session aggregates. */
+  def eventsSessionize(s: SparkSession, d: String): DataFrame = {
+    // order by the derived epoch-ms (not raw ts) so Spark (µs) and DuckDB
+    // (ns) sort identically; event_id breaks same-millisecond ties
+    val order = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("ms", expr("ts div 1000000"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(order))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"),
+        min("ms").as("start_ms"),
+        max("ms").as("end_ms"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val eventsSessionizeSql =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+       |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > $gapMs
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+       |), sess AS (
+       |  SELECT user_id, value, ms,
+       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |                      ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM flagged
+       |)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |  count(*) AS n_events, round(sum(value), 2) AS total_value,
+       |  min(ms) AS start_ms, max(ms) AS end_ms
+       |FROM sess GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  /** Tumbling one-hour window aggregation per event type. */
+  def eventsTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        (expr("ts div 1000000") - pmod(expr("ts div 1000000"), lit(3600000L))).as("hour_ms"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour_ms", "event_type")
+
+  private val eventsTumblingSql =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS total_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_ms, event_type""".stripMargin
+
+  /** JSON property extraction (regex-based so it stays codegen'd; at scale
+    * prefer from_json with an explicit schema for nested payloads). */
+  def eventsJsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("k").cast("double")), 4).as("avg_k"),
+        max("k").as("max_k"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"))
+      .orderBy("event_type")
+
+  private val eventsJsonExtractSql =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k
+      |  FROM events
+      |)
+      |SELECT event_type, count(*) AS n,
+      |  round(avg(k * 1.0), 4) AS avg_k, max(k) AS max_k,
+      |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
+    Q("q_events_tumbling", eventsTumbling, Some(eventsTumblingSql)),
+    Q("q_events_json_extract", eventsJsonExtract, Some(eventsJsonExtractSql))
+  )
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, float[64], label).
+  *
+  * - sim_topk_bruteforce: exact cosine top-k for a small query set. The query
+  *   set is broadcast, so the corpus is scanned once with NO shuffle of the
+  *   big side — the 100 TB plan is (broadcast queries) × (corpus scan) →
+  *   per-partition top-k → final top-k merge.
+  * - sim_ann_lsh: random-hyperplane LSH — 8-bit sign signature buckets the
+  *   corpus (one shuffle on the bucket key), queries probe only their bucket.
+  *   Recall vs brute force is spec-tested (SimilaritySpec).
+  * - sim_centroid_by_label: the IVF coarse-quantizer building block —
+  *   elementwise centroid per label via posexplode + two-level aggregation.
+  *
+  * All vector math is zip_with/aggregate higher-order expressions: codegen'd,
+  * distributed, no UDF, no driver-side collect.
+  */
+object Similarity {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact cosine top-5 neighbors for query vectors (vec_id < 10), ranked on
+    * the ROUNDED cosine with vec_id tie-break for cross-engine determinism. */
+  def simTopkBruteforce(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val normed = emb.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val queries = normed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = normed.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("qid", "rk")
+  }
+
+  private val simTopkBruteforceSql =
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS qid, e AS qv, nrm AS qnrm FROM v WHERE vec_id < 10
+      |), scored AS (
+      |  SELECT q.qid, v.vec_id AS cand_id,
+      |    round(list_dot_product(q.qv, v.e) / (q.qnrm * v.nrm), 4) AS cosine
+      |  FROM v JOIN q ON v.vec_id <> q.qid
+      |), ranked AS (
+      |  SELECT qid, cand_id, cosine,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+      |  FROM scored
+      |)
+      |SELECT qid, cand_id, cosine, rk FROM ranked WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin
+
+  /** Deterministic pseudo-random hyperplanes (seeded) for the LSH signature. */
+  private[operators] val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH ANN: 8-bit sign signature → bucket join → exact
+    * cosine top-3 within bucket. Rows-only check (signature depends on the
+    * plane constants); recall vs brute force asserted in SimilaritySpec. */
+  def simAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val planesCol = typedlit(planes)
+    def shl(v: Column, n: Column) = call_function("shiftleft", v, n)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("sig",
+        aggregate(sequence(lit(0), lit(planes.size - 1)), lit(0L),
+          (acc, p) => acc.bitwiseOR(
+            shl(when(dot(element_at(planesCol, p + 1), col("v")) >= 0, lit(1L))
+              .otherwise(lit(0L)), p))))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("sig").as("qsig"))
+    val scored = emb.join(broadcast(queries),
+        col("sig") === col("qsig") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy("qid", "rk")
+  }
+
+  /** Per-label centroid norm — the IVF coarse-quantizer statistic. Two-level
+    * aggregation: (label, dim) partial means, then per-label norm. */
+  def simCentroidByLabel(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+    val x = v.select(col("label"), posexplode(col("e")).as(Seq("pos", "val")))
+    val centroid = x.groupBy("label", "pos").agg(avg("val").as("m"))
+      .groupBy("label").agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
+    val counts = v.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    counts.join(centroid, "label")
+      .select(col("label").cast("long").as("label"), col("n_vecs"), col("centroid_norm"))
+      .orderBy("label")
+  }
+
+  private val simCentroidByLabelSql =
+    """WITH v AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+      |), x AS (
+      |  SELECT label, unnest(e) AS val,
+      |    unnest(generate_series(1, array_length(e))) AS pos
+      |  FROM v
+      |), c AS (
+      |  SELECT label, pos, avg(val) AS m FROM x GROUP BY label, pos
+      |), cn AS (
+      |  SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm FROM c GROUP BY label
+      |), n AS (
+      |  SELECT label, count(*) AS n_vecs FROM v GROUP BY label
+      |)
+      |SELECT CAST(n.label AS BIGINT) AS label, n.n_vecs, cn.centroid_norm
+      |FROM n JOIN cn ON n.label = cn.label
+      |ORDER BY label""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("sim_topk_bruteforce", simTopkBruteforce, Some(simTopkBruteforceSql)),
+    Q("sim_ann_lsh", simAnnLsh, None),
+    Q("sim_centroid_by_label", simCentroidByLabel, Some(simCentroidByLabelSql))
+  )
+}

@@ -48,8 +48,8 @@ object TextAnalysis {
   private val textTokenStatsSql =
     """WITH b AS (
       |  SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+      |         ELSE array_length(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
       |    length(text) AS len_chars,
       |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
       |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
@@ -91,8 +91,8 @@ object TextAnalysis {
   private val textQualitySql =
     """WITH b AS (
       |  SELECT doc_id,
-      |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+      |         ELSE array_length(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
       |    length(text) AS len_chars,
       |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
       |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class CorpusSpec extends SparkSpec {
+  import operators.Corpus._
+
+  test("normalizeText is idempotent and never longer than the input") {
+    val df = Tables.documents(spark, sf)
+      .select(col("text"), normalizeText(col("text")).as("n1"))
+      .select(col("text"), col("n1"), normalizeText(col("n1")).as("n2"))
+    assert(df.filter(col("n1") =!= col("n2")).count() == 0)
+    assert(df.filter(length(col("n1")) > length(col("text"))).count() == 0)
+  }
+
+  test("wordCount matches whitespace-split semantics on edge cases") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("", 0), ("   ", 1), ("one", 2), ("a b  c", 3), ("\n x \t y \n", 4))
+      .toDF("t", "i").orderBy("i")
+      .select(wordCount(col("t")).as("wc"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 0L, 1L, 3L, 2L))
+  }
+
+  test("corpus_build dedups and filters: no dup doc_keys, all n_chars > 50") {
+    val df = corpusBuild(spark, sf)
+    assert(df.count() == df.select("doc_key").distinct().count())
+    assert(df.filter(col("n_chars") <= 50).count() == 0)
+  }
+
+  test("corpus_merge_sources keeps exactly one row per merge_key, preferring priority 1") {
+    val df = corpusMergeSources(spark, sf).collect()
+    assert(df.map(_.getAs[Long]("merge_key")).distinct.length == df.length)
+    // if any bucket had a priority-1 candidate, the winner must be priority 1
+    val docs = Tables.documents(spark, sf)
+      .select((col("doc_id") % 250).as("mk"),
+        when(length(col("source")) <= 4, 1L).otherwise(2L).as("p"))
+      .groupBy("mk").agg(min("p").as("best"))
+      .collect().map(r => r.getAs[Long]("mk") -> r.getAs[Long]("best")).toMap
+    df.foreach(r => assert(r.getAs[Long]("priority") == docs(r.getAs[Long]("merge_key"))))
+  }
+
+  test("keyword match only emits keywords actually contained") {
+    val rows = corpusKeywordMatch(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      assert(texts(r.getAs[Long]("doc_id")).toLowerCase
+        .contains(r.getAs[String]("keyword")))
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+/** Plan-shape assertions: the properties that matter at 100 TB — filters and
+  * projections reaching the parquet scan, dims broadcast, aggregates partial.
+  * These guard against regressions that small-SF correctness tests can't see.
+  */
+class PlanSpec extends SparkSpec {
+  import operators._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed to the parquet scan") {
+    val plan = planOf(Relational.q1PricingSummary(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$plan")
+  }
+
+  test("q1: scan reads only the 7 needed columns, not all 11") {
+    val plan = planOf(Relational.q1PricingSummary(spark, sf))
+    assert(plan.contains("l_returnflag") && !plan.contains("l_orderkey"),
+      s"column pruning failed:\n$plan")
+  }
+
+  test("q1: aggregation is partial (map-side combine) then final") {
+    val plan = planOf(Relational.q1PricingSummary(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("orders_enriched: all three dims are broadcast joins, fact not shuffled") {
+    val plan = planOf(Relational.qOrdersEnriched(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 3, s"expected 3 broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("q1 runs inside whole-stage codegen") {
+    val df = Relational.q1PricingSummary(spark, sf)
+    df.collect() // materialize so AQE finalizes the physical plan
+    val plan = planOf(df)
+    // "*(n) " prefixes mark WholeStageCodegen stages in SparkPlan.toString;
+    // scan→filter→project→partial-agg must be inside one
+    assert(plan.contains("*(1) HashAggregate"), s"hot path not codegen'd:\n$plan")
+  }
+
+  test("corpus_build: length filter pushed down; text ops stay codegen'd") {
+    val plan = planOf(Corpus.corpusBuild(spark, sf))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(n_chars,50"),
+      s"n_chars filter not pushed:\n$plan")
+  }
+
+  test("sim_topk: query side is broadcast — corpus side has no shuffle before scoring") {
+    val plan = planOf(Similarity.simTopkBruteforce(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"queries not broadcast:\n$plan")
+  }
+
+  test("sessionize: exactly one exchange on user_id feeds both window passes") {
+    val plan = planOf(Sessionize.eventsSessionize(spark, sf))
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges:\n$plan")
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SessionizeSpec extends SparkSpec {
+  import operators.Sessionize._
+
+  test("sessionize conserves events and sessions are ordered per user") {
+    val sess = eventsSessionize(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(sess.map(_.getAs[Long]("n_events")).sum == total)
+    sess.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("session_id"))
+      assert(ordered.map(_.getAs[Long]("session_id")).toSeq ==
+        (1L to ordered.length).toSeq)
+      // sessions don't overlap: each starts after the previous ends + gap
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_ms") - a.getAs[Long]("end_ms") > 30 * 60 * 1000)
+        case _ =>
+      }
+    }
+  }
+
+  test("session bounds: start <= end within every session") {
+    eventsSessionize(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("start_ms") <= r.getAs[Long]("end_ms"))
+    }
+  }
+
+  test("tumbling windows conserve event count and bucket to hour boundaries") {
+    val rows = eventsTumbling(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
+    rows.foreach(r => assert(r.getAs[Long]("hour_ms") % 3600000L == 0))
+  }
+
+  test("json extract: every event has k, so no missing values") {
+    val rows = eventsJsonExtract(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
+    rows.foreach(r => assert(r.getAs[Long]("n_missing") == 0))
+  }
+}

