@@ -15,7 +15,9 @@ object SparkEntry {
       operators.TextAnalysis.all ++
       operators.Sessionize.all ++
       operators.Dedup.all ++
-      operators.Similarity.all
+      operators.Similarity.all ++
+      operators.Multimodal.all :+
+      Q("streaming_sessionize", streaming.EventStream.streamingSessionize, None)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, batch-decoded per partition.
+  *
+  * The Spark-side mechanics here are real and production-shaped:
+  *  - payloads are `BinaryType` columns (never strings — no charset damage),
+  *  - metadata travels as a typed struct alongside the payload,
+  *  - decode runs batched per partition via `mapPartitions` (the correct
+  *    escape hatch for a native decoder library: amortizes per-batch library
+  *    init, keeps memory bounded to one partition),
+  *  - downstream stats are ordinary declarative aggregation again.
+  *
+  * The decode itself is a clearly-marked DETERMINISTIC STUB (media codecs
+  * aren't in this container): it parses a fake 8-byte header (4-byte magic +
+  * 2×2-byte dimensions) that `withPayload` synthesizes. Swapping in a real
+  * JNI/javacpp decoder changes only `decodeStub`.
+  */
+object Multimodal {
+
+  case class MediaMeta(media_type: String, declared_w: Int, declared_h: Int)
+  case class MediaRow(doc_id: Long, source: String, payload: Array[Byte],
+      meta: MediaMeta)
+  case class Decoded(doc_id: Long, source: String, media_type: String,
+      width: Int, height: Int, n_bytes: Long, header_ok: Boolean)
+
+  // NOT private: Catalyst's generated deserializer must be able to access it
+  case class DocSlim(doc_id: Long, source: String, text: String)
+
+  /** Attach a synthetic binary payload + typed metadata to each document:
+    * 8-byte header (magic "GRFT", width, height big-endian) + the UTF-8 text
+    * bytes as the fake media body. Deterministic in doc_id. (Byte-level
+    * synthesis is imperative on purpose — string functions would UTF-8-mangle
+    * bytes > 0x7F; real pipelines read binary payloads straight off parquet.)
+    */
+  def withPayload(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id", "source", "text").as[DocSlim]
+      .map { doc =>
+        val w = (doc.doc_id % 512 + 16).toInt
+        val h = (doc.doc_id * 7 % 512 + 16).toInt
+        val body = doc.text.getBytes("UTF-8")
+        val header = Array[Byte]('G', 'R', 'F', 'T',
+          (w >> 8).toByte, (w & 0xFF).toByte, (h >> 8).toByte, (h & 0xFF).toByte)
+        MediaRow(doc.doc_id, doc.source, header ++ body, MediaMeta("image", w, h))
+      }
+      .toDF()
+  }
+
+  /** STUB decoder: parses the fake header. A real implementation would call
+    * the codec here — signature, batching, and schema stay identical. */
+  private def decodeStub(rows: Iterator[MediaRow]): Iterator[Decoded] =
+    rows.map { r =>
+      val p = r.payload
+      val ok = p.length >= 8 &&
+        p(0) == 'G'.toByte && p(1) == 'R'.toByte && p(2) == 'F'.toByte && p(3) == 'T'.toByte
+      val wid = if (ok) ((p(4) & 0xFF) << 8) | (p(5) & 0xFF) else -1
+      val hei = if (ok) ((p(6) & 0xFF) << 8) | (p(7) & 0xFF) else -1
+      Decoded(r.doc_id, r.source, r.meta.media_type, wid, hei, p.length.toLong, ok)
+    }
+
+  /** Batch decode + per-source stats: the full multimodal pipeline shape.
+    * Rows-only check; MultimodalSpec asserts decoded dims match the declared
+    * metadata for every row. */
+  def mmDecodeStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val decoded = withPayload(s, d).as[MediaRow].mapPartitions(decodeStub)
+    decoded.toDF()
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(when(col("header_ok"), 1L).otherwise(0L)).as("n_decoded"),
+        round(avg(col("width").cast("double")), 2).as("avg_width"),
+        round(avg(col("height").cast("double")), 2).as("avg_height"),
+        sum("n_bytes").as("total_bytes"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("mm_decode_stats", mmDecodeStats, None)
+  )
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events stream.
+  *
+  * Two session-window implementations:
+  *  - `sessionWindowAgg`: the declarative built-in `session_window` — the
+  *    right default; Catalyst handles state store layout and watermark GC.
+  *  - `statefulUserStats`: `flatMapGroupsWithState` custom state — the escape
+  *    hatch for state machines `session_window` can't express (here: running
+  *    per-user totals emitted once per micro-batch).
+  *
+  * At scale: state is partitioned by the group key (user_id) across
+  * executors; the watermark bounds state size — without it a 100 TB stream
+  * accumulates state forever. `runOnBatch` replays the parquet table through
+  * a real streaming query (Trigger.AvailableNow semantics via
+  * processAllAvailable) so batch/stream parity is testable.
+  */
+object EventStream {
+
+  /** events schema when TIMESTAMP(NANOS) is read as a raw long (see
+    * Tables.events). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Gap-based session aggregation with the built-in session_window.
+    * 10-minute watermark: late events beyond it are dropped and their
+    * session state garbage-collected. */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withColumn("ets", timestamp_millis(expr("ts div 1000000")))
+      .withWatermark("ets", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ets"), s"$gapMinutes minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n_events"), col("total_value"))
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom state machine via flatMapGroupsWithState: running per-user event
+    * count and value total, emitted on every update. */
+  def statefulUserStats(events: DataFrame): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserStats(uid, n, math.rint(tot * 100) / 100)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Replay a parquet events table through a real streaming query into a
+    * memory sink; returns the sink contents as a DataFrame. */
+  def runOnBatch(
+      s: SparkSession,
+      dir: String,
+      build: DataFrame => DataFrame,
+      queryName: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource needs a DIRECTORY; the sf dir has one file per table,
+    // so stage events.parquet into a temp dir. One file = one micro-batch,
+    // which also means no cross-batch late data to fight the watermark.
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val src = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val q = build(src).writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    s.table(queryName)
+  }
+
+  /** Driver-contract entry: streaming sessionization over the sf dir,
+    * deterministically ordered. Rows-only check (streaming sink output isn't
+    * SQL-expressible in DuckDB); StreamingSpec asserts parity with the batch
+    * sessionizer. */
+  def streamingSessionize(s: SparkSession, dir: String): DataFrame =
+    // Complete mode: a finite replay must emit sessions still inside the
+    // watermark horizon too (Append would hold the last ~10 min in state)
+    runOnBatch(s, dir, df => sessionWindowAgg(df), s"stream_sess_${System.nanoTime()}",
+      OutputMode.Complete)
+      .orderBy("user_id", "start_ms")
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  test("every payload decodes and dims match the declared metadata") {
+    val s = spark
+    import s.implicits._
+    val decoded = Multimodal.withPayload(spark, sf).as[Multimodal.MediaRow]
+      .mapPartitions(rows => rows.map(r => (r.doc_id, r.meta.declared_w, r.meta.declared_h)))
+      .toDF("doc_id", "dw", "dh")
+    val stats = Multimodal.mmDecodeStats(spark, sf).collect()
+    assert(stats.map(_.getAs[Long]("n_media")).sum == Tables.documents(spark, sf).count())
+    stats.foreach(r => assert(r.getAs[Long]("n_decoded") == r.getAs[Long]("n_media"),
+      s"decode failures in ${r.getAs[String]("source")}"))
+    // spot-check a full row roundtrip: decode reproduces declared dims
+    val full = Multimodal.withPayload(spark, sf).as[Multimodal.MediaRow].collect()
+    full.take(50).foreach { r =>
+      val w = ((r.payload(4) & 0xFF) << 8) | (r.payload(5) & 0xFF)
+      val h = ((r.payload(6) & 0xFF) << 8) | (r.payload(7) & 0xFF)
+      assert(w == r.meta.declared_w && h == r.meta.declared_h)
+    }
+  }
+
+  test("payload is header + utf8 body, byte-exact") {
+    val s = spark
+    import s.implicits._
+    val row = Multimodal.withPayload(spark, sf).as[Multimodal.MediaRow].head()
+    assert(new String(row.payload.slice(0, 4), "UTF-8") == "GRFT")
+    val text = Tables.documents(spark, sf)
+      .filter(col("doc_id") === row.doc_id).select("text").head().getString(0)
+    assert(row.payload.drop(8).sameElements(text.getBytes("UTF-8")))
+  }
+}
