@@ -1,5 +1,12 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver benchmark: one JSON line of per-query seconds at the SF dir given
+  * by SPARK_GRAFT_SF_DIR. A warmup pass at sf0.001 runs first (untimed) so
+  * the timed numbers measure steady-state execution, not JVM JIT and
+  * first-use Spark initialization.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,9 +14,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val warmupDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmupDir).isDirectory) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache() // don't let warmup caches pollute timings
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

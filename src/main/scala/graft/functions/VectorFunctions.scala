@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CatalystBridge.{toColumn, toExpression}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the embedding hot path.
+  *
+  * `zip_with`/`aggregate` higher-order functions are interpreted (no
+  * whole-stage codegen) and cost tens of µs per element — a 64-dim dot
+  * product inside a candidate join becomes the bottleneck. This expression
+  * generates a tight primitive loop instead and stays inside whole-stage
+  * codegen, per the preference order: builtin functions > native Expression >
+  * UDF.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == ArrayType(DoubleType, containsNull = false) ||
+        left.dataType == ArrayType(DoubleType, containsNull = true)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs array<double> inputs, got ${left.dataType.sql}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+
+  /** Exact dot product of two array<double> columns (codegen'd). */
+  def vecDot(a: Column, b: Column): Column =
+    toColumn(DotProduct(toExpression(a), toExpression(b)))
+
+  /** L2 norm. */
+  def vecNorm(a: Column): Column = sqrt(vecDot(a, a))
+
+  /** Cast a float/int array column to array<double> for the vector ops. */
+  def asDouble(c: Column): Column = c.cast("array<double>")
+}

@@ -37,6 +37,30 @@ object Dedup {
       |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Distinct (doc_id, 3-word-shingle) relation, shared by the MinHash
+    * variants and cached (signature aggregation + both sides of Jaccard
+    * verification reuse it; at 100 TB this would be persisted to disk or a
+    * bucketed table instead).
+    *
+    * Shingles come from posexplode + window-lead, NOT from an array
+    * higher-order function: HOFs are interpreted (no codegen) and cost tens
+    * of µs per element — 30× slower at 260k shingles. The window's doc_id
+    * shuffle is one exchange and every downstream per-doc aggregation reuses
+    * that partitioning. */
+  private[operators] def shingleRelation(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(normalizeText(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    toks
+      .select(col("doc_id"), col("tok"),
+        lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
+      .cache()
+  }
+
   /** 1-band MinHash LSH, fully SQL-expressible: bucket documents by the
     * minimum md5 of their 3-word shingles, generate candidate pairs within
     * buckets, verify with exact Jaccard, keep pairs ≥ 0.5.
@@ -44,9 +68,7 @@ object Dedup {
     * This is the oracle-checkable core of the LSH idea (P[min-hash collision]
     * = Jaccard); `dedup_minhash_lsh` below is the production k×b variant. */
   def dedupMinhash1Band(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(wordShingles(normalizeText(col("text")), 3)).as("shingle"))
-    sh.cache()
+    val sh = shingleRelation(s, d)
     val minhash = sh.groupBy("doc_id").agg(min(md5(col("shingle"))).as("mh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = minhash.as("a").join(minhash.as("b"),
@@ -118,35 +140,42 @@ object Dedup {
     val numHashes = 32
     val bands = 8
     val rowsPerBand = numHashes / bands
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), wordShingles(normalizeText(col("text")), 3).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    // signature[i] = min over shingles of xxhash64(i, shingle)
-    val sig = docs.select(
-      col("doc_id"), col("shingles"),
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("shingles"), sh => xxhash64(i, sh)))).as("sig"))
-    // band hash = xxhash64 over the band's slice of the signature
-    val banded = sig.select(
-        col("doc_id"), col("shingles"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))))
+    val sh = shingleRelation(s, d)
+    // signature_i = min over shingles of xxhash64(i, shingle): ONE codegen'd
+    // hash-aggregate with 32 min() columns — map-side partial, one shuffle
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val sizeCol = count(lit(1)).as("n_sh")
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, (sigCols.tail :+ sizeCol): _*)
+    // band hash = xxhash64 over the band's 4 signature slots
+    val bandCols = (0 until bands).map(b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+        .as(s"b$b"))
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b => col(s"b$b")): _*))
           .as(Seq("band_idx", "band_hash")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("jaccard",
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact Jaccard on candidates only, via the shared shingle relation
+    val inter = cand
+      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    val sizes = sig.select(col("doc_id"), col("n_sh"))
+    inter
+      .join(sizes.as("za"), col("za.doc_id") === col("doc_a"))
+      .join(sizes.as("zb"), col("zb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
         round(col("n_common").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"), 4))
+          (col("za.n_sh") + col("zb.n_sh") - col("n_common")).cast("double"), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -155,29 +184,28 @@ object Dedup {
     * one of 4 chunks matches), verified with exact hamming distance.
     * Rows-only check; SimHashSpec covers semantics. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"),
-        array_distinct(split(normalizeText(col("text")), "\\s+")).as("toks"))
-      .filter(size(col("toks")) > 0)
-    // variable-distance shifts need the SQL builtin (the Scala shiftleft/
-    // shiftright helpers only accept Int literals)
     def shl(v: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
       call_function("shiftleft", v, n)
     def shr(v: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
       call_function("shiftright", v, n)
-    // bit b of the signature = sign of sum over tokens of ±1 by token-hash bit
-    val sig = docs.select(
+    // exploded (doc_id, token-hash): hash each distinct token ONCE
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(normalizeText(col("text")), "\\s+"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+    // bit b vote = sum over tokens of ±1 by hash bit b: ONE codegen'd
+    // hash-aggregate with 64 sum() columns (map-side partial, one shuffle)
+    val voteCols = (0 until 64).map(b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$b"))
+    val votes = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    // fold the 64 sign bits into one long (scalar expression, codegen'd);
+    // cache: the chunk self-join would otherwise recompute it per side
+    val sig = votes.select(
       col("doc_id"),
-      aggregate(
-        sequence(lit(0), lit(63)),
-        lit(0L),
-        (acc, b) => acc.bitwiseOR(
-          shl(
-            when(aggregate(col("toks"), lit(0L),
-              (vote, t) => vote +
-                when(shr(xxhash64(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-              > 0, lit(1L)).otherwise(lit(0L)),
-            b))).as("simhash"))
+      (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("simhash"))
+      .cache()
     val chunked = sig.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => shr(col("simhash"), c * 16).bitwiseAND(0xFFFFL)))
@@ -200,12 +228,12 @@ object Dedup {
     * only within a coarse partition), exact cosine on candidates, pairs above
     * threshold. Vector math via zip_with/aggregate — codegen'd, no UDF. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, vecDot, vecNorm}
     val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
-    val normed = emb.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      vecDot(a, b)
+    val normed = emb.withColumn("nrm", vecNorm(col("v")))
     val pairs = normed.as("a").join(normed.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.VectorFunctions.{asDouble, vecDot, vecNorm}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -17,22 +18,22 @@ import org.apache.spark.sql.functions._
   * - sim_centroid_by_label: the IVF coarse-quantizer building block —
   *   elementwise centroid per label via posexplode + two-level aggregation.
   *
-  * All vector math is zip_with/aggregate higher-order expressions: codegen'd,
-  * distributed, no UDF, no driver-side collect.
+  * All vector math runs through the native DotProduct Catalyst expression
+  * (VectorFunctions) — whole-stage codegen'd tight loops; no UDF, no
+  * interpreted higher-order functions, no driver-side collect.
   */
 object Similarity {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
-
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  // vecDot is a native codegen'd Catalyst expression (VectorFunctions);
+  // asDouble is a plain array cast — both stay inside whole-stage codegen.
+  private def dot(a: Column, b: Column): Column = vecDot(a, b)
 
   /** Exact cosine top-5 neighbors for query vectors (vec_id < 10), ranked on
     * the ROUNDED cosine with vec_id tie-break for cross-engine determinism. */
   def simTopkBruteforce(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val normed = emb.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val normed = emb.withColumn("nrm", vecNorm(col("v")))
     val queries = normed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = normed.join(broadcast(queries), col("vec_id") =!= col("qid"))
@@ -77,7 +78,7 @@ object Similarity {
     def shl(v: Column, n: Column) = call_function("shiftleft", v, n)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("nrm", vecNorm(col("v")))
       .withColumn("sig",
         aggregate(sequence(lit(0), lit(planes.size - 1)), lit(0L),
           (acc, p) => acc.bitwiseOR(

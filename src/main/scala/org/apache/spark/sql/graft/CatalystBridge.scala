@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made the Column constructor private
+  * (Columns wrap connect-compatible nodes); the supported conversion lives in
+  * `classic.ExpressionUtils`, which is `private[sql]` — so this one-file
+  * bridge sits in an org.apache.spark.sql subpackage to reach it. No Spark
+  * internals are copied or modified.
+  */
+object CatalystBridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}
