@@ -198,7 +198,53 @@ object Corpus {
       |GROUP BY 1, 2
       |ORDER BY status_norm, priority_class""".stripMargin
 
+  /** Enrichment fill — legiscan_enricher.py's fill-missing-fields semantics:
+    * deterministically mask lang on doc_id % 7 = 0 (simulating collection
+    * gaps), derive each source's majority lang (rank with lexicographic
+    * tie-break, NOT mode() — mode tie-breaking is engine-arbitrary), and
+    * coalesce the gap from the lookup. The lookup is tiny → broadcast. */
+  def corpusEnrich(s: SparkSession, d: String): DataFrame = {
+    val masked = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang_raw"))
+    val wr = Window.partitionBy("source").orderBy(col("cnt").desc, col("lang_raw").asc)
+    val majority = masked.filter(col("lang_raw").isNotNull)
+      .groupBy("source", "lang_raw").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("source").as("m_source"), col("lang_raw").as("majority_lang"))
+    masked.join(broadcast(majority), col("source") === col("m_source"), "left")
+      .select(
+        col("doc_id"), col("source"),
+        coalesce(col("lang_raw"), col("majority_lang")).as("lang_filled"),
+        col("lang_raw").isNull.as("was_filled"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusEnrichSql =
+    """WITH masked AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_raw
+      |  FROM documents
+      |), counts AS (
+      |  SELECT source, lang_raw, count(*) AS cnt
+      |  FROM masked WHERE lang_raw IS NOT NULL
+      |  GROUP BY source, lang_raw
+      |), majority AS (
+      |  SELECT source AS m_source, lang_raw AS majority_lang
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, lang_raw) AS rn
+      |        FROM counts)
+      |  WHERE rn = 1
+      |)
+      |SELECT doc_id, source,
+      |  coalesce(lang_raw, majority_lang) AS lang_filled,
+      |  lang_raw IS NULL AS was_filled
+      |FROM masked LEFT JOIN majority ON source = m_source
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("corpus_enrich", corpusEnrich, Some(corpusEnrichSql)),
     Q("corpus_normalize", corpusNormalize, Some(corpusNormalizeSql)),
     Q("corpus_keyword_match", corpusKeywordMatch, Some(corpusKeywordMatchSql)),
     Q("corpus_amendment_flag", corpusAmendmentFlag, Some(corpusAmendmentFlagSql)),

@@ -118,19 +118,26 @@ object Relational {
 
   /** Conditional aggregation: per-year revenue share of one region
     * (CASE inside sum — build_master_corpus.py:51 normalize_status is the
-    * same contains/CASE idiom, here over a ratio). */
+    * same contains/CASE idiom, here over a ratio).
+    *
+    * Aggregate-before-join: lineitem revenue is pre-aggregated to order
+    * grain BEFORE joining orders — the join then moves ~4× fewer rows, and
+    * since both sides are hash-partitioned on the same orderkey the join
+    * reuses the aggregation's exchange. The classic 100 TB join reduction. */
   def qMarketShare(s: SparkSession, d: String): DataFrame = {
-    val rev = netPrice
-    Tables.lineitem(s, d)
+    val revByOrder = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(netPrice).as("rev"))
+    revByOrder
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
-        round(sum(when(col("r_name") === "AMERICA", rev).otherwise(lit(0.0))) / sum(rev), 6)
-          .as("america_share"),
-        round(sum(rev), 2).as("total_revenue"))
+        round(sum(when(col("r_name") === "AMERICA", col("rev")).otherwise(lit(0.0)))
+          / sum(col("rev")), 6).as("america_share"),
+        round(sum(col("rev")), 2).as("total_revenue"))
       .orderBy("o_year")
   }
 
@@ -257,6 +264,41 @@ object Relational {
       |ORDER BY o_orderkey
       |LIMIT 200""".stripMargin
 
+  /** Exact percentiles (linear interpolation) of order totals per status —
+    * pandas .describe()/quantile idioms at scale. Spark's exact `percentile`
+    * matches DuckDB's quantile_cont interpolation. */
+  def qPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
+      .orderBy("o_orderstatus")
+
+  private val qPercentilesSql =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  round(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 2) AS p25,
+      |  round(CAST(quantile_cont(o_totalprice, 0.5)  AS DOUBLE), 2) AS p50,
+      |  round(CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE), 2) AS p75,
+      |  round(CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE), 2) AS p95
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Cardinality sketch: approx_count_distinct (HyperLogLog++) next to the
+    * exact count — the 100 TB substitute for countDistinct when a shuffle of
+    * raw keys is unaffordable. Rows-only check (sketch estimates are
+    * engine-specific); RelationalSpec bounds the relative error. */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("ship_year")
+
   val all: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     Q("q3_top_orders", q3TopOrders, Some(q3Sql)),
@@ -265,6 +307,8 @@ object Relational {
     Q("q_top_customer_per_nation", qTopCustomerPerNation, Some(qTopCustomerPerNationSql)),
     Q("q_rollup", qRollup, Some(qRollupSql)),
     Q("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
-    Q("q_orders_enriched", qOrdersEnriched, Some(qOrdersEnrichedSql))
+    Q("q_orders_enriched", qOrdersEnriched, Some(qOrdersEnrichedSql)),
+    Q("q_percentiles", qPercentiles, Some(qPercentilesSql)),
+    Q("q_approx_distinct", qApproxDistinct, None)
   )
 }

@@ -175,7 +175,44 @@ object TextAnalysis {
     """SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 16) AS fp64
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Fuzzy entity matching — the reference's bill-number canonicalization +
+    * fuzzy column/record matching (build_master_corpus.py:46-52
+    * normalize_bill_number, legiscan_normalizer.py:84-109
+    * find_best_column_match) as a scaled record-linkage operator: canonicalize
+    * (strip non-alphanumerics, uppercase), block on p_brand (never n² across
+    * blocks), then Levenshtein ≤ 2 within the block. */
+  def textFuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val canon = upper(regexp_replace(col("p_name"), "[^a-zA-Z0-9]", ""))
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"), canon.as("canon"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey") &&
+          col("a.canon") =!= col("b.canon"))
+      .select(
+        col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        levenshtein(col("a.canon"), col("b.canon")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 2)
+      .orderBy("key_a", "key_b")
+  }
+
+  private val textFuzzyMatchSql =
+    """WITH p AS (
+      |  SELECT p_partkey, p_brand, p_name,
+      |    upper(regexp_replace(p_name, '[^a-zA-Z0-9]', '', 'g')) AS canon
+      |  FROM part
+      |)
+      |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.canon, b.canon) AS BIGINT) AS edit_dist
+      |FROM p a JOIN p b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey AND a.canon <> b.canon
+      |WHERE levenshtein(a.canon, b.canon) <= 2
+      |ORDER BY key_a, key_b""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_fuzzy_match", textFuzzyMatch, Some(textFuzzyMatchSql)),
     Q("text_token_stats", textTokenStats, Some(textTokenStatsSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
     Q("text_langid", textLangid, Some(textLangidSql)),

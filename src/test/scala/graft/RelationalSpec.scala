@@ -41,6 +41,28 @@ class RelationalSpec extends SparkSpec {
     assert(noOrders + withOrders == Tables.customer(spark, sf).count())
   }
 
+  test("approx_count_distinct is within 10% of the exact count") {
+    qApproxDistinct(spark, sf).collect().foreach { r =>
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("percentiles are monotone and inside the min/max range") {
+    val stats = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    qPercentiles(spark, sf).collect().foreach { r =>
+      val (lo, hi) = stats(r.getAs[String]("o_orderstatus"))
+      val ps = Seq("p25", "p50", "p75", "p95").map(r.getAs[Double])
+      assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+      assert(ps.head >= lo - 0.01 && ps.last <= hi + 0.01)
+    }
+  }
+
   test("top customer per nation: rank within 1..3 and descending spend") {
     val rows = qTopCustomerPerNation(spark, sf).collect()
     rows.groupBy(_.getAs[String]("n_name")).foreach { case (_, rs) =>
