@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.graft.CatalystBridge
+import graft.functions.DotProduct
+
+/** Session extensions: makes graft's native expressions SQL-callable.
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  *   spark.sql("SELECT dot_product(a.embedding, b.embedding) ...")
+  *
+  * `GraftExtensions.install(spark)` registers the same functions on an
+  * already-running session (useful in notebooks / the driver harness, where
+  * the session exists before the library loads).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.dotProductDescriptor)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def dotProductBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"dot_product expects 2 arguments, got ${args.length}")
+    DotProduct(args.head, args(1))
+  }
+
+  private[graft] val dotProductDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    dotProductBuilder)
+
+  /** Register on a live session. */
+  def install(spark: SparkSession): Unit =
+    CatalystBridge.registerFunction(spark, "dot_product", dotProductBuilder)
+}

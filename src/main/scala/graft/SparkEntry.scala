@@ -16,6 +16,7 @@ object SparkEntry {
       operators.Sessionize.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++
+      operators.Skew.all ++
       operators.Multimodal.all :+
       Q("streaming_sessionize", streaming.EventStream.streamingSessionize, None)
 

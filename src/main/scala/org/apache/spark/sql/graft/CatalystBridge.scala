@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object CatalystBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a builder as a SQL-callable function on a live session (the
+    * runtime counterpart of SparkSessionExtensions.injectFunction, for
+    * sessions that already exist). */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
 }

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+class SkewSpec extends SparkSpec {
+
+  test("salted join result equals plain join result exactly") {
+    val salted = Skew.qSaltedJoin(spark, sf).collect()
+    val plain = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("c_mktsegment")
+      .collect()
+    assert(salted.length == plain.length && salted.nonEmpty)
+    salted.zip(plain).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("salting spreads a hot key across saltFactor partitions") {
+    val ev = Tables.events(spark, sf)
+    val salts = ev
+      .withColumn("_salt", pmod(xxhash64(col("event_id")), lit(8)))
+      .select("_salt").distinct().collect().map(_.getLong(0)).toSet
+    assert(salts == (0L until 8L).toSet, s"salts seen: $salts")
+  }
+}
