@@ -185,15 +185,31 @@ object TextAnalysis {
     val canon = upper(regexp_replace(col("p_name"), "[^a-zA-Z0-9]", ""))
     val p = Tables.part(s, d)
       .select(col("p_partkey"), col("p_brand"), col("p_name"), canon.as("canon"))
-    p.as("a").join(p.as("b"),
-        col("a.p_brand") === col("b.p_brand") &&
-          col("a.p_partkey") < col("b.p_partkey") &&
-          col("a.canon") =!= col("b.canon"))
-      .select(
-        col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
-        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
-        levenshtein(col("a.canon"), col("b.canon")).cast("long").as("edit_dist"))
+    // Dedupe-before-distance: entity strings repeat heavily (20k parts share
+    // 64 names at sf0.1), so compute Levenshtein once per DISTINCT
+    // (brand, canon) pair — 160× fewer O(n·m) calls — then fan matching name
+    // pairs back out to key pairs. |len(a)-len(b)| <= 2 lower-bounds the edit
+    // distance and short-circuits before levenshtein runs.
+    val names = p.select("p_brand", "canon").distinct()
+    val namePairs = names.as("na").join(names.as("nb"),
+        col("na.p_brand") === col("nb.p_brand") &&
+          col("na.canon") < col("nb.canon") &&
+          abs(length(col("na.canon")) - length(col("nb.canon"))) <= 2)
+      .select(col("na.p_brand").as("brand"),
+        col("na.canon").as("ca"), col("nb.canon").as("cb"),
+        levenshtein(col("na.canon"), col("nb.canon")).cast("long").as("edit_dist"))
       .filter(col("edit_dist") <= 2)
+    namePairs
+      .join(p.as("x"), col("x.p_brand") === col("brand") && col("x.canon") === col("ca"))
+      .join(p.as("y"), col("y.p_brand") === col("brand") && col("y.canon") === col("cb"))
+      .select(
+        least(col("x.p_partkey"), col("y.p_partkey")).as("key_a"),
+        greatest(col("x.p_partkey"), col("y.p_partkey")).as("key_b"),
+        when(col("x.p_partkey") < col("y.p_partkey"), col("x.p_name"))
+          .otherwise(col("y.p_name")).as("name_a"),
+        when(col("x.p_partkey") < col("y.p_partkey"), col("y.p_name"))
+          .otherwise(col("x.p_name")).as("name_b"),
+        col("edit_dist"))
       .orderBy("key_a", "key_b")
   }
 
@@ -208,6 +224,7 @@ object TextAnalysis {
       |  CAST(levenshtein(a.canon, b.canon) AS BIGINT) AS edit_dist
       |FROM p a JOIN p b
       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey AND a.canon <> b.canon
+      |  AND abs(length(a.canon) - length(b.canon)) <= 2
       |WHERE levenshtein(a.canon, b.canon) <= 2
       |ORDER BY key_a, key_b""".stripMargin
 
