@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned session factory for library users (the driver harness builds its own
+  * sessions in Verify/Bench; this is the front door for everyone else).
+  *
+  * Defaults that matter at scale: AQE on (runtime coalescing + skew-join
+  * splitting), shuffle partitions sized to the cluster not the 200 default,
+  * UTC so timestamp semantics match the oracle, and graft's SQL functions
+  * registered.
+  */
+object GraftSession {
+
+  def builder(
+      master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+
+  def getOrCreate(): SparkSession = {
+    val s = builder().getOrCreate()
+    GraftExtensions.install(s) // in case an existing session was returned
+    s
+  }
+}

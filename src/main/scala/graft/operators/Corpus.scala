@@ -243,7 +243,106 @@ object Corpus {
       |FROM masked LEFT JOIN majority ON source = m_source
       |ORDER BY doc_id""".stripMargin
 
+  /** HTML → text with strikethrough removal — the reference's most
+    * distinctive transformation (normalize_corpus.py:80-114
+    * remove_strikethrough_html: <s>/<strike>/<del> content is *deleted
+    * statutory text* and must be dropped from the NLP copy, with the removed
+    * char count logged; then script/style removal and tag stripping,
+    * text_processor.py:52-72 html_to_text).
+    *
+    * Documents aren't stored as HTML here, so each doc is deterministically
+    * wrapped in an HTML envelope (incl. a struck clause + a style block) and
+    * then extracted — asserting the full pipeline: strikethrough content gone
+    * and counted, markup stripped, entities decoded, whitespace collapsed.
+    * Alternation pattern, not backreferences: RE2 (DuckDB) has no \1. */
+  def corpusHtmlExtract(s: SparkSession, d: String): DataFrame = {
+    val html = concat(
+      lit("<html><body><h1>"), upper(col("lang")),
+      lit("</h1><p>"), col("text"),
+      lit("</p><s>struck clause "), col("doc_id").cast("string"),
+      lit("</s><style>p{color:red}</style></body></html>"))
+    val noStrike = regexp_replace(html, "<s>.*?</s>|<strike>.*?</strike>|<del>.*?</del>", "")
+    val noBlocks = regexp_replace(noStrike, "<script>.*?</script>|<style>.*?</style>", "")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = regexp_replace(regexp_replace(noTags, "&amp;", "&"), "&nbsp;", " ")
+    val cleaned = wsTrim(regexp_replace(decoded, "\\s+", " "))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        cleaned.as("extracted_text"),
+        (length(html) - length(noStrike)).cast("long").as("strike_chars_removed"),
+        (length(html) > length(noStrike)).as("strikethrough_detected"),
+        wordCount(cleaned).as("extracted_word_count"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusHtmlExtractSql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><body><h1>' || upper(lang) || '</h1><p>' || text ||
+      |    '</p><s>struck clause ' || CAST(doc_id AS VARCHAR) ||
+      |    '</s><style>p{color:red}</style></body></html>' AS html
+      |  FROM documents
+      |), st AS (
+      |  SELECT doc_id, html,
+      |    regexp_replace(html, '<s>.*?</s>|<strike>.*?</strike>|<del>.*?</del>', '', 'g') AS no_strike
+      |  FROM h
+      |), ex AS (
+      |  SELECT doc_id, html, no_strike,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      no_strike,
+      |      '<script>.*?</script>|<style>.*?</style>', '', 'g'),
+      |      '<[^>]+>', ' ', 'g'),
+      |      '&amp;', '&', 'g'), '&nbsp;', ' ', 'g'),
+      |      '\s+', ' ', 'g') AS sp
+      |  FROM st
+      |)
+      |SELECT doc_id,
+      |  regexp_replace(sp, '^\s+|\s+$', '', 'g') AS extracted_text,
+      |  length(html) - length(no_strike) AS strike_chars_removed,
+      |  length(html) > length(no_strike) AS strikethrough_detected,
+      |  CASE WHEN length(regexp_replace(regexp_replace(sp, '^\s+|\s+$', '', 'g'), '^\s+|\s+$', '', 'g')) = 0 THEN 0
+      |       ELSE array_length(regexp_split_to_array(regexp_replace(sp, '^\s+|\s+$', '', 'g'), '\s+')) END AS extracted_word_count
+      |FROM ex ORDER BY doc_id""".stripMargin
+
+  /** Base64 document payload decode — text_processor.py:23-40
+    * decode_bill_text: base64 → bytes → extension by mime type. Encode side
+    * is synthesized (deterministic by source), decode side is the real op. */
+  def corpusDecodeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val mime = when(col("source").isin("src0", "src1", "src2"), "text/html")
+      .when(col("source").isin("src3", "src4"), "application/pdf")
+      .otherwise("text/plain")
+    val payload = base64(col("text").cast("binary"))
+    val decoded = decode(unbase64(payload), "UTF-8")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        mime.as("mime_type"),
+        when(mime === "text/html", ".html")
+          .when(mime === "application/pdf", ".pdf")
+          .otherwise(".txt").as("ext"),
+        // byte length of the DECODED payload, not the base64 string — Spark's
+        // base64 inserts MIME line breaks, DuckDB's doesn't
+        length(unbase64(payload)).cast("long").as("decoded_bytes"),
+        (decoded === col("text")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusDecodeRoundtripSql =
+    """SELECT doc_id,
+      |  CASE WHEN source IN ('src0','src1','src2') THEN 'text/html'
+      |       WHEN source IN ('src3','src4') THEN 'application/pdf'
+      |       ELSE 'text/plain' END AS mime_type,
+      |  CASE WHEN source IN ('src0','src1','src2') THEN '.html'
+      |       WHEN source IN ('src3','src4') THEN '.pdf'
+      |       ELSE '.txt' END AS ext,
+      |  octet_length(from_base64(to_base64(encode(text)))) AS decoded_bytes,
+      |  decode(from_base64(to_base64(encode(text)))) = text AS roundtrip_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("corpus_html_extract", corpusHtmlExtract, Some(corpusHtmlExtractSql)),
+    Q("corpus_decode_roundtrip", corpusDecodeRoundtrip, Some(corpusDecodeRoundtripSql)),
     Q("corpus_enrich", corpusEnrich, Some(corpusEnrichSql)),
     Q("corpus_normalize", corpusNormalize, Some(corpusNormalizeSql)),
     Q("corpus_keyword_match", corpusKeywordMatch, Some(corpusKeywordMatchSql)),

@@ -22,6 +22,14 @@ class SinksSpec extends SparkSpec {
 
   test("bucketed table: join on the bucket key has no shuffle on the bucketed side") {
     spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    // a crashed prior run can leave the managed location behind without
+    // catalog metadata — clear it or CTAS refuses the name
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:") + "/orders_bucketed")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
     Sinks.writeBucketed(Tables.orders(spark, sf), "orders_bucketed", "o_custkey", 4,
       sortCol = Some("o_custkey"))
     val bucketed = spark.table("orders_bucketed")
