@@ -299,7 +299,121 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy("ship_year")
 
+  /** Window-function flavors in one pass: running total, rank, quartile,
+    * day-gap to previous order — all over ONE (o_custkey, date, key) sort, so
+    * a single exchange serves every window. */
+  def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val run = byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        round(sum("o_totalprice").over(run), 2).as("running_spend"),
+        row_number().over(byDate).cast("long").as("order_seq"),
+        ntile(4).over(byPrice).cast("long").as("price_quartile"),
+        // o_orderdate is TIMESTAMP_NTZ; cast to TIMESTAMP is value-preserving
+        // under the UTC session and unlocks unix_millis
+        ((unix_millis(col("o_orderdate").cast("timestamp")) -
+          lag(unix_millis(col("o_orderdate").cast("timestamp")), 1).over(byDate))
+          / lit(86400000L))
+          .cast("long").as("days_since_prev"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  private val qWindowRunningSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                                ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+      |  CAST(row_number() OVER w AS BIGINT) AS order_seq,
+      |  CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_quartile,
+      |  CAST((epoch_ms(o_orderdate) - lag(epoch_ms(o_orderdate)) OVER w) // 86400000 AS BIGINT) AS days_since_prev
+      |FROM orders
+      |WHERE o_custkey < 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
+  /** LEFT OUTER join + null fill — every customer with their order stats,
+    * zeros where none exist (the aggregate side is pre-grouped so the outer
+    * join moves one row per customer, not one per order). */
+  def qOuterJoinFill(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("t"))
+    Tables.customer(s, d)
+      .join(stats, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("t"), lit(0.0)).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  private val qOuterJoinFillSql =
+    """SELECT c_custkey,
+      |  coalesce(n, 0) AS n_orders,
+      |  coalesce(t, 0.0) AS total_spend
+      |FROM customer
+      |LEFT JOIN (SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS t
+      |           FROM orders GROUP BY o_custkey) s
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Correlated-subquery shape, decorrelated by hand: customers above their
+    * nation's average balance. (The oracle keeps the correlated form —
+    * Catalyst and DuckDB both decorrelate to the same group+join plan.) */
+  def qCorrelatedAvg(s: SparkSession, d: String): DataFrame = {
+    val natAvg = Tables.customer(s, d)
+      .groupBy("c_nationkey").agg(avg("c_acctbal").as("nat_avg"))
+      .withColumnRenamed("c_nationkey", "nk")
+    Tables.customer(s, d)
+      .join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("c_acctbal") > col("nat_avg"))
+      .select(col("c_custkey"), col("c_acctbal"), col("n_name"),
+        round(col("nat_avg"), 2).as("nation_avg"))
+      .orderBy("c_custkey")
+  }
+
+  private val qCorrelatedAvgSql =
+    """SELECT c_custkey, c_acctbal, n_name,
+      |  round((SELECT avg(c2.c_acctbal) FROM customer c2
+      |         WHERE c2.c_nationkey = customer.c_nationkey), 2) AS nation_avg
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = customer.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Set operations: INTERSECT / EXCEPT (distinct semantics in both
+    * engines) over per-year active-customer sets. */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    def activeIn(y: Int) = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val both = activeIn(1995).intersect(activeIn(1996))
+      .select(lit("both_95_96").as("tag"), col("o_custkey"))
+    val only95 = activeIn(1995).except(activeIn(1996))
+      .select(lit("only_95").as("tag"), col("o_custkey"))
+    both.unionAll(only95).orderBy("tag", "o_custkey")
+  }
+
+  private val qSetOpsSql =
+    """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      |     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      |SELECT 'both_95_96' AS tag, o_custkey FROM (FROM y95 INTERSECT FROM y96)
+      |UNION ALL
+      |SELECT 'only_95' AS tag, o_custkey FROM (FROM y95 EXCEPT FROM y96)
+      |ORDER BY tag, o_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_window_running", qWindowRunning, Some(qWindowRunningSql)),
+    Q("q_outer_join_fill", qOuterJoinFill, Some(qOuterJoinFillSql)),
+    Q("q_correlated_avg", qCorrelatedAvg, Some(qCorrelatedAvgSql)),
+    Q("q_set_ops", qSetOps, Some(qSetOpsSql)),
     Q("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     Q("q3_top_orders", q3TopOrders, Some(q3Sql)),
     Q("q5_region_volume", q5RegionVolume, Some(q5Sql)),
