@@ -340,7 +340,74 @@ object Corpus {
       |  decode(from_base64(to_base64(encode(text)))) = text AS roundtrip_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Deterministic stratified sampling — the reproducible alternative to
+    * random reservoir sampling at 100 TB: rank by a content-derived hash
+    * (md5, available in both engines) within each stratum and keep the
+    * bottom-k. Same rows on every run, every engine, any partitioning —
+    * dedoose_sample in build_corpus.py:100 is the reference's (manual)
+    * sampling step. */
+  def corpusSample(s: SparkSession, d: String): DataFrame = {
+    val rankHash = md5(concat(lit("graft-seed-1"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("lang").orderBy(rankHash.asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 20)
+      .select("lang", "rk", "doc_id", "source", "n_chars")
+      .orderBy("lang", "rk")
+  }
+
+  private val corpusSampleSql =
+    """WITH ranked AS (
+      |  SELECT lang, doc_id, source, n_chars,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY lang
+      |      ORDER BY md5('graft-seed-1' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      |  FROM documents
+      |)
+      |SELECT lang, rk, doc_id, source, n_chars
+      |FROM ranked WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin
+
+  /** Token frequency top-k per language — the word-count classic, the shape
+    * of vocabulary building. Explode → count (two-level partial agg) →
+    * rank-limit per group (Spark pushes the limit into the window via
+    * WindowGroupLimit — no full sort of the vocabulary). */
+  def corpusTopTokens(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok").asc)
+    Tables.documents(s, d)
+      .select(col("lang"), explode(split(normalizeText(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .orderBy("lang", "rk")
+  }
+
+  private val corpusTopTokensSql = {
+    val norm =
+      """regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text), '&amp;', '&', 'g'), '&nbsp;', ' ', 'g'),
+        |      '(?m)^\s*\d+\s*$', '', 'g'), '[ \t]+', ' ', 'g'), '\n{3,}', e'\n\n', 'g'),
+        |      '^\s+|\s+$', '', 'g')""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(regexp_split_to_array($norm, '\\s+')) AS tok
+       |  FROM documents
+       |), counts AS (
+       |  SELECT lang, tok, count(*) AS cnt FROM toks
+       |  WHERE length(tok) > 0
+       |  GROUP BY lang, tok
+       |), ranked AS (
+       |  SELECT lang, tok, cnt,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS BIGINT) AS rk
+       |  FROM counts
+       |)
+       |SELECT lang, tok, cnt, rk FROM ranked WHERE rk <= 10
+       |ORDER BY lang, rk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("corpus_sample", corpusSample, Some(corpusSampleSql)),
+    Q("corpus_top_tokens", corpusTopTokens, Some(corpusTopTokensSql)),
     Q("corpus_html_extract", corpusHtmlExtract, Some(corpusHtmlExtractSql)),
     Q("corpus_decode_roundtrip", corpusDecodeRoundtrip, Some(corpusDecodeRoundtripSql)),
     Q("corpus_enrich", corpusEnrich, Some(corpusEnrichSql)),

@@ -54,6 +54,11 @@ class PlanSpec extends SparkSpec {
       s"queries not broadcast:\n$plan")
   }
 
+  test("rank-limit queries get WindowGroupLimit pushdown (no full per-group sort)") {
+    val plan = planOf(Corpus.corpusTopTokens(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
+
   test("sessionize: exactly one exchange on user_id feeds both window passes") {
     val plan = planOf(Sessionize.eventsSessionize(spark, sf))
     val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
