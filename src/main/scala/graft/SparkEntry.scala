@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.Skew.all ++
+      operators.AsOf.all ++
       operators.Multimodal.all :+
       Q("streaming_sessionize", streaming.EventStream.streamingSessionize, None)
 

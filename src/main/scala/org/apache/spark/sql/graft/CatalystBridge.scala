@@ -14,6 +14,17 @@ object CatalystBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a (resolved) logical plan as a DataFrame — the supported internal
+    * constructor (classic.Dataset.ofRows) is private[sql]. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def planOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** Register a builder as a SQL-callable function on a live session (the
     * runtime counterpart of SparkSessionExtensions.injectFunction, for
     * sessions that already exist). */

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+
+  test("custom AsOfJoinExec returns exactly what the composed version returns") {
+    val composed = AsOf.asofJoinComposed(spark, sf).collect()
+    val custom = AsOf.asofJoinCustom(spark, sf).collect()
+    assert(composed.length == custom.length && composed.nonEmpty)
+    composed.zip(custom).foreach { case (a, b) => assert(a == b, s"\n$a\n$b") }
+  }
+
+  test("as-of semantics: matched click is at-or-before and is the latest such") {
+    val rows = AsOf.asofJoinComposed(spark, sf).collect()
+    val clicks = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .selectExpr("user_id", "ts div 1000000 as ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = clicks.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val user = r.getAs[Long]("user_id")
+      val pms = r.getAs[Long]("purchase_ms")
+      val expected = byUser.getOrElse(user, Array.empty[Long]).filter(_ <= pms)
+      if (expected.isEmpty) assert(r.isNullAt(r.fieldIndex("click_ms")))
+      else assert(r.getAs[Long]("click_ms") == expected.max,
+        s"user=$user pms=$pms got=${r.getAs[Long]("click_ms")} want=${expected.max}")
+    }
+  }
+
+  test("custom operator plan contains AsOfJoinExec and co-partitioning exchanges") {
+    val df = AsOf.asofJoinCustom(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
+  }
+}
