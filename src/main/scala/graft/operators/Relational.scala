@@ -363,29 +363,49 @@ object Relational {
       |ORDER BY c_custkey""".stripMargin
 
   /** Correlated-subquery shape, decorrelated by hand: customers above their
-    * nation's average balance. (The oracle keeps the correlated form —
-    * Catalyst and DuckDB both decorrelate to the same group+join plan.) */
+    * nation's average balance.
+    *
+    * All comparisons and the displayed average are EXACT integer arithmetic
+    * over cents: `bal > avg` becomes `bal_cents · n > sum_cents`, and the
+    * 2-dp average is integer round-half-away-from-zero — float avgs differ
+    * across engines in the last ulp and flip both the filter and the
+    * rounding at boundaries. (Engines also disagree on negative integer
+    * division — Spark `div` truncates, DuckDB `//` floors — so the rounding
+    * runs on |sum| with the sign reapplied.) */
   def qCorrelatedAvg(s: SparkSession, d: String): DataFrame = {
-    val natAvg = Tables.customer(s, d)
-      .groupBy("c_nationkey").agg(avg("c_acctbal").as("nat_avg"))
+    val cents = Tables.customer(s, d)
+      .withColumn("bc", round(col("c_acctbal") * 100, 0).cast("long"))
+    val natSum = cents.groupBy("c_nationkey")
+      .agg(sum("bc").as("sc"), count(lit(1)).as("cnt"))
       .withColumnRenamed("c_nationkey", "nk")
-    Tables.customer(s, d)
-      .join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+    cents
+      .join(broadcast(natSum), col("c_nationkey") === col("nk"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .filter(col("c_acctbal") > col("nat_avg"))
+      .filter(col("bc") * col("cnt") > col("sc"))
+      .withColumn("avg_cents",
+        when(col("sc") >= 0, expr("(2 * sc + cnt) div (2 * cnt)"))
+          .otherwise(-expr("(2 * (-sc) + cnt) div (2 * cnt)")))
       .select(col("c_custkey"), col("c_acctbal"), col("n_name"),
-        round(col("nat_avg"), 2).as("nation_avg"))
+        (col("avg_cents").cast("double") / 100.0).as("nation_avg"))
       .orderBy("c_custkey")
   }
 
   private val qCorrelatedAvgSql =
-    """SELECT c_custkey, c_acctbal, n_name,
-      |  round((SELECT avg(c2.c_acctbal) FROM customer c2
-      |         WHERE c2.c_nationkey = customer.c_nationkey), 2) AS nation_avg
-      |FROM customer
+    """WITH cents AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal,
+      |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bc
+      |  FROM customer
+      |), nat AS (
+      |  SELECT c_nationkey AS nk, CAST(sum(bc) AS BIGINT) AS sc, count(*) AS cnt
+      |  FROM cents GROUP BY c_nationkey
+      |)
+      |SELECT c_custkey, c_acctbal, n_name,
+      |  (CASE WHEN sc >= 0 THEN (2 * sc + cnt) // (2 * cnt)
+      |        ELSE -((2 * (-sc) + cnt) // (2 * cnt)) END) * 1.0 / 100.0 AS nation_avg
+      |FROM cents
+      |JOIN nat ON c_nationkey = nk
       |JOIN nation ON c_nationkey = n_nationkey
-      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
-      |                   WHERE c2.c_nationkey = customer.c_nationkey)
+      |WHERE bc * cnt > sc
       |ORDER BY c_custkey""".stripMargin
 
   /** Set operations: INTERSECT / EXCEPT (distinct semantics in both

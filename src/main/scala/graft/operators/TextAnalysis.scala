@@ -72,14 +72,25 @@ object TextAnalysis {
       length(col("text")).cast("long").as("len_chars"),
       alphaCount(lower(col("text"))).as("n_alpha"),
       punctCount(col("text")).cast("long").as("n_punct"))
-    val tokenScore = least(lit(1.0), col("n_tokens").cast("double") / 100.0)
-    val alphaRatio = when(col("len_chars") > 0,
-      col("n_alpha").cast("double") / col("len_chars").cast("double")).otherwise(lit(0.0))
-    val punctRatio = when(col("len_chars") > 0,
-      col("n_punct").cast("double") / col("len_chars").cast("double")).otherwise(lit(0.0))
+    // score = 0.5*min(nt,100)/100 + 0.3*n_alpha/len + 0.2*(len-n_punct)/len,
+    // quantized to 4 decimals ENTIRELY in integer arithmetic: float sums
+    // differ between engines in the last ulp, and even on identical doubles
+    // Spark (exact BigDecimal HALF_UP) and DuckDB (scaled multiply) round
+    // boundary values differently (seen at sf0.1). Integer round-half-up
+    // basis points — floor((20000·I + D) / 2D) — are engine-independent;
+    // the single /10000.0 at the end is one exact IEEE op.
+    val minT = least(col("n_tokens"), lit(100L))
+    val len = col("len_chars")
+    val numer = minT * len + lit(60L) * col("n_alpha") + lit(40L) * (len - col("n_punct"))
+    val denom = lit(200L) * len
     base
-      .withColumn("quality_score",
-        round(tokenScore * 0.5 + alphaRatio * 0.3 + (lit(1.0) - punctRatio) * 0.2, 4))
+      .withColumn("qn", numer)
+      .withColumn("qd", denom)
+      // SQL `div` is true integer division (Column./ goes through doubles
+      // and can mis-floor at integer boundaries)
+      .withColumn("bp", when(len > 0, expr("(20000 * qn + qd) div (2 * qd)"))
+        .otherwise(minT * 50L + 2000L))
+      .withColumn("quality_score", col("bp").cast("double") / 10000.0)
       .withColumn("quality_bucket",
         when(col("quality_score") >= 0.8, "high")
           .when(col("quality_score") >= 0.5, "medium")
@@ -99,10 +110,11 @@ object TextAnalysis {
       |  FROM documents
       |), scored AS (
       |  SELECT doc_id, n_tokens,
-      |    round(least(1.0, n_tokens * 1.0 / 100.0) * 0.5
-      |      + (CASE WHEN len_chars > 0 THEN n_alpha * 1.0 / len_chars ELSE 0.0 END) * 0.3
-      |      + (1.0 - CASE WHEN len_chars > 0 THEN n_punct * 1.0 / len_chars ELSE 0.0 END) * 0.2,
-      |      4) AS quality_score
+      |    (CASE WHEN len_chars > 0 THEN
+      |       (20000 * (least(n_tokens, 100) * len_chars + 60 * n_alpha
+      |                 + 40 * (len_chars - n_punct)) + 200 * len_chars)
+      |       // (2 * 200 * len_chars)
+      |     ELSE least(n_tokens, 100) * 50 + 2000 END) * 1.0 / 10000.0 AS quality_score
       |  FROM b
       |)
       |SELECT doc_id, n_tokens, quality_score,
