@@ -429,7 +429,56 @@ object Relational {
       |SELECT 'only_95' AS tag, o_custkey FROM (FROM y95 EXCEPT FROM y96)
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** Pivot / crosstab — pandas value_counts-by-two-dims (the reference's
+    * bills-by-year-by-state tables). Spark's `pivot` emits the same plan as
+    * the CASE-based formulation the oracle uses; columns are pinned so the
+    * schema is stable regardless of data. */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy("o_year")
+
+  private val qPivotSql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  /** describe()-style summary statistics per numeric column (count, mean,
+    * stddev, min, max) — the reference's summary-report idiom. Mean/stddev
+    * rounded to 2 dp on both sides. */
+  def qDescribe(s: SparkSession, d: String): DataFrame = {
+    def statsFor(colName: String) = Tables.lineitem(s, d).agg(
+      lit(colName).as("column"),
+      count(col(colName)).as("n"),
+      round(avg(col(colName)), 2).as("mean"),
+      round(stddev_samp(col(colName)), 2).as("stddev"),
+      round(min(col(colName)), 2).as("min_v"),
+      round(max(col(colName)), 2).as("max_v"))
+    statsFor("l_quantity")
+      .unionByName(statsFor("l_extendedprice"))
+      .unionByName(statsFor("l_discount"))
+      .orderBy("column")
+  }
+
+  private val qDescribeSql = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", count($c) AS n, round(avg($c), 2) AS mean,
+         |  round(stddev_samp($c), 2) AS stddev,
+         |  round(min($c), 2) AS min_v, round(max($c), 2) AS max_v
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_pivot", qPivot, Some(qPivotSql)),
+    Q("q_describe", qDescribe, Some(qDescribeSql)),
     Q("q_window_running", qWindowRunning, Some(qWindowRunningSql)),
     Q("q_outer_join_fill", qOuterJoinFill, Some(qOuterJoinFillSql)),
     Q("q_correlated_avg", qCorrelatedAvg, Some(qCorrelatedAvgSql)),
