@@ -25,8 +25,14 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
     * ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanosecond LONG instead —
-    * downstream operators do exact integer arithmetic on it (ns→ms via
-    * integer division; double math would lose precision above 2^53). */
+    * downstream operators do exact integer arithmetic on it
+    * (TimeFunctions.nsToMs; double math would lose precision above 2^53).
+    *
+    * DELIBERATE side effect: nanosAsLong is a session conf, so after the
+    * first events read, any TIMESTAMP(NANOS) parquet column in this session
+    * reads as LONG. There is no per-read switch for it; restoring the flag
+    * after this call would race the lazy scan. Scoped sessions
+    * (spark.newSession()) isolate callers that need nanos-as-timestamp. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, d, "events")

@@ -23,12 +23,18 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(DoubleType, containsNull = false) ||
-        left.dataType == ArrayType(DoubleType, containsNull = true)) {
+    // BOTH operands must be array<double>: getDouble on e.g. a float
+    // ArrayData reads with the wrong stride and returns garbage, not an error
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     } else {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"dot_product needs array<double> inputs, got ${left.dataType.sql}")
+        s"dot_product needs two array<double> inputs, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
     }
   }
 

@@ -44,21 +44,26 @@ object AsOf {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
-    CatalystBridge.ofRows(spark, AsOfJoin(
-      lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime)))
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    // the exec orders RIGHT rows with the LEFT side's ordering — types must
+    // match exactly or executors die mid-job with ClassCastException
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: ${lk.dataType.sql} vs ${rk.dataType.sql}")
+    require(lt.dataType == rt.dataType,
+      s"as-of time types differ: ${lt.dataType.sql} vs ${rt.dataType.sql}")
+    CatalystBridge.ofRows(spark, AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
   }
 
   private def purchases(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
-        expr("ts div 1000000").as("pms"))
+        graft.functions.TimeFunctions.nsToMs("ts").as("pms"))
 
   /** One click per (user, ms), keeping the largest event_id. */
   private def dedupedClicks(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).filter(col("event_type") === "click")
-      .groupBy(col("user_id").as("c_user_id"), expr("ts div 1000000").as("cms"))
+      .groupBy(col("user_id").as("c_user_id"), graft.functions.TimeFunctions.nsToMs("ts").as("cms"))
       .agg(max("event_id").as("click_id"))
 
   /** Built-ins composition: tag both sides, sort (user, ms, tag) so clicks

@@ -184,8 +184,8 @@ object Dedup {
     * one of 4 chunks matches), verified with exact hamming distance.
     * Rows-only check; SimHashSpec covers semantics. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    def shl(v: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
-      call_function("shiftleft", v, n)
+    // variable-distance shift needs the SQL builtin (Scala shiftright only
+    // takes Int literals)
     def shr(v: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
       call_function("shiftright", v, n)
     // exploded (doc_id, token-hash): hash each distinct token ONCE
@@ -231,13 +231,11 @@ object Dedup {
     import graft.functions.VectorFunctions.{asDouble, vecDot, vecNorm}
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      vecDot(a, b)
     val normed = emb.withColumn("nrm", vecNorm(col("v")))
     val pairs = normed.as("a").join(normed.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
+        round(vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
     pairs.filter(col("cosine") >= 0.35).orderBy("vec_a", "vec_b")
   }
 

@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale: sessionize is ONE shuffle on user_id, then two window passes and a
   * partial aggregate, all within the same partitioning — Catalyst reuses the
-  * exchange. Timestamps are compared/emitted as epoch-milliseconds BIGINTs so
-  * Spark's µs precision and DuckDB's ns precision floor identically.
+  * exchange. Timestamps are compared/emitted as epoch-milliseconds BIGINTs via
+  * TimeFunctions.nsToMs, whose floor semantics match DuckDB's epoch_ms for
+  * ALL inputs (a plain integer div truncates and diverges pre-1970).
   */
 object Sessionize {
 
@@ -27,7 +28,7 @@ object Sessionize {
     val order = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
     val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, d)
-      .withColumn("ms", expr("ts div 1000000"))
+      .withColumn("ms", graft.functions.TimeFunctions.nsToMs("ts"))
       .withColumn("prev_ms", lag(col("ms"), 1).over(order))
       .withColumn("is_new",
         when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
@@ -65,7 +66,10 @@ object Sessionize {
   def eventsTumbling(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(
-        (expr("ts div 1000000") - pmod(expr("ts div 1000000"), lit(3600000L))).as("hour_ms"),
+        {
+          val ms = graft.functions.TimeFunctions.nsToMs("ts")
+          (ms - pmod(ms, lit(3600000L))).as("hour_ms")
+        },
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),

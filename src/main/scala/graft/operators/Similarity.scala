@@ -24,10 +24,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  // vecDot is a native codegen'd Catalyst expression (VectorFunctions);
-  // asDouble is a plain array cast — both stay inside whole-stage codegen.
-  private def dot(a: Column, b: Column): Column = vecDot(a, b)
-
   /** Exact cosine top-5 neighbors for query vectors (vec_id < 10), ranked on
     * the ROUNDED cosine with vec_id tie-break for cross-engine determinism. */
   def simTopkBruteforce(s: SparkSession, d: String): DataFrame = {
@@ -38,7 +34,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = normed.join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand_id"),
-        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("cosine"))
+        round(vecDot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id").asc)
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
@@ -82,7 +78,7 @@ object Similarity {
       .withColumn("sig",
         aggregate(sequence(lit(0), lit(planes.size - 1)), lit(0L),
           (acc, p) => acc.bitwiseOR(
-            shl(when(dot(element_at(planesCol, p + 1), col("v")) >= 0, lit(1L))
+            shl(when(vecDot(element_at(planesCol, p + 1), col("v")) >= 0, lit(1L))
               .otherwise(lit(0L)), p))))
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -90,7 +86,7 @@ object Similarity {
     val scored = emb.join(broadcast(queries),
         col("sig") === col("qsig") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand_id"),
-        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("cosine"))
+        round(vecDot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id").asc)
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)

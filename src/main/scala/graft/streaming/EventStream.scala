@@ -37,7 +37,7 @@ object EventStream {
     * session state garbage-collected. */
   def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
     events
-      .withColumn("ets", timestamp_millis(expr("ts div 1000000")))
+      .withColumn("ets", timestamp_millis(graft.functions.TimeFunctions.nsToMs("ts")))
       .withWatermark("ets", "10 minutes")
       .groupBy(col("user_id"), session_window(col("ets"), s"$gapMinutes minutes"))
       .agg(
@@ -102,7 +102,16 @@ object EventStream {
     } finally {
       q.stop()
     }
-    s.table(queryName)
+    // materialize off the memory sink, then release everything the replay
+    // allocated: the driver-resident sink table, and the staged copy —
+    // repeated calls in a long session must not accumulate either
+    val sink = s.table(queryName)
+    val result = s.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    s.catalog.dropTempView(queryName)
+    staged.toFile.listFiles().foreach(_.delete())
+    java.nio.file.Files.deleteIfExists(staged)
+    result
   }
 
   /** Driver-contract entry: streaming sessionization over the sf dir,
