@@ -109,7 +109,51 @@ object Sessionize {
       |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Ordered funnel: view → click → purchase, each stage's first occurrence
+    * strictly at-or-after the previous stage's. Stage frontiers are tiny
+    * per-user aggregates, so each step is a broadcast-joinable reduction —
+    * no event-grain self-join. */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        graft.functions.TimeFunctions.nsToMs("ts").as("ms"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ms").as("v_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("ms") >= col("v_ms"))
+      .groupBy("user_id").agg(min("ms").as("c_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("ms") >= col("c_ms"))
+      .groupBy("user_id").agg(min("ms").as("p_ms"))
+    views.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"))
+      .unionByName(clicks.agg(lit("2_click_after_view").as("stage"), count(lit(1)).as("n_users")))
+      .unionByName(purchases.agg(lit("3_purchase_after_click").as("stage"), count(lit(1)).as("n_users")))
+      .orderBy("stage")
+  }
+
+  private val eventsFunnelSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+      |), views AS (
+      |  SELECT user_id, min(ms) AS v_ms FROM ev WHERE event_type = 'view' GROUP BY user_id
+      |), clicks AS (
+      |  SELECT e.user_id, min(ms) AS c_ms
+      |  FROM ev e JOIN views USING (user_id)
+      |  WHERE event_type = 'click' AND ms >= v_ms GROUP BY e.user_id
+      |), purchases AS (
+      |  SELECT e.user_id, min(ms) AS p_ms
+      |  FROM ev e JOIN clicks USING (user_id)
+      |  WHERE event_type = 'purchase' AND ms >= c_ms GROUP BY e.user_id
+      |)
+      |SELECT '1_view' AS stage, count(*) AS n_users FROM views
+      |UNION ALL SELECT '2_click_after_view', count(*) FROM clicks
+      |UNION ALL SELECT '3_purchase_after_click', count(*) FROM purchases
+      |ORDER BY stage""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_events_funnel", eventsFunnel, Some(eventsFunnelSql)),
     Q("q_events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
     Q("q_events_tumbling", eventsTumbling, Some(eventsTumblingSql)),
     Q("q_events_json_extract", eventsJsonExtract, Some(eventsJsonExtractSql))

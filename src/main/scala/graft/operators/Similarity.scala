@@ -125,7 +125,36 @@ object Similarity {
       |FROM n JOIN cn ON n.label = cn.label
       |ORDER BY label""".stripMargin
 
+  /** Cross-modal join: documents ⋈ their embedding rows (vec_id = doc_id),
+    * per-language count / mean vector norm / mean length — the "join text
+    * metadata to its embedding" shape every retrieval pipeline has. */
+  def simDocEmbeddingJoin(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), vecNorm(asDouble(col("embedding"))).as("nrm"))
+    Tables.documents(s, d)
+      .join(emb, col("doc_id") === col("vec_id"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("nrm"), 4).as("avg_norm"),
+        round(avg(col("n_chars").cast("double")), 2).as("avg_chars"))
+      .orderBy("lang")
+  }
+
+  private val simDocEmbeddingJoinSql =
+    """WITH emb AS (
+      |  SELECT vec_id,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |)
+      |SELECT lang, count(*) AS n,
+      |  round(avg(nrm), 4) AS avg_norm,
+      |  round(avg(n_chars * 1.0), 2) AS avg_chars
+      |FROM documents JOIN emb ON doc_id = vec_id
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("sim_doc_embedding_join", simDocEmbeddingJoin, Some(simDocEmbeddingJoinSql)),
     Q("sim_topk_bruteforce", simTopkBruteforce, Some(simTopkBruteforceSql)),
     Q("sim_ann_lsh", simAnnLsh, None),
     Q("sim_centroid_by_label", simCentroidByLabel, Some(simCentroidByLabelSql))
