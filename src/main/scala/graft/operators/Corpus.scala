@@ -405,7 +405,26 @@ object Corpus {
        |ORDER BY lang, rk""".stripMargin
   }
 
+  /** Heavy hitters via the custom SpaceSaving TypedImperativeAggregate
+    * (functions/ApproxTopK) — same answer as corpus_top_tokens but computed
+    * in BOUNDED memory (512 counters per partial) instead of materializing
+    * the full vocabulary table. Capacity exceeds this corpus's vocabulary,
+    * so counts are exact and the exact-top-k SQL is a valid oracle. */
+  def corpusHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ApproxTopK.approxTopK
+    Tables.documents(s, d)
+      .select(col("lang"), explode(split(normalizeText(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("lang")
+      .agg(approxTopK(col("tok"), 10, 512).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("idx", "t")))
+      .select(col("lang"), col("t.token").as("tok"), col("t.cnt").as("cnt"),
+        (col("idx") + 1).cast("long").as("rk"))
+      .orderBy("lang", "rk")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("corpus_heavy_hitters", corpusHeavyHitters, Some(corpusTopTokensSql)),
     Q("corpus_sample", corpusSample, Some(corpusSampleSql)),
     Q("corpus_top_tokens", corpusTopTokens, Some(corpusTopTokensSql)),
     Q("corpus_html_extract", corpusHtmlExtract, Some(corpusHtmlExtractSql)),
