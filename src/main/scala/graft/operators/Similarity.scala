@@ -93,6 +93,77 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer trained with
+    * DISTRIBUTED Lloyd iterations (assignment + per-cluster means are Spark
+    * aggregations; only the 16×64 centroid table ever touches the driver),
+    * then queries probe their `nprobe` nearest cells and rank candidates by
+    * exact cosine. Deterministic: seeds are the first 16 vectors, iteration
+    * count fixed. Rows-only check; SimilaritySpec bounds recall vs brute
+    * force and asserts the probe actually restricts the candidate set. */
+  def simAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val nClusters = 16
+    val nIters = 3
+    val nProbe = 3
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+      .cache()
+
+    // centroid table as a small broadcast-join relation: (cid, cv)
+    def assign(centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+      val cdf = s.createDataFrame(centroids.map { case (i, c) => (i, c) })
+        .toDF("cid", "cv")
+      // nearest by euclidean == max (dot - |c|²/2); one codegen'd pass over
+      // the exploded (vector × centroid) pairs
+      val scored = emb.join(broadcast(cdf), lit(true))
+        .select(col("vec_id"),
+          col("cid"),
+          (vecDot(col("v"), col("cv")) - vecDot(col("cv"), col("cv")) / 2).as("aff"))
+      val w = Window.partitionBy("vec_id").orderBy(col("aff").desc, col("cid").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select("vec_id", "cid")
+    }
+
+    var centroids: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < nClusters)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id").toInt,
+        r.getAs[scala.collection.Seq[Double]]("v").toSeq)).toSeq
+    for (_ <- 1 to nIters) {
+      val means = assign(centroids)
+        .join(emb, "vec_id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("mv"))
+        .select(col("cid"), col("mv.m").as("cv"))
+        .collect()
+        .map(r => (r.getAs[Int]("cid"), r.getAs[scala.collection.Seq[Double]]("cv").toSeq))
+        .toSeq.sortBy(_._1)
+      centroids = means
+    }
+
+    val cdf = s.createDataFrame(centroids.map { case (i, c) => (i, c) }).toDF("cid", "cv")
+    val member = assign(centroids) // final cell assignment (the inverted file)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // each query probes its nProbe nearest cells
+    val wq = Window.partitionBy("qid").orderBy(col("aff").desc, col("cid").asc)
+    val probes = queries.join(broadcast(cdf), lit(true))
+      .select(col("qid"), col("qv"), col("qnrm"), col("cid"),
+        (vecDot(col("qv"), col("cv")) - vecDot(col("cv"), col("cv")) / 2).as("aff"))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= nProbe)
+      .select("qid", "qv", "qnrm", "cid")
+    val cand = probes.join(member, "cid")
+      .join(emb, "vec_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        round(vecDot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id").asc)
+    cand.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("qid", "cand_id", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
   /** Per-label centroid norm — the IVF coarse-quantizer statistic. Two-level
     * aggregation: (label, dim) partial means, then per-label norm. */
   def simCentroidByLabel(s: SparkSession, d: String): DataFrame = {
@@ -157,6 +228,7 @@ object Similarity {
     Q("sim_doc_embedding_join", simDocEmbeddingJoin, Some(simDocEmbeddingJoinSql)),
     Q("sim_topk_bruteforce", simTopkBruteforce, Some(simTopkBruteforceSql)),
     Q("sim_ann_lsh", simAnnLsh, None),
+    Q("sim_ann_ivf", simAnnIvf, None),
     Q("sim_centroid_by_label", simCentroidByLabel, Some(simCentroidByLabelSql))
   )
 }

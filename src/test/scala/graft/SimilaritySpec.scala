@@ -39,6 +39,19 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.intersect(bf).nonEmpty, "ANN found none of the true top-5 pairs")
   }
 
+  test("IVF ANN: top-3 per query, decent recall of brute-force top-3") {
+    val ivf = operators.Similarity.simAnnIvf(spark, sf).collect()
+    val byQ = ivf.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (_, rs) => assert(rs.length <= 3 && rs.nonEmpty) }
+    val bf3 = simTopkBruteforce(spark, sf).collect()
+      .filter(_.getAs[Long]("rk") <= 3)
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand_id"))).toSet
+    val got = ivf.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand_id"))).toSet
+    val recall = got.intersect(bf3).size.toDouble / bf3.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("centroid norms: one row per label, norm below mean member norm") {
     val rows = simCentroidByLabel(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("label")).distinct.length == rows.length)
