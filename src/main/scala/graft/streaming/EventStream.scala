@@ -48,6 +48,30 @@ object EventStream {
         unix_millis(col("session_window.end")).as("end_ms"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks from the preceding hour. Both sides carry watermarks and the
+    * join has a two-sided time-range constraint — exactly what Spark needs
+    * to bound join state and GC it as the watermark advances (without the
+    * range, stream-stream join state grows forever at 100 TB). */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val withTs = events.withColumn("ets",
+      timestamp_millis(graft.functions.TimeFunctions.nsToMs("ts")))
+    val clicks = withTs.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ets").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val purchases = withTs.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ets").as("pts"))
+      .withWatermark("pts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"),
+        unix_millis(col("pts")).as("purchase_ms"), unix_millis(col("cts")).as("click_ms"))
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 

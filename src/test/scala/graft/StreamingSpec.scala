@@ -16,6 +16,25 @@ class StreamingSpec extends SparkSpec {
       s"session counts differ: ${streamedPerUser.toSet.diff(batchPerUser.toSet)}")
   }
 
+  test("stream-stream interval join equals the batch formulation") {
+    val streamed = EventStream.runOnBatch(spark, sf,
+      df => EventStream.clickPurchaseJoin(df),
+      s"ssjoin_${System.nanoTime()}")
+      .collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    val ev = Tables.events(spark, sf)
+      .withColumn("ms", graft.functions.TimeFunctions.nsToMs("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ms").as("cms"))
+    val batch = ev.filter(col("event_type") === "purchase")
+      .join(clicks, col("user_id") === col("c_user") &&
+        col("cms") <= col("ms") && col("cms") >= col("ms") - 3600000L)
+      .select(col("event_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"missing=${batch.diff(streamed).take(5)} extra=${streamed.diff(batch).take(5)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful flatMapGroupsWithState accumulates correct per-user totals") {
     val out = EventStream.runOnBatch(spark, sf,
       df => EventStream.statefulUserStats(df).toDF(),
