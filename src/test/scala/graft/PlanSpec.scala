@@ -54,6 +54,18 @@ class PlanSpec extends SparkSpec {
       s"queries not broadcast:\n$plan")
   }
 
+  test("market share pre-aggregates lineitem below the orders join") {
+    val df = Relational.qMarketShare(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    // the lineitem revenue aggregation (partial+final pair) must sit under
+    // the join — 4+ HashAggregates total (pre-agg pair + year-agg pair)
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"aggregate-before-join shape lost:\n$plan")
+    // nation/region dims stay broadcast
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, s"dims not broadcast:\n$plan")
+  }
+
   test("rank-limit queries get WindowGroupLimit pushdown (no full per-group sort)") {
     val plan = planOf(Corpus.corpusTopTokens(spark, sf))
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")

@@ -66,7 +66,10 @@ def main():
             continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
-            print(f"PASS  {name} ({len(a)} rows)")
+            dtype_diffs = [f"{c}: spark={a[c].dtype} oracle={b[c].dtype}"
+                           for c in a.columns if str(a[c].dtype) != str(b[c].dtype)]
+            flag = f"  [dtype diff: {'; '.join(dtype_diffs)}]" if dtype_diffs else ""
+            print(f"PASS  {name} ({len(a)} rows){flag}")
             n_pass += 1
         except AssertionError as e:
             print(f"FAIL  {name}: value mismatch:\n{str(e)[:800]}")
