@@ -131,6 +131,62 @@ object Dedup {
        |WHERE round(n_common * 1.0 / (za.n_sh + zb.n_sh - n_common), 4) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** n-gram Jaccard with document-frequency blocking: candidate pairs are
+    * docs sharing at least one RARE shingle (df ≤ 4) — frequent shingles
+    * generate quadratic candidate blowup while contributing nothing to
+    * near-dup discrimination — then exact Jaccard over full shingle sets.
+    * The third candidate-generation strategy next to min-hash bucketing and
+    * banded LSH, and like them fully oracle-checkable. */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRelation(s, d)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 4).select("shingle")
+    val rs = sh.join(rare, "shingle")
+    val pairs = rs.as("a").join(rs.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("za"), col("za.doc_id") === col("doc_a"))
+      .join(sizes.as("zb"), col("zb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") /
+          (col("za.n_sh") + col("zb.n_sh") - col("n_common")).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupNgramJaccardSql =
+    s"""WITH $shingleCte,
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 4),
+       |rs AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rs a JOIN rs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS n_common
+       |  FROM pairs p
+       |  JOIN sh sa ON sa.doc_id = p.doc_a
+       |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY p.doc_a, p.doc_b
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(n_common * 1.0 / (za.n_sh + zb.n_sh - n_common), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes za ON za.doc_id = doc_a
+       |JOIN sizes zb ON zb.doc_id = doc_b
+       |WHERE round(n_common * 1.0 / (za.n_sh + zb.n_sh - n_common), 4) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Production MinHash+LSH: k=32 hash permutations (xxhash64 seeded by
     * index), 8 bands × 4 rows, candidate pairs from band-bucket collisions,
     * verified with exact Jaccard over shingle sets. Rows-only check (the
@@ -255,6 +311,7 @@ object Dedup {
   val all: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("dedup_minhash_1band", dedupMinhash1Band, Some(dedupMinhash1BandSql)),
+    Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     Q("dedup_minhash_lsh", dedupMinhashLsh, None),
     Q("dedup_simhash", dedupSimhash, None),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql))
