@@ -308,7 +308,60 @@ object Dedup {
       |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Duplicate-cluster formation: connected components over the near-dup
+    * pair graph — the step AFTER pair finding in a real dedup pipeline
+    * (keep min-id per cluster, drop the rest). Iterative min-label
+    * propagation: each round is one join + one aggregate, the label table
+    * shrinks to one row per doc, and it converges in O(log diameter)
+    * rounds (near-dup clusters are tiny, so 2-3 in practice; capped at 10
+    * with a driver-side convergence check on a one-row aggregate — the only
+    * driver traffic). Oracle: DuckDB recursive CTE transitive closure. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, d).select("doc_a", "doc_b")
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc"))
+      .cache()
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 10) {
+      val propagated = labels
+        .join(edges, col("doc") === col("src"))
+        .select(col("dst").as("doc"), col("lbl"))
+        .unionAll(labels)
+        .groupBy("doc").agg(min("lbl").as("lbl"))
+        .cache()
+      val before = labels.agg(sum("lbl")).head().getLong(0)
+      val after = propagated.agg(sum("lbl")).head().getLong(0)
+      labels = propagated
+      converged = before == after
+      iters += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("lbl").as("cluster"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE np AS (
+       |$dedupNgramJaccardSql
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM np
+       |  UNION ALL SELECT doc_b, doc_a FROM np
+       |), reach(doc, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc = e.src
+       |)
+       |SELECT doc AS doc_id, min(lbl) AS cluster,
+       |  doc = min(lbl) AS is_keeper
+       |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("dedup_minhash_1band", dedupMinhash1Band, Some(dedupMinhash1BandSql)),
     Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),

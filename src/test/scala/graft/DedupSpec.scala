@@ -45,6 +45,20 @@ class DedupSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("clusters: every near-dup pair shares a cluster; keeper is the min id") {
+    val clusters = dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    val pairs = dedupNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"cluster $c keeper is not the min id")
+    }
+  }
+
   test("embedding near-dup pairs are same-label with cosine >= threshold") {
     val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
