@@ -318,26 +318,38 @@ object Dedup {
     * driver traffic). Oracle: DuckDB recursive CTE transitive closure. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = dedupNgramJaccard(s, d).select("doc_a", "doc_b")
+    // both edge directions in ONE pass over the pair pipeline (a union of
+    // two selects would evaluate the whole upstream Jaccard plan twice)
     val edges = pairs
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select("e.src", "e.dst")
       .cache()
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
       .cache()
+    // ONE driver action per round (the materializing sum doubles as the
+    // convergence signal — labels only ever decrease, so an unchanged sum
+    // means a fixpoint); superseded label tables are unpersisted promptly
+    var prevSum = labels.agg(sum("lbl")).head().getLong(0)
     var converged = false
     var iters = 0
     while (!converged && iters < 10) {
+      // near-dup pair graphs are sparse: the edge list after Jaccard
+      // filtering is orders of magnitude smaller than the corpus, so
+      // broadcast it and keep the round at one exchange (the groupBy)
       val propagated = labels
-        .join(edges, col("doc") === col("src"))
+        .join(broadcast(edges), col("doc") === col("src"))
         .select(col("dst").as("doc"), col("lbl"))
         .unionAll(labels)
         .groupBy("doc").agg(min("lbl").as("lbl"))
         .cache()
-      val before = labels.agg(sum("lbl")).head().getLong(0)
       val after = propagated.agg(sum("lbl")).head().getLong(0)
+      labels.unpersist()
       labels = propagated
-      converged = before == after
+      converged = after == prevSum
+      prevSum = after
       iters += 1
     }
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster"))
