@@ -36,8 +36,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries report -1 per-query; keep them OUT of the total (a
+    // failure must read as missing time + nonzero failure count, never as
+    // a faster-looking round)
+    val total = results.values.filter(_ >= 0).sum
+    val failures = results.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

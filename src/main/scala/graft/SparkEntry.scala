@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Skew.all ++
       operators.AsOf.all ++
       operators.Multimodal.all :+
-      Q("streaming_sessionize", streaming.EventStream.streamingSessionize, None)
+      Q("streaming_sessionize", streaming.EventStream.streamingSessionize,
+        Some(streaming.EventStream.streamingSessionizeSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

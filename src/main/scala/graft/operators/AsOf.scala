@@ -105,8 +105,9 @@ object AsOf {
       |  ON p.user_id = c.user_id AND c.ms <= p.pms
       |ORDER BY purchase_id""".stripMargin
 
-  /** Same query through the custom physical operator. Rows-only check;
-    * AsOfSpec proves equality with the composed (oracle-checked) version. */
+  /** Same query through the custom physical operator. Oracled with the SAME
+    * DuckDB ASOF SQL as q_asof_join: AsOfSpec proves the two formulations
+    * byte-identical, and the hash compare now re-proves it per round. */
   def asofJoinCustom(s: SparkSession, d: String): DataFrame =
     join(
       purchases(s, d), dedupedClicks(s, d),
@@ -119,6 +120,6 @@ object AsOf {
 
   val all: Seq[Q] = Seq(
     Q("q_asof_join", asofJoinComposed, Some(asofJoinSql)),
-    Q("q_asof_custom", asofJoinCustom, None)
+    Q("q_asof_custom", asofJoinCustom, Some(asofJoinSql))
   )
 }

@@ -340,6 +340,97 @@ object Corpus {
       |  decode(from_base64(to_base64(encode(text)))) = text AS roundtrip_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Extension-dispatched text extraction — text_processor.py:81-97
+    * extract_text_from_bytes: '.html' → html_to_text, '.pdf' → pdf_to_text,
+    * else utf-8 decode. The reference's per-row if/elif dispatch becomes ONE
+    * codegen'd CASE over the extension — no UDF, no per-row interpreter.
+    *
+    * Payloads are synthesized per arm (documents aren't stored as raw files
+    * here): an HTML envelope with a script block, a %PDF-1.4-framed body, or
+    * the plain text. The HTML and plain arms run the REAL extraction
+    * (tag/script strip + entity decode + whitespace collapse / utf-8
+    * decode). The PDF arm is a clearly-marked DETERMINISTIC STUB — PyPDF2's
+    * role (text_processor.py:65-79) needs a real PDF library this container
+    * doesn't have; the stub validates the %PDF magic and unframes the body,
+    * and a real extractor would replace `pdfTextStub` with a batched
+    * mapPartitions arm exactly like Multimodal.decodeStub. Because the stub
+    * is deterministic and SQL-expressible, ALL THREE arms are oracle-checked
+    * (stronger than the rows-only check a native stub would force). */
+  def corpusDecodeDispatch(s: SparkSession, d: String): DataFrame = {
+    val ext = when(col("source").isin("src0", "src1", "src2"), ".html")
+      .when(col("source").isin("src3", "src4"), ".pdf")
+      .otherwise(".txt")
+    // payload synthesis (string-typed; the binary roundtrip itself is
+    // corpus_decode_roundtrip's subject)
+    val payload = when(ext === ".html",
+        concat(lit("<html><body><p>"), col("text"),
+          lit("</p><script>var x=1;</script></body></html>")))
+      .when(ext === ".pdf", concat(lit("%PDF-1.4\n"), col("text"), lit("\n%%EOF")))
+      .otherwise(col("text"))
+    def htmlToText(c: org.apache.spark.sql.Column) = {
+      val noBlocks = regexp_replace(c, "<script>.*?</script>|<style>.*?</style>", "")
+      val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+      val decoded = regexp_replace(regexp_replace(noTags, "&amp;", "&"), "&nbsp;", " ")
+      wsTrim(regexp_replace(decoded, "\\s+", " "))
+    }
+    def pdfTextStub(c: org.apache.spark.sql.Column) =
+      when(c.startsWith("%PDF"),
+        regexp_replace(regexp_replace(c, "^%PDF-[0-9.]+\\n", ""), "\\n%%EOF$", ""))
+        .otherwise(lit("")) // reference returns "" when PDF parsing fails
+    val extracted = when(ext === ".html", htmlToText(payload))
+      .when(ext === ".pdf", pdfTextStub(payload))
+      .otherwise(payload)
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        ext.as("ext"),
+        when(ext === ".html", "html_strip").when(ext === ".pdf", "pdf_stub")
+          .otherwise("plain_decode").as("method"),
+        extracted.as("extracted_text"),
+        length(extracted).cast("long").as("extracted_chars"),
+        (length(extracted) > 0).as("extract_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusDecodeDispatchSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN source IN ('src0','src1','src2') THEN '.html'
+      |         WHEN source IN ('src3','src4') THEN '.pdf'
+      |         ELSE '.txt' END AS ext,
+      |    text
+      |  FROM documents
+      |), framed AS (
+      |  SELECT doc_id, ext,
+      |    CASE ext
+      |      WHEN '.html' THEN '<html><body><p>' || text ||
+      |        '</p><script>var x=1;</script></body></html>'
+      |      WHEN '.pdf' THEN '%PDF-1.4' || chr(10) || text || chr(10) || '%%EOF'
+      |      ELSE text END AS payload
+      |  FROM base
+      |), ex AS (
+      |  SELECT doc_id, ext,
+      |    CASE ext
+      |      WHEN '.html' THEN regexp_replace(regexp_replace(regexp_replace(
+      |        regexp_replace(regexp_replace(regexp_replace(payload,
+      |        '<script>.*?</script>|<style>.*?</style>', '', 'g'),
+      |        '<[^>]+>', ' ', 'g'),
+      |        '&amp;', '&', 'g'), '&nbsp;', ' ', 'g'),
+      |        '\s+', ' ', 'g'), '^\s+|\s+$', '', 'g')
+      |      WHEN '.pdf' THEN CASE WHEN starts_with(payload, '%PDF')
+      |        THEN regexp_replace(regexp_replace(payload, '^%PDF-[0-9.]+\n', ''), '\n%%EOF$', '')
+      |        ELSE '' END
+      |      ELSE payload END AS extracted_text
+      |  FROM framed
+      |)
+      |SELECT doc_id, ext,
+      |  CASE ext WHEN '.html' THEN 'html_strip' WHEN '.pdf' THEN 'pdf_stub'
+      |    ELSE 'plain_decode' END AS method,
+      |  extracted_text,
+      |  length(extracted_text) AS extracted_chars,
+      |  length(extracted_text) > 0 AS extract_ok
+      |FROM ex ORDER BY doc_id""".stripMargin
+
   /** Deterministic stratified sampling — the reproducible alternative to
     * random reservoir sampling at 100 TB: rank by a content-derived hash
     * (md5, available in both engines) within each stratum and keep the
@@ -429,6 +520,7 @@ object Corpus {
     Q("corpus_top_tokens", corpusTopTokens, Some(corpusTopTokensSql)),
     Q("corpus_html_extract", corpusHtmlExtract, Some(corpusHtmlExtractSql)),
     Q("corpus_decode_roundtrip", corpusDecodeRoundtrip, Some(corpusDecodeRoundtripSql)),
+    Q("corpus_decode_dispatch", corpusDecodeDispatch, Some(corpusDecodeDispatchSql)),
     Q("corpus_enrich", corpusEnrich, Some(corpusEnrichSql)),
     Q("corpus_normalize", corpusNormalize, Some(corpusNormalizeSql)),
     Q("corpus_keyword_match", corpusKeywordMatch, Some(corpusKeywordMatchSql)),

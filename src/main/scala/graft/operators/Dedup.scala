@@ -189,9 +189,15 @@ object Dedup {
 
   /** Production MinHash+LSH: k=32 hash permutations (xxhash64 seeded by
     * index), 8 bands × 4 rows, candidate pairs from band-bucket collisions,
-    * verified with exact Jaccard over shingle sets. Rows-only check (the
-    * banding isn't reasonably SQL-expressible); MinHashLshSpec asserts it
-    * finds exactly the high-Jaccard pairs the exact computation finds. */
+    * verified with exact Jaccard over shingle sets.
+    *
+    * Oracle: the TRUE all-pairs exact-Jaccard ≥ 0.5 set (no candidate
+    * blocking in the SQL — DuckDB pays the quadratic co-shingle join the LSH
+    * exists to avoid). The hash compare therefore asserts 100% LSH recall:
+    * honest at these SFs because every true pair sits at j ≥ 0.8, where
+    * 8-band×4-row detection probability is ≥ 98.5% per pair (and empirically
+    * complete at sf0.001/0.01/0.1). DedupSpec additionally asserts LSH ⊇
+    * 1-band pairs and that emitted Jaccard values are exact. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val numHashes = 32
     val bands = 8
@@ -234,6 +240,26 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Unblocked exact-Jaccard pair SQL — the ground-truth ≥0.5 pair set. Used
+    * as dedup_minhash_lsh's oracle (recall check); do NOT use it as a Spark
+    * plan shape: the sa⋈sb co-shingle join is the quadratic blowup that
+    * banding/blocking candidate generation exists to avoid. */
+  private val trueJaccardSql =
+    s"""WITH $shingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(n_common * 1.0 / (za.n_sh + zb.n_sh - n_common), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes za ON za.doc_id = doc_a
+       |JOIN sizes zb ON zb.doc_id = doc_b
+       |WHERE round(n_common * 1.0 / (za.n_sh + zb.n_sh - n_common), 4) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** SimHash near-dup: 64-bit signature from token-hash bit votes, candidate
     * pairs blocked on equal 16-bit chunks (pigeonhole: hamming ≤ 3 implies
@@ -280,44 +306,107 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding-cosine near-dup: same-label blocking (the IVF idea — compare
-    * only within a coarse partition), exact cosine on candidates, pairs above
-    * threshold. Vector math via zip_with/aggregate — codegen'd, no UDF. */
+  /** Number of IVF coarse cells used to block `dedupEmbedding`. */
+  private[graft] val embCells = 32
+
+  /** IVF cell assignment for the embeddings table: anchors are the first
+    * `embCells` vectors (cell id = anchor vec_id), every vector goes to its
+    * nearest anchor by euclidean distance (argmax of dot(v,a) − |a|²/2 —
+    * same math as sim_ann_ivf's quantizer), ties to the smaller cell id.
+    *
+    * The argmax is ONE hash-aggregate (`max_by` on a (aff, −cid) struct) over
+    * narrow (vec_id, cid, aff) rows — map-side partial, no window sort, and
+    * the wide vector column never rides through the shuffle. */
+  private[graft] def embeddingCells(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, vecDot}
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val anchors = emb.filter(col("vec_id") < embCells)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("a"))
+    emb.join(broadcast(anchors), lit(true))
+      .select(col("vec_id"), col("cid"),
+        (vecDot(col("v"), col("a")) - vecDot(col("a"), col("a")) / 2).as("aff"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("aff"), -col("cid"))).as("cid"))
+  }
+
+  /** Embedding-cosine near-dup with IVF-cell blocking: vectors are bucketed
+    * by their nearest-anchor cell (a real coarse quantizer — cell count grows
+    * with the corpus, unlike a fixed label vocabulary), candidate pairs form
+    * only within a cell, exact cosine verifies candidates. Candidates are
+    * O(Σ_cell |cell|²) ≪ O(n²/|labels|) — the all-pairs-in-disguise shape the
+    * label blocking had is gone, and the knob that keeps it subquadratic at
+    * 100 TB is just `embCells` (→ √n cells, anchors trained on a sample,
+    * hot cells salted). Vector math is the codegen'd DotProduct expression;
+    * cell ranking compares RAW affinities (bit-identical across engines for
+    * identical input doubles — rounding first would ADD half-boundary
+    * divergence risk), with cell-id tie-break for determinism. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.{asDouble, vecDot, vecNorm}
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val normed = emb.withColumn("nrm", vecNorm(col("v")))
-    val pairs = normed.as("a").join(normed.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    val normed = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+    val assigned = embeddingCells(s, d).join(normed, "vec_id")
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
     pairs.filter(col("cosine") >= 0.35).orderBy("vec_a", "vec_b")
   }
 
   private val dedupEmbeddingSql =
-    """WITH v AS (
-      |  SELECT vec_id, label, embedding::DOUBLE[] AS e
+    s"""WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings
-      |), n AS (
-      |  SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+      |), anchors AS (
+      |  SELECT vec_id AS cid, e AS a FROM v WHERE vec_id < $embCells
+      |), aff AS (
+      |  SELECT v.vec_id, anchors.cid,
+      |    list_dot_product(v.e, anchors.a)
+      |      - list_dot_product(anchors.a, anchors.a) / 2 AS aff
+      |  FROM v CROSS JOIN anchors
+      |), assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cid) AS rk
+      |    FROM aff
+      |  ) WHERE rk = 1
       |)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
-      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.35
+      |  round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS cosine
+      |FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |JOIN v x ON x.vec_id = a.vec_id
+      |JOIN v y ON y.vec_id = b.vec_id
+      |WHERE round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Duplicate-cluster formation: connected components over the near-dup
     * pair graph — the step AFTER pair finding in a real dedup pipeline
-    * (keep min-id per cluster, drop the rest). Iterative min-label
-    * propagation: each round is one join + one aggregate, the label table
-    * shrinks to one row per doc, and it converges in O(log diameter)
-    * rounds (near-dup clusters are tiny, so 2-3 in practice; capped at 10
-    * with a driver-side convergence check on a one-row aggregate — the only
-    * driver traffic). Oracle: DuckDB recursive CTE transitive closure. */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupNgramJaccard(s, d).select("doc_a", "doc_b")
+    * (keep min-id per cluster, drop the rest). Min-label propagation with a
+    * POINTER-JUMPING step each round (lbl ← lbl(lbl)), so chains collapse
+    * doubling-fast: O(log diameter) rounds, genuinely — one-hop propagation
+    * alone would need O(diameter). ONE driver action per round (a one-row
+    * sum that doubles as the convergence signal: labels only ever decrease,
+    * so an unchanged sum is a fixpoint). If the cap is ever hit without
+    * convergence the query FAILS rather than silently emitting partial
+    * clusters. Oracle: DuckDB recursive CTE transitive closure. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    clusterPairs(dedupNgramJaccard(s, d).select("doc_a", "doc_b"))
+
+  /** CC core over an arbitrary (doc_a, doc_b) pair relation.
+    *
+    * `broadcastEdgeLimit` size-gates the per-round edge-list broadcast: a
+    * near-dup edge list is usually tiny, but a high-duplication crawl at
+    * 100 TB can blow past the broadcast ceiling and an explicit
+    * `broadcast()` hint that doesn't fit kills the job (AQE cannot demote a
+    * hint). Past the gate we fall back to a plain shuffle join on `src` —
+    * same semantics, one extra exchange per round. The gate costs nothing:
+    * `edges` is cached and the count pre-materializes the cache the first
+    * round needs anyway. */
+  private[graft] def clusterPairs(
+      pairs: DataFrame,
+      broadcastEdgeLimit: Long = 5000000L): DataFrame = {
     // both edge directions in ONE pass over the pair pipeline (a union of
     // two selects would evaluate the whole upstream Jaccard plan twice)
     val edges = pairs
@@ -326,32 +415,50 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select("e.src", "e.dst")
       .cache()
+    val edgesJoin =
+      if (edges.count() <= broadcastEdgeLimit) broadcast(edges) else edges
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
       .cache()
-    // ONE driver action per round (the materializing sum doubles as the
-    // convergence signal — labels only ever decrease, so an unchanged sum
-    // means a fixpoint); superseded label tables are unpersisted promptly
-    var prevSum = labels.agg(sum("lbl")).head().getLong(0)
-    var converged = false
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels) // coalesce: an empty pair set must yield
+    var converged = prevSum == 0L  // an empty cluster table, not an NPE
     var iters = 0
-    while (!converged && iters < 10) {
-      // near-dup pair graphs are sparse: the edge list after Jaccard
-      // filtering is orders of magnitude smaller than the corpus, so
-      // broadcast it and keep the round at one exchange (the groupBy)
-      val propagated = labels
-        .join(broadcast(edges), col("doc") === col("src"))
+    val maxIters = 20
+    while (!converged && iters < maxIters) {
+      // hop: pull each neighbor's label across the edges, keep the min
+      val prop = labels
+        .join(edgesJoin, col("doc") === col("src"))
         .select(col("dst").as("doc"), col("lbl"))
         .unionAll(labels)
         .groupBy("doc").agg(min("lbl").as("lbl"))
         .cache()
-      val after = propagated.agg(sum("lbl")).head().getLong(0)
-      labels.unpersist()
-      labels = propagated
+      // jump: lbl ← lbl(lbl). Every lbl value is itself a doc in the table
+      // and lbl(y) <= y (min-label invariant), so the left join + least is
+      // monotone; docs are unique in `prop`, so no re-aggregation needed.
+      //
+      // localCheckpoint (eager), NOT cache: the self-join doubles the logical
+      // plan every round, so an uncut lineage grows exponentially and blows
+      // the planner's stack after ~8 rounds. Checkpointing resets the plan to
+      // a leaf each round. (A fault-tolerant cluster run would use
+      // checkpoint() with a reliable dir; local[...] has no such dir.)
+      val jumped = prop.as("p")
+        .join(prop.as("q"), col("p.lbl") === col("q.doc"), "left")
+        .select(col("p.doc").as("doc"),
+          coalesce(least(col("p.lbl"), col("q.lbl")), col("p.lbl")).as("lbl"))
+        .localCheckpoint()
+      val after = labelSum(jumped)
+      labels.unpersist(); prop.unpersist()
+      labels = jumped
       converged = after == prevSum
       prevSum = after
       iters += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedup_clusters: not converged after $maxIters pointer-jumping rounds " +
+          "(component diameter > 2^20?) — refusing to emit partial clusters")
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster"))
       .withColumn("is_keeper", col("doc_id") === col("cluster"))
       .orderBy("doc_id")
@@ -377,7 +484,7 @@ object Dedup {
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("dedup_minhash_1band", dedupMinhash1Band, Some(dedupMinhash1BandSql)),
     Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
-    Q("dedup_minhash_lsh", dedupMinhashLsh, None),
+    Q("dedup_minhash_lsh", dedupMinhashLsh, Some(trueJaccardSql)),
     Q("dedup_simhash", dedupSimhash, None),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql))
   )

@@ -57,10 +57,15 @@ object Relational {
   /** TPC-H Q3 shape: 3-way join + agg + deterministic top-N (ties broken on
     * the rounded revenue then the key, so Spark and DuckDB select the same
     * rows at the LIMIT boundary). */
-  def q3TopOrders(s: SparkSession, d: String): DataFrame = {
-    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-    val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-07-01"))
-    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-07-01"))
+  def q3TopOrders(s: SparkSession, d: String): DataFrame =
+    q3From(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))
+
+  /** Q3 body over caller-supplied fact frames (plain parquet or the bucketed
+    * layout — same plan shape, minus the orderkey exchanges when bucketed). */
+  private def q3From(lineitem: DataFrame, orders: DataFrame, customer: DataFrame): DataFrame = {
+    val c = customer.filter(col("c_mktsegment") === "BUILDING")
+    val o = orders.filter(col("o_orderdate") < lit("1998-07-01"))
+    val l = lineitem.filter(col("l_shipdate") > lit("1998-07-01"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -86,10 +91,14 @@ object Relational {
 
   /** TPC-H Q5 shape: 6-table star join with the customer-nation = supplier-
     * nation co-location constraint. region/nation/supplier broadcast. */
-  def q5RegionVolume(s: SparkSession, d: String): DataFrame = {
+  def q5RegionVolume(s: SparkSession, d: String): DataFrame =
+    q5From(s, d, Tables.lineitem(s, d), Tables.orders(s, d))
+
+  private def q5From(s: SparkSession, d: String,
+      lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
-    Tables.lineitem(s, d)
-      .join(Tables.orders(s, d).filter(
+    lineitem
+      .join(orders.filter(
         col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1999-01-01")),
         col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -124,12 +133,16 @@ object Relational {
     * grain BEFORE joining orders — the join then moves ~4× fewer rows, and
     * since both sides are hash-partitioned on the same orderkey the join
     * reuses the aggregation's exchange. The classic 100 TB join reduction. */
-  def qMarketShare(s: SparkSession, d: String): DataFrame = {
-    val revByOrder = Tables.lineitem(s, d)
+  def qMarketShare(s: SparkSession, d: String): DataFrame =
+    qMarketShareFrom(s, d, Tables.lineitem(s, d), Tables.orders(s, d))
+
+  private def qMarketShareFrom(s: SparkSession, d: String,
+      lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val revByOrder = lineitem
       .groupBy(col("l_orderkey"))
       .agg(sum(netPrice).as("rev"))
     revByOrder
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
@@ -476,6 +489,35 @@ object Relational {
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  /** The three fact-fact queries over the bucketed layout
+    * (sources/BucketedLayout): lineitem + orders staged once per session as
+    * managed tables bucketed+sorted on orderkey, so the l⋈o join and the
+    * orderkey-grain pre-aggregation run with NO exchange — the write-once
+    * shuffle is amortized across every reader. Results (and oracles) are
+    * identical to the plain-parquet variants; only the physical plan differs.
+    * SinksSpec asserts the orderkey exchanges are gone. The first call pays
+    * the staging write — an honest cost: it IS the layout's amortization
+    * story, and the bench reports it as part of this query family. */
+  private def bucketedFacts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (lt, ot) = graft.sources.BucketedLayout.ensureStaged(s, d)
+    (s.table(lt), s.table(ot))
+  }
+
+  def q3Bucketed(s: SparkSession, d: String): DataFrame = {
+    val (l, o) = bucketedFacts(s, d)
+    q3From(l, o, Tables.customer(s, d))
+  }
+
+  def q5Bucketed(s: SparkSession, d: String): DataFrame = {
+    val (l, o) = bucketedFacts(s, d)
+    q5From(s, d, l, o)
+  }
+
+  def qMarketShareBucketed(s: SparkSession, d: String): DataFrame = {
+    val (l, o) = bucketedFacts(s, d)
+    qMarketShareFrom(s, d, l, o)
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_pivot", qPivot, Some(qPivotSql)),
     Q("q_describe", qDescribe, Some(qDescribeSql)),
@@ -487,6 +529,9 @@ object Relational {
     Q("q3_top_orders", q3TopOrders, Some(q3Sql)),
     Q("q5_region_volume", q5RegionVolume, Some(q5Sql)),
     Q("q_market_share", qMarketShare, Some(qMarketShareSql)),
+    Q("q3_bucketed", q3Bucketed, Some(q3Sql)),
+    Q("q5_bucketed", q5Bucketed, Some(q5Sql)),
+    Q("q_market_share_bucketed", qMarketShareBucketed, Some(qMarketShareSql)),
     Q("q_top_customer_per_nation", qTopCustomerPerNation, Some(qTopCustomerPerNationSql)),
     Q("q_rollup", qRollup, Some(qRollupSql)),
     Q("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),

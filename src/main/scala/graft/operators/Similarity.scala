@@ -25,7 +25,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact cosine top-5 neighbors for query vectors (vec_id < 10), ranked on
-    * the ROUNDED cosine with vec_id tie-break for cross-engine determinism. */
+    * the ROUNDED cosine with vec_id tie-break for cross-engine determinism.
+    *
+    * The rank-filter (`row_number <= 5` over the qid window) triggers
+    * Catalyst's InferWindowGroupLimit: a PARTIAL WindowGroupLimit runs per
+    * input partition BEFORE the qid exchange, so the shuffle carries at most
+    * k rows per (partition, qid) — never the full corpus-sized scored
+    * relation into ~10 reducer tasks. PlanSpec asserts the partial limit
+    * sits below the exchange for all three ranking variants. */
   def simTopkBruteforce(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))

@@ -117,7 +117,12 @@ case class AsOfJoinExec(
               done = true // ahead of the current key: keep buffered
             } else {
               val rTimeV = rt.eval(rHead)
-              if (rTimeV != null && timeOrd.compare(rTimeV, t) <= 0) {
+              if (rTimeV == null) {
+                // a null time can never be "nearest preceding"; discard and
+                // keep scanning (nulls sort FIRST, so stopping here would
+                // wedge the merge and starve every later right row of the key)
+                rHead = null
+              } else if (timeOrd.compare(rTimeV, t) <= 0) {
                 lastMatch = rHead.copy(); rHead = null
               } else {
                 done = true // too new for this left row (and all before it)

@@ -139,13 +139,36 @@ object EventStream {
   }
 
   /** Driver-contract entry: streaming sessionization over the sf dir,
-    * deterministically ordered. Rows-only check (streaming sink output isn't
-    * SQL-expressible in DuckDB); StreamingSpec asserts parity with the batch
-    * sessionizer. */
+    * deterministically ordered. Oracled: the finite replay must produce the
+    * exact batch gap-sessionization (StreamingSpec proves parity; the DuckDB
+    * hash compare re-proves it per round), with session_window's end
+    * semantics — end = last event + gap, not last event. */
   def streamingSessionize(s: SparkSession, dir: String): DataFrame =
     // Complete mode: a finite replay must emit sessions still inside the
     // watermark horizon too (Append would hold the last ~10 min in state)
     runOnBatch(s, dir, df => sessionWindowAgg(df), s"stream_sess_${System.nanoTime()}",
       OutputMode.Complete)
       .orderBy("user_id", "start_ms")
+
+  /** Batch-equivalent SQL for the streaming session aggregation: gap-based
+    * sessionization where a >30-min silence starts a new session, and the
+    * reported end is last-event + gap (session_window semantics). */
+  val streamingSessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |), sess AS (
+      |  SELECT user_id, value, ms,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, min(ms) AS start_ms, max(ms) + 1800000 AS end_ms,
+      |  count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, start_ms""".stripMargin
 }

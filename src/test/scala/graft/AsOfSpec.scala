@@ -28,6 +28,29 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("null right-time rows are skipped, not merge-wedging (generic join API)") {
+    import SparkSpec.spark.implicits._
+    // nulls sort FIRST within each key: without the explicit discard the
+    // merge would stop at the null head row and starve every real right row
+    val left = Seq((1L, 10L), (1L, 20L), (2L, 15L), (3L, 9L))
+      .toDF("k", "t")
+    val right = Seq(
+      (1L, Option.empty[Long], 100L), (1L, Some(5L), 101L), (1L, Some(15L), 102L),
+      (2L, Option.empty[Long], 200L), (2L, Some(12L), 201L),
+      (3L, Option.empty[Long], 300L))
+      .toDF("rk", "rt", "rv")
+    val got = AsOf.join(left, right, "k", "rk", "t", "rt")
+      .orderBy("k", "t")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.toSeq == Seq(
+      (1L, 10L, Some(101L)),  // matched (1,5) — null row before it skipped
+      (1L, 20L, Some(102L)),
+      (2L, 15L, Some(201L)),
+      (3L, 9L, None)))        // only a null-time right row: no match
+  }
+
   test("custom operator plan contains AsOfJoinExec and co-partitioning exchanges") {
     val df = AsOf.asofJoinCustom(spark, sf)
     df.collect()

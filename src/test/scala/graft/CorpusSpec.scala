@@ -50,4 +50,23 @@ class CorpusSpec extends SparkSpec {
         .contains(r.getAs[String]("keyword")))
     }
   }
+
+  test("decode dispatch: pdf stub unframes the body, html arm strips all markup") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = corpusDecodeDispatch(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("method")).toSet ==
+      Set("html_strip", "pdf_stub", "plain_decode"))
+    rows.foreach { r =>
+      val (id, ext, out) = (r.getAs[Long]("doc_id"), r.getAs[String]("ext"),
+        r.getAs[String]("extracted_text"))
+      ext match {
+        case ".pdf" => assert(out == texts(id), s"pdf stub mangled doc $id")
+        case ".txt" => assert(out == texts(id), s"plain decode mangled doc $id")
+        case ".html" =>
+          assert(!out.contains("<") && !out.contains("var x=1"),
+            s"html arm left markup in doc $id")
+      }
+    }
+  }
 }

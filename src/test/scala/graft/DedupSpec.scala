@@ -59,13 +59,54 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("embedding near-dup pairs are same-label with cosine >= threshold") {
-    val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
-      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+  test("clusterPairs: empty pair set yields an empty cluster table, no NPE") {
+    import SparkSpec.spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(operators.Dedup.clusterPairs(empty).collect().isEmpty)
+  }
+
+  test("clusterPairs: shuffle-join fallback (limit=0) matches the broadcast path") {
+    import SparkSpec.spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    def asMap(limit: Long) = operators.Dedup.clusterPairs(pairs, limit).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    val viaBroadcast = asMap(5000000L)
+    val viaShuffle = asMap(0L) // forces the size-gate fallback
+    assert(viaShuffle == viaBroadcast)
+    assert(viaBroadcast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("clusterPairs: pointer jumping converges on a 200-hop chain") {
+    import SparkSpec.spark.implicits._
+    // one-hop min-label propagation would need ~200 rounds and trip the cap;
+    // pointer jumping must converge in O(log d) and still match the closure
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = operators.Dedup.clusterPairs(chain).collect()
+    assert(labels.length == 201)
+    assert(labels.forall(_.getAs[Long]("cluster") == 0L))
+  }
+
+  test("embedding near-dup pairs are same-cell with cosine >= threshold") {
+    val cells = operators.Dedup.embeddingCells(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid")).toMap
     val rows = dedupEmbedding(spark, sf).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(labels(r.getAs[Long]("vec_a")) == labels(r.getAs[Long]("vec_b")))
+      assert(cells(r.getAs[Long]("vec_a")) == cells(r.getAs[Long]("vec_b")))
       assert(r.getAs[Double]("cosine") >= 0.35)
     }
+  }
+
+  test("embedding IVF blocking generates far fewer candidates than label blocking") {
+    def pairCount(sizes: Iterable[Long]): Long =
+      sizes.map(n => n * (n - 1) / 2).sum
+    val cellCand = pairCount(operators.Dedup.embeddingCells(spark, sf)
+      .groupBy("cid").count().collect().map(_.getAs[Long]("count")))
+    val labelCand = pairCount(Tables.embeddings(spark, sf)
+      .groupBy("label").count().collect().map(_.getAs[Long]("count")))
+    assert(cellCand * 2 < labelCand,
+      s"IVF cells should halve the candidate space at least: $cellCand vs $labelCand")
   }
 }

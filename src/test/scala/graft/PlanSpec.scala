@@ -71,6 +71,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
   }
 
+  /** The low-cardinality qid window must NOT receive the full scored
+    * relation: a PARTIAL WindowGroupLimit below the qid exchange caps what
+    * the shuffle carries at k rows per (input partition, qid). With ~10
+    * qids, skipping this partial step would funnel the whole corpus-sized
+    * scored relation into ≤10 reducer tasks. */
+  private def assertPartialTopKBelowQidExchange(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = planOf(df)
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(qid")
+    assert(exchangeIdx >= 0, s"no qid exchange in:\n$plan")
+    // SparkPlan.toString prints parents above children: a WindowGroupLimit
+    // AFTER the exchange's position in the string is BELOW it in the tree
+    val below = plan.substring(exchangeIdx)
+    assert(below.contains("WindowGroupLimit"),
+      s"no partial WindowGroupLimit below the qid exchange:\n$plan")
+  }
+
+  test("sim_topk: partial top-k runs before the qid shuffle (map-side group limit)") {
+    assertPartialTopKBelowQidExchange(Similarity.simTopkBruteforce(spark, sf))
+  }
+
+  test("sim_ann_lsh: partial top-k runs before the qid shuffle") {
+    assertPartialTopKBelowQidExchange(Similarity.simAnnLsh(spark, sf))
+  }
+
+  test("sim_ann_ivf: partial top-k runs before the final qid shuffle") {
+    assertPartialTopKBelowQidExchange(Similarity.simAnnIvf(spark, sf))
+  }
+
   test("sessionize: exactly one exchange on user_id feeds both window passes") {
     val plan = planOf(Sessionize.eventsSessionize(spark, sf))
     val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length

@@ -41,6 +41,24 @@ class SinksSpec extends SparkSpec {
       s"bucketed aggregation still shuffles:\n$plan")
   }
 
+  test("bucketed layout: q3/q5/market_share have no orderkey exchange, same rows") {
+    val cases: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      ("q3", operators.Relational.q3Bucketed _, operators.Relational.q3TopOrders _),
+      ("q5", operators.Relational.q5Bucketed _, operators.Relational.q5RegionVolume _),
+      ("market_share", operators.Relational.qMarketShareBucketed _, operators.Relational.qMarketShare _))
+    cases.foreach { case (name, bucketed, plain) =>
+      val bdf = bucketed(spark, sf)
+      val rows = bdf.collect()
+      val plan = bdf.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"$name still shuffles on orderkey over the bucketed layout:\n$plan")
+      assert(rows.toSeq == plain(spark, sf).collect().toSeq,
+        s"$name bucketed result differs from plain parquet")
+    }
+  }
+
   test("csv export roundtrip keeps the header and rows") {
     val out = java.nio.file.Files.createTempDirectory("graft_csv_sink").toString + "/summary"
     val df = operators.Corpus.corpusSummary(spark, sf)
