@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Similarity.all ++
       operators.Skew.all ++
       operators.AsOf.all ++
-      operators.Multimodal.all :+
+      operators.Multimodal.all ++
+      sources.JsonlSource.all :+
       Q("streaming_sessionize", streaming.EventStream.streamingSessionize,
         Some(streaming.EventStream.streamingSessionizeSql))
 

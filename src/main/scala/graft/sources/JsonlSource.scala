@@ -1,0 +1,87 @@
+package graft.sources
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** JSONL ingestion with schema inference + one-level flatten — the
+  * reference's normalize_json.py (json.loads per line →
+  * pandas.json_normalize(records, max_level=1) → parquet) as a Spark
+  * source component.
+  *
+  * `spark.read.json` IS the distributed json-lines reader (per-line records,
+  * schema inferred across the cluster); the one-level flatten mirrors
+  * json_normalize's `parent.child` columns (underscore separator — dots in
+  * Spark column names collide with field-path syntax). Inference at 100 TB:
+  * pin `schema(...)` or sample with `samplingRatio` instead of the default
+  * full pass; the flatten itself is a pure projection Catalyst prunes
+  * through. */
+object JsonlSource {
+
+  /** pandas.json_normalize(max_level=1): each top-level struct column is
+    * expanded to `parent_child` columns; everything else passes through. */
+  def flattenOneLevel(df: DataFrame, sep: String = "_"): DataFrame = {
+    val cols = df.schema.fields.flatMap { f =>
+      f.dataType match {
+        case st: StructType =>
+          st.fieldNames.toSeq.map(c => col(s"`${f.name}`.`$c`").as(s"${f.name}$sep$c"))
+        case _ => Seq(col(s"`${f.name}`"))
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Read JSONL file(s) into a flattened DataFrame. */
+  def read(s: SparkSession, path: String): DataFrame =
+    flattenOneLevel(s.read.json(path))
+
+  /** normalize_json.py main(): JSONL in → flattened parquet out. */
+  def normalizeToParquet(s: SparkSession, inPath: String, outPath: String): DataFrame = {
+    val df = read(s, inPath)
+    df.write.mode(SaveMode.Overwrite).parquet(outPath)
+    s.read.parquet(outPath)
+  }
+
+  /** Stage a nested JSONL fixture derived from the events table (one JSON
+    * record per line, a one-level `user` struct to exercise the flatten) —
+    * a distributed text write, rewritten per call. */
+  private[graft] def stageJsonl(s: SparkSession, d: String): String = {
+    val staged = System.getProperty("java.io.tmpdir") +
+      "/graft_jsonl_" + d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")
+    Tables.events(s, d)
+      .select(to_json(struct(
+        col("event_id"),
+        struct(col("user_id").as("id"), col("event_type").as("type")).as("user"),
+        col("value"))).as("line"))
+      .write.mode(SaveMode.Overwrite).text(staged)
+    staged
+  }
+
+  /** Driver-contract query: stage JSONL from events, read it back through
+    * schema inference + flatten, aggregate per flattened user_type. The
+    * oracle runs over the ORIGINAL parquet — so the hash compare proves the
+    * whole JSONL round trip (to_json → text → inference → flatten) is
+    * value-exact, doubles included. */
+  def jsonlNormalize(s: SparkSession, d: String): DataFrame = {
+    val flat = read(s, stageJsonl(s, d))
+    flat.groupBy(col("user_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum("value"), 2).as("total_value"),
+        min("event_id").as("min_event_id"))
+      .orderBy("user_type")
+  }
+
+  private val jsonlNormalizeSql =
+    """SELECT event_type AS user_type, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  round(sum(value), 2) AS total_value,
+      |  min(event_id) AS min_event_id
+      |FROM events GROUP BY 1 ORDER BY user_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("jsonl_normalize", jsonlNormalize, Some(jsonlNormalizeSql))
+  )
+}

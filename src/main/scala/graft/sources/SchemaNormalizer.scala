@@ -72,4 +72,11 @@ object SchemaNormalizer {
   /** Read a CSV with header into the canonical schema. */
   def readCsv(s: SparkSession, path: String, provenance: String): DataFrame =
     conform(s.read.option("header", "true").csv(path), provenance)
+
+  /** Read .xlsx file(s) into the canonical schema — the reference unions
+    * *.csv with *.xlsx and *.xls through the same column mapping
+    * (legiscan_normalizer.py:123-137); Xlsx.read is the pandas.read_excel
+    * analog (JDK-only parser, per-file executor parallelism). */
+  def readXlsx(s: SparkSession, path: String, provenance: String): DataFrame =
+    conform(Xlsx.read(s, path), provenance)
 }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.sources.Incremental
+import org.apache.spark.sql.functions._
+
+class IncrementalSpec extends SparkSpec {
+
+  private def partFiles(outDir: String, part: String): Map[String, Long] = {
+    val d = new java.io.File(s"$outDir/part=$part")
+    d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+  }
+
+  test("second run rewrites only the mutated partition") {
+    import SparkSpec.spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_incr").toString + "/docs"
+    val double = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("v2", col("v") * 2)
+
+    val base = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "c", 40.0))
+      .toDF("id", "part", "v")
+    val first = Incremental.materialize(base, "part", out)(double)
+    assert(first == Seq("a", "b", "c"), "first run must compute every partition")
+    val bBefore = partFiles(out, "b")
+    val cBefore = partFiles(out, "c")
+
+    // identical input → nothing recomputed, no files touched
+    assert(Incremental.materialize(base, "part", out)(double).isEmpty)
+    assert(partFiles(out, "b") == bBefore && partFiles(out, "c") == cBefore)
+
+    // mutate one row in partition a (same row count — content hash must
+    // still see it); b and c untouched
+    Thread.sleep(1100) // mtime granularity can be a full second
+    val mutated = Seq((1L, "a", 99.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "c", 40.0))
+      .toDF("id", "part", "v")
+    val second = Incremental.materialize(mutated, "part", out)(double)
+    assert(second == Seq("a"), s"only partition a changed, got $second")
+    assert(partFiles(out, "b") == bBefore, "partition b was rewritten needlessly")
+    assert(partFiles(out, "c") == cBefore, "partition c was rewritten needlessly")
+
+    // the materialized table equals transform(mutated input)
+    val got = spark.read.parquet(out)
+      .select("id", "part", "v", "v2").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, "a", 99.0, 198.0), (2L, "a", 20.0, 40.0),
+      (3L, "b", 30.0, 60.0), (4L, "c", 40.0, 80.0)))
+  }
+
+  test("partition hash is order-independent but value- and count-sensitive") {
+    import SparkSpec.spark.implicits._
+    val a = Seq((1L, "x", 1.0), (2L, "x", 2.0)).toDF("id", "part", "v")
+    val shuffled = Seq((2L, "x", 2.0), (1L, "x", 1.0)).toDF("id", "part", "v")
+      .repartition(3)
+    assert(Incremental.partitionHashes(a, "part") ==
+      Incremental.partitionHashes(shuffled, "part"))
+    val valueChanged = Seq((1L, "x", 1.0), (2L, "x", 2.5)).toDF("id", "part", "v")
+    assert(Incremental.partitionHashes(a, "part") !=
+      Incremental.partitionHashes(valueChanged, "part"))
+    val dupRow = Seq((1L, "x", 1.0), (1L, "x", 1.0)).toDF("id", "part", "v")
+    val oneRow = Seq((1L, "x", 1.0)).toDF("id", "part", "v")
+    assert(Incremental.partitionHashes(dupRow, "part") !=
+      Incremental.partitionHashes(oneRow, "part"))
+  }
+}
