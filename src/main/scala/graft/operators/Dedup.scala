@@ -92,7 +92,7 @@ object Dedup {
 
   // Shingle CTE mirrors wordShingles(normalizeText(text), 3): tokenize the
   // normalized text, emit distinct 3-grams (1-based list indexing).
-  private val shingleCte =
+  private[operators] val shingleCte =
     """toks AS (
       |  SELECT doc_id,
       |    regexp_split_to_array(regexp_replace(regexp_replace(regexp_replace(regexp_replace(

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for LLM-training-data pipelines: token stats, quality
@@ -240,11 +241,192 @@ object TextAnalysis {
       |WHERE levenshtein(a.canon, b.canon) <= 2
       |ORDER BY key_a, key_b""".stripMargin
 
+  // PII patterns, RE2-compatible (no backreferences; \b works in both RE2
+  // and java.util.regex). Applied in a FIXED order — redaction output
+  // depends on it, so Spark and the oracle must agree.
+  private val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val ssnPat = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private val phonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII redaction — the scrub pass every pretraining pipeline runs before
+    * text leaves the ingest zone: count + replace emails / SSNs / phone
+    * numbers with typed placeholders. Single-scan codegen'd projection, no
+    * shuffle. Documents carry no natural PII, so a deterministic footer
+    * (email + phone + SSN derived from doc_id) is appended first — the
+    * counts then prove every injected item was found, and any NATURAL match
+    * in the text is redacted by the same pass. SSN runs before phone: the
+    * patterns are disjoint on real inputs, but fixed order keeps the two
+    * engines byte-identical if they ever overlap. */
+  def textPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val footerPhone = concat(lit("555-"), (col("doc_id") % 900 + 100).cast("string"), lit("-0199"))
+    val footerSsn = concat((col("doc_id") % 900 + 100).cast("string"), lit("-45-6789"))
+    val withPii = concat(col("text"),
+      lit(" Contact: user"), col("doc_id").cast("string"), lit("@example.com, call "),
+      footerPhone, lit(", SSN "), footerSsn, lit("."))
+    val nEmails = size(regexp_extract_all(withPii, lit(emailPat), lit(0))).cast("long")
+    val nSsns = size(regexp_extract_all(withPii, lit(ssnPat), lit(0))).cast("long")
+    val nPhones = size(regexp_extract_all(withPii, lit(phonePat), lit(0))).cast("long")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(withPii, emailPat, "[EMAIL]"),
+        ssnPat, "[SSN]"),
+      phonePat, "[PHONE]")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        nEmails.as("n_emails"),
+        nPhones.as("n_phones"),
+        nSsns.as("n_ssns"),
+        length(redacted).cast("long").as("redacted_chars"),
+        // explicit positive start: negative-start substring semantics for
+        // strings shorter than the window differ between engines
+        substr(redacted, greatest(lit(1L), length(redacted) - 59), lit(60L))
+          .as("redacted_tail"))
+      .filter(col("n_emails") + col("n_phones") + col("n_ssns") > 0)
+      .orderBy("doc_id")
+  }
+
+  private val textPiiRedactSql = {
+    // RE2 string literals: \d etc. need doubling inside the SQL string
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    text || ' Contact: user' || CAST(doc_id AS VARCHAR) ||
+       |    '@example.com, call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) ||
+       |    '-0199, SSN ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-45-6789.' AS t
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id,
+       |    CAST(length(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+       |    CAST(length(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+       |    CAST(length(regexp_extract_all(t, '$ssn')) AS BIGINT) AS n_ssns,
+       |    regexp_replace(regexp_replace(regexp_replace(t,
+       |      '$email', '[EMAIL]', 'g'),
+       |      '$ssn', '[SSN]', 'g'),
+       |      '$phone', '[PHONE]', 'g') AS red
+       |  FROM w
+       |)
+       |SELECT doc_id, n_emails, n_phones, n_ssns,
+       |  length(red) AS redacted_chars,
+       |  substr(red, greatest(1, length(red) - 59), 60) AS redacted_tail
+       |FROM r
+       |WHERE n_emails + n_phones + n_ssns > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Repetition-based quality signals (the Gopher/MassiveText rules):
+    * duplicate-line fraction and top-bigram occurrence share per document —
+    * boilerplate and template spam score high on both and get filtered
+    * before training. Two narrow per-doc aggregations (lines, bigrams), each
+    * one shuffle on doc_id with map-side partials; ratios are computed in
+    * integer basis points (div round-half-up) because float round() at
+    * half-boundaries diverges between engines (e.g. 1/32 at 4 dp). */
+  def textRepetition(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val lines = doc
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"), countDistinct(col("line")).as("n_distinct"))
+      .withColumn("dup_line_frac",
+        expr("(20000 * (n_lines - n_distinct) + n_lines) div (2 * n_lines)")
+          .cast("double") / 10000.0)
+    val toks = doc.select(col("doc_id"),
+      posexplode(split(normalizeText(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bigrams = toks
+      .select(col("doc_id"), col("tok"), lead("tok", 1).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+    val rk = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("bg").asc)
+    val top = bigrams
+      .withColumn("total", sum("cnt").over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(rk)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("bg").as("top_bigram"),
+        expr("(20000 * cnt + total) div (2 * total)").cast("double")
+          .as("bp"))
+      .withColumn("top_bigram_frac", col("bp") / 10000.0)
+      .drop("bp")
+    lines.join(top, Seq("doc_id"), "left")
+      .select("doc_id", "n_lines", "dup_line_frac", "top_bigram", "top_bigram_frac")
+      .orderBy("doc_id")
+  }
+
+  private val textRepetitionSql =
+    """WITH l AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\n')) AS line
+      |  FROM documents
+      |), lines AS (
+      |  SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS n_distinct
+      |  FROM l GROUP BY doc_id
+      |), toks AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(lower(text), '&amp;', '&', 'g'),
+      |      '&nbsp;', ' ', 'g'), '(?m)^\s*\d+\s*$', '', 'g'), '[ \t]+', ' ', 'g'),
+      |      '\n{3,}', e'\n\n', 'g'), '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, array_length(t) - 1)) AS i
+      |        FROM toks WHERE array_length(t) >= 2)
+      |), cnts AS (
+      |  SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg
+      |), top AS (
+      |  SELECT doc_id, bg AS top_bigram,
+      |    ((20000 * cnt + total) // (2 * total)) * 1.0 / 10000.0 AS top_bigram_frac
+      |  FROM (SELECT doc_id, bg, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS total,
+      |          row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg) AS rk
+      |        FROM cnts)
+      |  WHERE rk = 1
+      |)
+      |SELECT lines.doc_id, n_lines,
+      |  ((20000 * (n_lines - n_distinct) + n_lines) // (2 * n_lines)) * 1.0 / 10000.0
+      |    AS dup_line_frac,
+      |  top_bigram, top_bigram_frac
+      |FROM lines LEFT JOIN top ON lines.doc_id = top.doc_id
+      |ORDER BY lines.doc_id""".stripMargin
+
+  /** Benchmark decontamination — before training, any document sharing
+    * enough n-grams with an evaluation set must be flagged and dropped, or
+    * the benchmark leaks into the training corpus. The "benchmark" here is
+    * the deterministic doc_id % 100 == 0 slice; a document is contaminated
+    * if it shares ≥ 3 distinct 3-gram shingles with a benchmark doc.
+    *
+    * Scale shape: the benchmark shingle set is tiny relative to the corpus
+    * (an eval suite, not a crawl) — broadcast it; the corpus side is one
+    * scan + hash join + per-pair count. Never a corpus×corpus product. */
+  def textContamination(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingleRelation(s, d)
+    val bench = sh.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("benchmark_id"), col("shingle"))
+    sh.filter(col("doc_id") % 100 =!= 0)
+      .join(broadcast(bench), "shingle")
+      .groupBy("doc_id", "benchmark_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("doc_id", "benchmark_id")
+  }
+
+  private val textContaminationSql =
+    s"""WITH ${Dedup.shingleCte}
+       |SELECT c.doc_id, b.doc_id AS benchmark_id, count(*) AS n_shared
+       |FROM sh c JOIN sh b ON c.shingle = b.shingle
+       |WHERE c.doc_id % 100 <> 0 AND b.doc_id % 100 = 0
+       |GROUP BY c.doc_id, b.doc_id
+       |HAVING count(*) >= 3
+       |ORDER BY c.doc_id, benchmark_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_fuzzy_match", textFuzzyMatch, Some(textFuzzyMatchSql)),
     Q("text_token_stats", textTokenStats, Some(textTokenStatsSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
     Q("text_langid", textLangid, Some(textLangidSql)),
-    Q("text_fingerprint", textFingerprint, Some(textFingerprintSql))
+    Q("text_fingerprint", textFingerprint, Some(textFingerprintSql)),
+    Q("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),
+    Q("text_repetition", textRepetition, Some(textRepetitionSql)),
+    Q("text_contamination", textContamination, Some(textContaminationSql))
   )
 }
