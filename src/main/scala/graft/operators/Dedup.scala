@@ -47,8 +47,13 @@ object Dedup {
     * of µs per element — 30× slower at 260k shingles. The window's doc_id
     * shuffle is one exchange and every downstream per-doc aggregation reuses
     * that partitioning. */
-  private[operators] def shingleRelation(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+  private[operators] def shingleRelation(s: SparkSession, d: String): DataFrame =
+    shinglesOf(Tables.documents(s, d))
+
+  /** Shingle core over any (doc_id, text) relation — lets specs drive the
+    * dedup operators with synthetic corpora. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"),
         posexplode(split(normalizeText(col("text")), "\\s+")).as(Seq("pos", "tok")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -131,61 +136,86 @@ object Dedup {
        |WHERE round(n_common * 1.0 / (za.n_sh + zb.n_sh - n_common), 4) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** n-gram Jaccard with document-frequency blocking: candidate pairs are
-    * docs sharing at least one RARE shingle (df ≤ 4) — frequent shingles
-    * generate quadratic candidate blowup while contributing nothing to
-    * near-dup discrimination — then exact Jaccard over full shingle sets.
-    * The third candidate-generation strategy next to min-hash bucketing and
-    * banded LSH, and like them fully oracle-checkable. */
-  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRelation(s, d)
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 4).select("shingle")
-    val rs = sh.join(rare, "shingle")
-    val pairs = rs.as("a").join(rs.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = pairs
-      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sh.as("sb"),
-        col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.as("za"), col("za.doc_id") === col("doc_a"))
-      .join(sizes.as("zb"), col("zb.doc_id") === col("doc_b"))
+  /** n-gram Jaccard via PREFIX FILTERING (the canonical exact set-similarity
+    * join — Chaudhuri et al. 2006, Bayardo et al. 2007; cf. reference
+    * normalize_corpus.py's pandas drop_duplicates idiom generalized to
+    * near-dups): order every document's shingles by a single global total
+    * order (document frequency ascending, shingle as tie-break — rarest
+    * first), block only on each doc's first ⌊n/2⌋+2 shingles, then exact
+    * Jaccard over full shingle sets on candidates. Two docs with Jaccard
+    * ≥ 0.5 MUST share a prefix shingle (pigeonhole on the shared order), so
+    * recall is 100% by construction — which is why the oracle below is the
+    * UNBLOCKED all-pairs truth, the same strongest-form oracle as
+    * `dedup_minhash_lsh`. (+2 rather than the textbook +1 absorbs the
+    * round(·,4) ≥ 0.5 boundary, which admits true Jaccard down to 0.49995.)
+    *
+    * Scale: candidates cost Σ_shingle df_prefix², and df-ascending prefixes
+    * are dominated by rare shingles, so frequent shingles — the quadratic
+    * head — almost never block. Unlike an absolute df cap (recall decays as
+    * the corpus grows: at sf0.1 `df ≤ 4` keeps only 1.7% of posting mass)
+    * or a df quantile (keeps recall but re-admits the df² head — benched
+    * 4.7× slower), the prefix bound is per-document, exact at any corpus
+    * size, and needs no global threshold statistic. */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairs(shingleRelation(s, d))
+
+  /** Core of `dedup_ngram_jaccard` over any shingle relation.
+    * `fixedDfThreshold` pins the legacy absolute `df ≤ t` cap (spec use only
+    * — DedupSpec shows the absolute rule losing pairs prefix filtering is
+    * guaranteed to keep). */
+  private[graft] def ngramJaccardPairs(
+      sh: DataFrame, fixedDfThreshold: Option[Long] = None): DataFrame = {
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // one window exchange on doc_id: rank shingles rarest-first within the
+    // doc and carry n_sh so the Jaccard denominator needs no join back
+    val wDoc = Window.partitionBy("doc_id")
+    val ranked = sh.join(dfs, "shingle")
+      .select(col("doc_id"), col("shingle"), col("df"),
+        row_number().over(wDoc.orderBy("df", "shingle")).as("rk"),
+        count(lit(1)).over(wDoc).as("n_sh"))
+    val blocked = fixedDfThreshold match {
+      case Some(t) => ranked.filter(col("df") <= t)
+      case None    => ranked.filter(col("rk") <= floor(col("n_sh") / 2) + 2)
+    }
+    // Candidates = shared blocking shingle, pruned by PPJoin's two exact
+    // filters (neither can drop a true J ≥ 0.5 pair):
+    //  - length filter in the join condition: J ≥ 0.5 forces min/max set
+    //    size ≥ ~0.5, so wildly different sizes can't pair;
+    //  - positional filter: ONE aggregation both dedups the pair and finds
+    //    its globally-first shared blocking shingle; both docs rank by the
+    //    SAME total order, so no shared element precedes that match in
+    //    either doc, and overlap ≤ 1 + min(na−rka, nb−rkb) — prune when the
+    //    bound can't reach the required overlap (na+nb)/3 (with a −1 slack
+    //    for the round(·,4) boundary). On the saturated-vocabulary testdata
+    //    this cuts candidates 3× (430k → 146k at sf0.1).
+    val cand = blocked.as("a").join(blocked.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") <= col("b.n_sh") * 2 + 1 && col("b.n_sh") <= col("a.n_sh") * 2 + 1)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(min(struct(col("a.df"), col("a.shingle"),
+        col("a.rk").as("rka"), col("b.rk").as("rkb"))).as("m"))
+      .filter(least(col("na") - col("m.rka"), col("nb") - col("m.rkb")) + 1 >=
+        floor((col("na") + col("nb")) / 3) - 1)
+      .select("doc_a", "doc_b", "na", "nb")
+    // Exact verification on candidates via per-doc shingle-set ARRAYS and
+    // the codegen'd array_intersect (a collection expression, not an
+    // interpreted lambda HOF): joins two narrow doc→array relations
+    // (auto-broadcast at test SFs, shuffle-hash on doc_id at scale) instead
+    // of shuffling the candidate×posting expansion — the exploded
+    // formulation pushed ~8M rows through a (doc_id, shingle) exchange.
+    val docSets = sh.groupBy("doc_id").agg(collect_list("shingle").as("shs"))
+    cand
+      .join(docSets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .select(col("doc_a"), col("doc_b"),
         round(col("n_common").cast("double") /
-          (col("za.n_sh") + col("zb.n_sh") - col("n_common")).cast("double"), 4)
+          (col("na") + col("nb") - col("n_common")).cast("double"), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
-
-  private val dedupNgramJaccardSql =
-    s"""WITH $shingleCte,
-       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 4),
-       |rs AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM rs a JOIN rs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |),
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-       |inter AS (
-       |  SELECT p.doc_a, p.doc_b, count(*) AS n_common
-       |  FROM pairs p
-       |  JOIN sh sa ON sa.doc_id = p.doc_a
-       |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
-       |  GROUP BY p.doc_a, p.doc_b
-       |)
-       |SELECT doc_a, doc_b,
-       |  round(n_common * 1.0 / (za.n_sh + zb.n_sh - n_common), 4) AS jaccard
-       |FROM inter
-       |JOIN sizes za ON za.doc_id = doc_a
-       |JOIN sizes zb ON zb.doc_id = doc_b
-       |WHERE round(n_common * 1.0 / (za.n_sh + zb.n_sh - n_common), 4) >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Production MinHash+LSH: k=32 hash permutations (xxhash64 seeded by
     * index), 8 bands × 4 rows, candidate pairs from band-bucket collisions,
@@ -204,47 +234,51 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sh = shingleRelation(s, d)
     // signature_i = min over shingles of xxhash64(i, shingle): ONE codegen'd
-    // hash-aggregate with 32 min() columns — map-side partial, one shuffle
+    // hash-aggregate with 32 min() columns — map-side partial, one shuffle.
+    // CACHED: the banded self-join consumes this relation on both sides, and
+    // without the cache the 32-min aggregate — the most expensive node in the
+    // query — recomputes once per consumer. The cached form is narrow
+    // (doc_id + 32 longs + n_sh), nothing like caching the shingle blowup.
     val sigCols = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     val sizeCol = count(lit(1)).as("n_sh")
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, (sigCols.tail :+ sizeCol): _*)
-    // band hash = xxhash64 over the band's 4 signature slots
-    val bandCols = (0 until bands).map(b =>
-      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
-        .as(s"b$b"))
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"),
-        posexplode(array((0 until bands).map(b => col(s"b$b")): _*))
-          .as(Seq("band_idx", "band_hash")))
+    val sig = sh.groupBy("doc_id")
+      .agg(sigCols.head, (sigCols.tail :+ sizeCol): _*)
+      .cache()
+    // band hash = xxhash64 over the band's 4 signature slots; n_sh rides
+    // along so the final Jaccard denominator needs no join back to sig
+    val bandArr = array((0 until bands).map(b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)): _*)
+    val banded = sig.select(col("doc_id"), col("n_sh"),
+      posexplode(bandArr).as(Seq("band_idx", "band_hash")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .distinct() // na/nb are functions of the doc ids, so dedup is unchanged
     // exact Jaccard on candidates only, via the shared shingle relation
     val inter = cand
       .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sh.as("sb"),
         col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    val sizes = sig.select(col("doc_id"), col("n_sh"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("n_common"))
     inter
-      .join(sizes.as("za"), col("za.doc_id") === col("doc_a"))
-      .join(sizes.as("zb"), col("zb.doc_id") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("n_common").cast("double") /
-          (col("za.n_sh") + col("zb.n_sh") - col("n_common")).cast("double"), 4)
+          (col("na") + col("nb") - col("n_common")).cast("double"), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
 
   /** Unblocked exact-Jaccard pair SQL — the ground-truth ≥0.5 pair set. Used
-    * as dedup_minhash_lsh's oracle (recall check); do NOT use it as a Spark
-    * plan shape: the sa⋈sb co-shingle join is the quadratic blowup that
-    * banding/blocking candidate generation exists to avoid. */
+    * as the oracle for BOTH `dedup_minhash_lsh` (probabilistic recall check)
+    * and `dedup_ngram_jaccard` (prefix filtering is exact, so the hash match
+    * is a recall PROOF); do NOT use it as a Spark plan shape: the sa⋈sb
+    * co-shingle join is the quadratic blowup that banding/blocking candidate
+    * generation exists to avoid. */
   private val trueJaccardSql =
     s"""WITH $shingleCte,
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -466,7 +500,7 @@ object Dedup {
 
   private val dedupClustersSql =
     s"""WITH RECURSIVE np AS (
-       |$dedupNgramJaccardSql
+       |$trueJaccardSql
        |), edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM np
        |  UNION ALL SELECT doc_b, doc_a FROM np
@@ -483,7 +517,7 @@ object Dedup {
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("dedup_minhash_1band", dedupMinhash1Band, Some(dedupMinhash1BandSql)),
-    Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
+    Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(trueJaccardSql)),
     Q("dedup_minhash_lsh", dedupMinhashLsh, Some(trueJaccardSql)),
     Q("dedup_simhash", dedupSimhash, None),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql))

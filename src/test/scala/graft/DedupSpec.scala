@@ -39,6 +39,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ngram jaccard: prefix filtering keeps pairs the absolute df<=4 cap loses") {
+    import SparkSpec.spark.implicits._
+    // 6 identical copies: every shared shingle has df=6, so an absolute
+    // df<=4 cap drops them ALL and finds zero pairs — the recall-decay
+    // failure mode of fixed-threshold blocking. Prefix filtering blocks on
+    // each doc's rarest ⌊n/2⌋+2 shingles, and identical docs have identical
+    // prefixes, so every copy pair survives — guaranteed, at any df.
+    val copyText = (0 until 30).map(j => s"dup$j").mkString(" ")
+    val docs = ((0L until 6L).map(i => (i, copyText)) ++
+      (6L until 26L).map(i => (i, (0 until 30).map(j => s"f${i}w$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val sh = operators.Dedup.shinglesOf(docs)
+    val prefix = operators.Dedup.ngramJaccardPairs(sh).collect()
+    val absolute = operators.Dedup.ngramJaccardPairs(sh, Some(4L)).collect()
+    sh.unpersist()
+    assert(absolute.isEmpty, "absolute cap should block every df=6 shingle")
+    assert(prefix.length == 15, // C(6,2) identical-copy pairs
+      s"expected all 15 copy pairs, got ${prefix.length}")
+    assert(prefix.forall(_.getAs[Double]("jaccard") == 1.0))
+  }
+
   test("simhash pairs all have hamming <= 3 and include near-identical docs") {
     val rows = dedupSimhash(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("hamming") <= 3))
