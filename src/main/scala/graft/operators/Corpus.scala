@@ -514,7 +514,51 @@ object Corpus {
       .orderBy("lang", "rk")
   }
 
+  /** Multi-theme regex rules, mirroring tag_metadata.py:7-22 THEME_RULES
+    * (theme → pattern list; a doc gets the theme when ANY pattern matches,
+    * case-insensitive). Patterns stay within the RE2 ∩ Java-regex subset
+    * (alternation, \w — no backreferences) so the oracle matches. */
+  private val themeRules: Seq[(String, Seq[String])] = Seq(
+    "performance" -> Seq("fast", "slow", "benchmark\\w*"),
+    "relational"  -> Seq("join", "agg\\w*", "group"),
+    "storage"     -> Seq("table", "column", "scan"),
+    "streaming"   -> Seq("stream", "batch", "window"))
+
+  /** Theme tagging — the final stage of the reference's demo DAG
+    * (tag_metadata.py tag_row + Snakefile `tag_demo` rule): per document,
+    * the sorted array of every theme with ≥1 matching pattern. The basis
+    * column mirrors tag_metadata.py:31-33's concat of title/summary/text
+    * columns; `documents` has exactly one such column (`text`).
+    *
+    * Pure per-row column expressions (rlike → when → array_compact →
+    * array_sort): single scan, no shuffle, no UDF — at 100 TB this is
+    * embarrassingly parallel and whole-stage codegen'd (array_sort is
+    * evaluated on ≤4-element arrays, far off the hot-loop HOF trap). */
+  def corpusTagThemes(s: SparkSession, d: String): DataFrame = {
+    val tagCols = themeRules.map { case (theme, pats) =>
+      when(pats.map(p => col("text").rlike("(?i)" + p)).reduce(_ || _), lit(theme))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_sort(array_compact(array(tagCols: _*))).as("tags"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusTagThemesSql = {
+    val themeValues = themeRules
+      .map { case (t, ps) => s"('$t', '${ps.mkString("|")}')" }.mkString(", ")
+    s"""SELECT d.doc_id,
+       |  coalesce(list_sort(list(t.theme)
+       |    FILTER (WHERE regexp_matches(d.text, t.pat, 'i'))),
+       |    CAST([] AS VARCHAR[])) AS tags
+       |FROM documents d
+       |CROSS JOIN (VALUES $themeValues) t(theme, pat)
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("corpus_tag_themes", corpusTagThemes, Some(corpusTagThemesSql)),
     Q("corpus_heavy_hitters", corpusHeavyHitters, Some(corpusTopTokensSql)),
     Q("corpus_sample", corpusSample, Some(corpusSampleSql)),
     Q("corpus_top_tokens", corpusTopTokens, Some(corpusTopTokensSql)),

@@ -74,8 +74,12 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH ANN: 8-bit sign signature → bucket join → exact
-    * cosine top-3 within bucket. Rows-only check (signature depends on the
-    * plane constants); recall vs brute force asserted in SimilaritySpec. */
+    * cosine top-3 within bucket. Fully oracled: the plane constants are
+    * embedded in the oracle SQL (shortest-round-trip decimal form parses
+    * back to the identical IEEE-754 double, and both engines reduce the
+    * 64-dim dot product in index order, so the sign bits — and hence the
+    * buckets — match bit-exactly). Recall vs brute force additionally
+    * asserted in SimilaritySpec. */
   def simAnnLsh(s: SparkSession, d: String): DataFrame = {
     val planesCol = typedlit(planes)
     def shl(v: Column, n: Column) = call_function("shiftleft", v, n)
@@ -104,25 +108,35 @@ object Similarity {
     * DISTRIBUTED Lloyd iterations (assignment + per-cluster means are Spark
     * aggregations; only the 16×64 centroid table ever touches the driver),
     * then queries probe their `nprobe` nearest cells and rank candidates by
-    * exact cosine. Deterministic: seeds are the first 16 vectors, iteration
-    * count fixed. Rows-only check; SimilaritySpec bounds recall vs brute
-    * force and asserts the probe actually restricts the candidate set. */
+    * exact cosine.
+    *
+    * Lloyd trains on a deterministic HASH-SAMPLE (xxhash64(vec_id) mod
+    * threshold, targeting ~64 vectors per centroid) rather than the full
+    * corpus — quantizer quality needs a representative sample, not every
+    * row, and at 100 TB three full-corpus training passes would triple the
+    * job's scan cost for nothing. Only the final cell-assignment pass (the
+    * inverted file itself) reads the full corpus. Tiny corpora sample at
+    * 100%, so behavior at spec scale is unchanged. Deterministic: seeds are
+    * the first 16 vectors, the sample is content-addressed, iteration count
+    * fixed. Rows-only check; SimilaritySpec bounds recall vs brute force
+    * and asserts the probe actually restricts the candidate set. */
   def simAnnIvf(s: SparkSession, d: String): DataFrame = {
     val nClusters = 16
     val nIters = 3
     val nProbe = 3
+    val trainTarget = 64L * nClusters
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
       .cache()
 
     // centroid table as a small broadcast-join relation: (cid, cv)
-    def assign(centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    def assign(rel: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
       val cdf = s.createDataFrame(centroids.map { case (i, c) => (i, c) })
         .toDF("cid", "cv")
       // nearest by euclidean == max (dot - |c|²/2); one codegen'd pass over
       // the exploded (vector × centroid) pairs
-      val scored = emb.join(broadcast(cdf), lit(true))
+      val scored = rel.join(broadcast(cdf), lit(true))
         .select(col("vec_id"),
           col("cid"),
           (vecDot(col("v"), col("cv")) - vecDot(col("cv"), col("cv")) / 2).as("aff"))
@@ -131,13 +145,19 @@ object Similarity {
         .select("vec_id", "cid")
     }
 
+    // deterministic training sample: keep vec_ids whose hash falls under a
+    // threshold sized from ONE bounded count() action
+    val n = emb.count()
+    val keepPerMille = math.min(1000L, trainTarget * 1000L / math.max(n, 1L) + 1L)
+    val train = emb.filter(pmod(xxhash64(col("vec_id")), lit(1000L)) < keepPerMille)
+
     var centroids: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < nClusters)
       .orderBy("vec_id").collect()
       .map(r => (r.getAs[Long]("vec_id").toInt,
         r.getAs[scala.collection.Seq[Double]]("v").toSeq)).toSeq
     for (_ <- 1 to nIters) {
-      val means = assign(centroids)
-        .join(emb, "vec_id")
+      val means = assign(train, centroids)
+        .join(train, "vec_id")
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg("x").as("m"))
         .groupBy("cid").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("mv"))
@@ -145,11 +165,14 @@ object Similarity {
         .collect()
         .map(r => (r.getAs[Int]("cid"), r.getAs[scala.collection.Seq[Double]]("cv").toSeq))
         .toSeq.sortBy(_._1)
-      centroids = means
+      // a cell can empty out under sampling: keep its previous centroid
+      val prev = centroids.toMap
+      centroids = (0 until nClusters)
+        .map(i => i -> means.toMap.getOrElse(i, prev(i))).toSeq
     }
 
     val cdf = s.createDataFrame(centroids.map { case (i, c) => (i, c) }).toDF("cid", "cv")
-    val member = assign(centroids) // final cell assignment (the inverted file)
+    val member = assign(emb, centroids) // final FULL cell assignment (the inverted file)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     // each query probes its nProbe nearest cells
@@ -169,6 +192,42 @@ object Similarity {
       .filter(col("rk") <= 3)
       .select("qid", "cand_id", "cosine", "rk")
       .orderBy("qid", "rk")
+  }
+
+  // The 8 hyperplanes inlined as DOUBLE[] literals: Scala's Double.toString
+  // is the shortest decimal that round-trips, so DuckDB reparses the exact
+  // bit pattern and computes the identical sign signature.
+  private val simAnnLshSql = {
+    // plane rows carry no leading '|', so the outer stripMargin leaves them
+    val planeRows = planes.zipWithIndex
+      .map { case (pl, i) => s"($i, [${pl.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), planes(p, pl) AS (
+       |  VALUES $planeRows
+       |), sig AS (
+       |  SELECT v.vec_id,
+       |    CAST(sum(CASE WHEN list_dot_product(v.e, planes.pl) >= 0
+       |      THEN 1 << planes.p ELSE 0 END) AS BIGINT) AS sig
+       |  FROM v CROSS JOIN planes GROUP BY v.vec_id
+       |), q AS (
+       |  SELECT v.vec_id AS qid, v.e AS qv, v.nrm AS qnrm, s.sig AS qsig
+       |  FROM v JOIN sig s ON s.vec_id = v.vec_id WHERE v.vec_id < 10
+       |), scored AS (
+       |  SELECT q.qid, v.vec_id AS cand_id,
+       |    round(list_dot_product(q.qv, v.e) / (q.qnrm * v.nrm), 4) AS cosine
+       |  FROM v JOIN sig s ON s.vec_id = v.vec_id
+       |  JOIN q ON s.sig = q.qsig AND v.vec_id <> q.qid
+       |), ranked AS (
+       |  SELECT qid, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT qid, cand_id, cosine, rk FROM ranked WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin
   }
 
   /** Per-label centroid norm — the IVF coarse-quantizer statistic. Two-level
@@ -234,7 +293,7 @@ object Similarity {
   val all: Seq[Q] = Seq(
     Q("sim_doc_embedding_join", simDocEmbeddingJoin, Some(simDocEmbeddingJoinSql)),
     Q("sim_topk_bruteforce", simTopkBruteforce, Some(simTopkBruteforceSql)),
-    Q("sim_ann_lsh", simAnnLsh, None),
+    Q("sim_ann_lsh", simAnnLsh, Some(simAnnLshSql)),
     Q("sim_ann_ivf", simAnnIvf, None),
     Q("sim_centroid_by_label", simCentroidByLabel, Some(simCentroidByLabelSql))
   )

@@ -69,4 +69,26 @@ class CorpusSpec extends SparkSpec {
       }
     }
   }
+
+  test("corpus_tag_themes: tags are sorted theme names consistent with a manual regex pass") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val themeRules = Seq(
+      "performance" -> Seq("fast", "slow", "benchmark\\w*"),
+      "relational"  -> Seq("join", "agg\\w*", "group"),
+      "storage"     -> Seq("table", "column", "scan"),
+      "streaming"   -> Seq("stream", "batch", "window"))
+    val rows = corpusTagThemes(spark, sf).collect()
+    assert(rows.length == texts.size, "one row per document")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val tags = r.getSeq[String](1)
+      val expected = themeRules.collect {
+        case (theme, pats) if pats.exists(p =>
+          java.util.regex.Pattern.compile("(?i)" + p).matcher(texts(id)).find()) => theme
+      }.sorted
+      assert(tags == expected, s"doc $id: got $tags, expected $expected")
+      assert(tags == tags.sorted, s"doc $id: tags not sorted")
+    }
+  }
 }
