@@ -104,4 +104,42 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges:\n$plan")
   }
+
+  /** Full-width scans that are genuinely full-consumption, not pruning
+    * failures: nation (3 cols) and region (2 cols) are dimension tables
+    * whose every column participates in the joins/output, and corpus_build
+    * emits doc_key+doc_id+lang+source+n_chars while filtering on a text
+    * hash — all 5 documents columns. Anything else reading a testdata
+    * table full-width is a bug at 100 TB (a 16-column lineitem scan for a
+    * 2-column projection reads 8× the bytes). */
+  private val fullWidthAllowed: Set[(String, String)] = {
+    val dimOk = for {
+      q <- SparkEntry.allQueries.map(_.name)
+      t <- Seq("nation.parquet", "region.parquet")
+    } yield (q, t)
+    dimOk.toSet + (("corpus_build", "documents.parquet"))
+  }
+
+  test("every query prunes every testdata parquet scan (no full-width reads)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val violations = SparkEntry.allQueries.flatMap { q =>
+      // sparkPlan is the pre-AQE physical plan: scans are visible as nodes
+      // (executedPlan wraps everything in AdaptiveSparkPlanExec)
+      q.build(spark, sf).queryExecution.sparkPlan.collectWithSubqueries {
+        case s: FileSourceScanExec => s
+      }.flatMap { s =>
+        val path = s.relation.location.rootPaths.headOption.map(_.toString).getOrElse("")
+        val table = path.split('/').last
+        val full = s.relation.dataSchema.size
+        val read = s.requiredSchema.size
+        if (path.contains("testdata") && read >= full &&
+            !fullWidthAllowed.contains((q.name, table)))
+          Some(s"${q.name}: $table scanned full-width ($read/$full cols: " +
+            s"${s.requiredSchema.fieldNames.mkString(",")})")
+        else None
+      }
+    }
+    assert(violations.isEmpty,
+      s"unpruned scans:\n${violations.mkString("\n")}")
+  }
 }
