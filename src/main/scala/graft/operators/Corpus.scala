@@ -526,21 +526,27 @@ object Corpus {
 
   /** Theme tagging — the final stage of the reference's demo DAG
     * (tag_metadata.py tag_row + Snakefile `tag_demo` rule): per document,
-    * the sorted array of every theme with ≥1 matching pattern. The basis
+    * the sorted list of every theme with ≥1 matching pattern. The basis
     * column mirrors tag_metadata.py:31-33's concat of title/summary/text
     * columns; `documents` has exactly one such column (`text`).
     *
+    * The tag list is emitted as a ';'-joined string, not ArrayType: the
+    * driver's oracle compare sorts result columns in pandas, which cannot
+    * sort array cells (round-3 failure). Inside a pipeline the array form
+    * is one `split` away; at the comparison boundary strings are the
+    * portable representation.
+    *
     * Pure per-row column expressions (rlike → when → array_compact →
-    * array_sort): single scan, no shuffle, no UDF — at 100 TB this is
-    * embarrassingly parallel and whole-stage codegen'd (array_sort is
-    * evaluated on ≤4-element arrays, far off the hot-loop HOF trap). */
+    * array_sort → array_join): single scan, no shuffle, no UDF — at 100 TB
+    * this is embarrassingly parallel and whole-stage codegen'd (array_sort
+    * is evaluated on ≤4-element arrays, far off the hot-loop HOF trap). */
   def corpusTagThemes(s: SparkSession, d: String): DataFrame = {
     val tagCols = themeRules.map { case (theme, pats) =>
       when(pats.map(p => col("text").rlike("(?i)" + p)).reduce(_ || _), lit(theme))
     }
     Tables.documents(s, d)
       .select(col("doc_id"),
-        array_sort(array_compact(array(tagCols: _*))).as("tags"))
+        array_join(array_sort(array_compact(array(tagCols: _*))), ";").as("tags"))
       .orderBy("doc_id")
   }
 
@@ -548,9 +554,9 @@ object Corpus {
     val themeValues = themeRules
       .map { case (t, ps) => s"('$t', '${ps.mkString("|")}')" }.mkString(", ")
     s"""SELECT d.doc_id,
-       |  coalesce(list_sort(list(t.theme)
-       |    FILTER (WHERE regexp_matches(d.text, t.pat, 'i'))),
-       |    CAST([] AS VARCHAR[])) AS tags
+       |  coalesce(array_to_string(list_sort(list(t.theme)
+       |    FILTER (WHERE regexp_matches(d.text, t.pat, 'i'))), ';'),
+       |    '') AS tags
        |FROM documents d
        |CROSS JOIN (VALUES $themeValues) t(theme, pat)
        |GROUP BY d.doc_id

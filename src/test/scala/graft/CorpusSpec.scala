@@ -82,7 +82,7 @@ class CorpusSpec extends SparkSpec {
     assert(rows.length == texts.size, "one row per document")
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
-      val tags = r.getSeq[String](1)
+      val tags = r.getAs[String]("tags").split(";").filter(_.nonEmpty).toSeq
       val expected = themeRules.collect {
         case (theme, pats) if pats.exists(p =>
           java.util.regex.Pattern.compile("(?i)" + p).matcher(texts(id)).find()) => theme

@@ -17,14 +17,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+class ArrayColumnError(Exception):
+    """The driver's compare sorts raw pandas values and CRASHES on array
+    cells (unhashable numpy.ndarray — round-3 corpus_tag_themes failure).
+    Replicate that as a loud local failure: driver queries must emit
+    scalar columns only (join arrays to strings at the boundary)."""
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
         if df[c].dtype == object:
-            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                                str(type(v)).find("ndarray") >= 0 else v)
+            bad = df[c].apply(lambda v: isinstance(v, (list, tuple)) or
+                              str(type(v)).find("ndarray") >= 0)
+            if bad.any():
+                raise ArrayColumnError(
+                    f"column '{c}' holds array values — the driver's pandas "
+                    "sort will crash on these; emit a joined string instead")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -55,7 +66,12 @@ def main():
             print(f"FAIL  {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        a, b = canon(spark_df), canon(oracle_df)
+        try:
+            a, b = canon(spark_df), canon(oracle_df)
+        except ArrayColumnError as e:
+            print(f"FAIL  {name}: {e}")
+            n_fail += 1
+            continue
         if list(a.columns) != list(b.columns):
             print(f"FAIL  {name}: columns spark={list(a.columns)} oracle={list(b.columns)}")
             n_fail += 1
