@@ -46,6 +46,54 @@ class IncrementalSpec extends SparkSpec {
       (3L, "b", 30.0, 60.0), (4L, "c", 40.0, 80.0)))
   }
 
+  test("two-stage DAG: an upstream delta propagates partition-selectively downstream") {
+    // The reference's Snakefile chains fetch → normalize → tag as dependent
+    // rules (Snakefile:1-40). The Spark-native form is two chained
+    // materializations: stage 2 reads stage 1's OUTPUT, so its per-partition
+    // content hashes change exactly where stage 1 actually rewrote content —
+    // the delta propagates by construction, no extra bookkeeping. A
+    // one-partition upstream edit must recompute exactly one partition in
+    // BOTH stages; every other downstream partition keeps its files.
+    import SparkSpec.spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dag").toString
+    val (out1, out2) = (s"$root/normalized", s"$root/tagged")
+    val normalize = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("text", lower(col("text")))
+    val tag = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("tagged", col("text").contains("tax"))
+    def runDag(src: org.apache.spark.sql.DataFrame): (Seq[String], Seq[String]) = {
+      val c1 = Incremental.materialize(src, "part", out1)(normalize)
+      val c2 = Incremental.materialize(
+        SparkSpec.spark.read.parquet(out1), "part", out2)(tag)
+      (c1, c2)
+    }
+
+    val base = Seq((1L, "a", "Tax Bill"), (2L, "b", "Roads"), (3L, "c", "Schools"))
+      .toDF("id", "part", "text")
+    assert(runDag(base) == (Seq("a", "b", "c"), Seq("a", "b", "c")))
+    val s1Before = Seq("b", "c").map(p => p -> partFiles(out1, p)).toMap
+    val s2Before = Seq("b", "c").map(p => p -> partFiles(out2, p)).toMap
+
+    // no-op rerun: neither stage recomputes anything
+    assert(runDag(base) == (Seq(), Seq()))
+
+    Thread.sleep(1100) // mtime granularity can be a full second
+    val mutated = Seq((1L, "a", "TAX and Budget"), (2L, "b", "Roads"), (3L, "c", "Schools"))
+      .toDF("id", "part", "text")
+    assert(runDag(mutated) == (Seq("a"), Seq("a")),
+      "one upstream partition changed — both stages must recompute exactly it")
+    Seq("b", "c").foreach { p =>
+      assert(partFiles(out1, p) == s1Before(p), s"stage-1 partition $p rewritten needlessly")
+      assert(partFiles(out2, p) == s2Before(p), s"stage-2 partition $p rewritten needlessly")
+    }
+    // end-to-end content equals tag(normalize(mutated))
+    val got = SparkSpec.spark.read.parquet(out2)
+      .select("id", "text", "tagged").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq((1L, "tax and budget", true),
+      (2L, "roads", false), (3L, "schools", false)))
+  }
+
   test("partition hash is order-independent but value- and count-sensitive") {
     import SparkSpec.spark.implicits._
     val a = Seq((1L, "x", 1.0), (2L, "x", 2.0)).toDF("id", "part", "v")
