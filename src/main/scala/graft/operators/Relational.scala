@@ -518,6 +518,88 @@ object Relational {
     qMarketShareFrom(s, d, l, o)
   }
 
+  /** Band (range) join via bin bucketing: for each part, how many other
+    * parts are priced within ±50 cents, and the exact sum of the gaps.
+    *
+    * A naive theta-join (`abs(a.price - b.price) <= band`) has no equi-key,
+    * so Spark would plan a BroadcastNestedLoopJoin — O(n²) compares and a
+    * guaranteed 100 TB death. The scale form bins the join dimension at the
+    * band width: a row can only have band-mates in its own or the two
+    * neighboring bins, so replicating ONE side ×3 (explode over bin-1..bin+1)
+    * turns the range join into an EQUI-join on the bin id — shuffle/hash
+    * join, linear in candidates, skew handled by AQE. Each candidate pair
+    * meets exactly once (the probe bins are distinct). PlanSpec asserts no
+    * nested-loop join survives in the plan.
+    *
+    * All arithmetic in exact integer cents (`round(price*100)::BIGINT`) —
+    * double subtraction at the band boundary is not cross-engine-stable,
+    * integer compare is. Oracle: DuckDB's native IEJoin on the same
+    * predicate (its own scale path for inequality joins). */
+  def qRangeJoinBinned(s: SparkSession, d: String): DataFrame = {
+    val bandCents = 50L
+    val c = Tables.part(s, d)
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+      .withColumn("bin", expr(s"cents div $bandCents"))
+    val probes = c.select(col("p_partkey").as("b_key"), col("cents").as("b_cents"),
+        explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("probe_bin"))
+    c.join(probes,
+        col("bin") === col("probe_bin") &&
+          col("p_partkey") =!= col("b_key") &&
+          abs(col("cents") - col("b_cents")) <= bandCents)
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_close"),
+        sum(abs(col("cents") - col("b_cents"))).as("sum_gap_cents"))
+      .orderBy("p_partkey")
+  }
+
+  private val qRangeJoinBinnedSql =
+    """WITH c AS (
+      |  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      |  FROM part
+      |)
+      |SELECT a.p_partkey,
+      |  CAST(count(*) AS BIGINT) AS n_close,
+      |  CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS sum_gap_cents
+      |FROM c a JOIN c b
+      |  ON a.p_partkey <> b.p_partkey AND abs(a.cents - b.cents) <= 50
+      |GROUP BY a.p_partkey
+      |ORDER BY a.p_partkey""".stripMargin
+
+  /** Time-interval window aggregate: per event, the user's trailing-10-minute
+    * event count and value sum — RANGE BETWEEN (time-based frame), distinct
+    * from q_window_running's ROWS frame. One shuffle on user_id; the
+    * user_id < 20 filter pushes down to the parquet scan so only those
+    * users' rows are ever read. Values summed in exact integer cents: a
+    * per-frame double sum re-associates differently across engines. */
+  def qWindowTimeRange(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TimeFunctions.nsToMs
+    val w = Window.partitionBy("user_id").orderBy("ts_ms")
+      .rangeBetween(-600000L, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("user_id") < 20)
+      .select(col("event_id"), col("user_id"), nsToMs("ts").as("ts_ms"),
+        round(col("value") * 100).cast("long").as("val_cents"))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        count(lit(1)).over(w).as("ev_cnt_10m"),
+        sum(col("val_cents")).over(w).as("val_cents_10m"))
+      .orderBy("user_id", "ts_ms", "event_id")
+  }
+
+  private val qWindowTimeRangeSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      |    CAST(round(value * 100) AS BIGINT) AS val_cents
+      |  FROM events WHERE user_id < 20
+      |)
+      |SELECT event_id, user_id, ts_ms,
+      |  CAST(count(*) OVER w AS BIGINT) AS ev_cnt_10m,
+      |  CAST(sum(val_cents) OVER w AS BIGINT) AS val_cents_10m
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+      |  RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts_ms, event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_pivot", qPivot, Some(qPivotSql)),
     Q("q_describe", qDescribe, Some(qDescribeSql)),
@@ -537,6 +619,8 @@ object Relational {
     Q("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     Q("q_orders_enriched", qOrdersEnriched, Some(qOrdersEnrichedSql)),
     Q("q_percentiles", qPercentiles, Some(qPercentilesSql)),
-    Q("q_approx_distinct", qApproxDistinct, None)
+    Q("q_approx_distinct", qApproxDistinct, None),
+    Q("q_range_join_binned", qRangeJoinBinned, Some(qRangeJoinBinnedSql)),
+    Q("q_window_time_range", qWindowTimeRange, Some(qWindowTimeRangeSql))
   )
 }

@@ -120,6 +120,19 @@ class PlanSpec extends SparkSpec {
     dimOk.toSet + (("corpus_build", "documents.parquet"))
   }
 
+  test("range join: bin bucketing yields an equi hash join, not a nested loop") {
+    val plan = planOf(Relational.qRangeJoinBinned(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"band join fell back to O(n^2):\n$plan")
+    assert(plan.contains("HashJoin"), s"expected hash join on the bin key:\n$plan")
+  }
+
+  test("window_time_range: user filter pushed to scan, single user_id exchange") {
+    val plan = planOf(Relational.qWindowTimeRange(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), LessThan(user_id"),
+      s"user filter not pushed:\n$plan")
+  }
+
   test("every query prunes every testdata parquet scan (no full-width reads)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val violations = SparkEntry.allQueries.flatMap { q =>

@@ -63,6 +63,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("range join: band membership is symmetric (total close-count is even)") {
+    // every qualifying pair (a,b) contributes once to a.n_close and once to
+    // b.n_close, so the global count must be even and the gap sum double-counted
+    val rows = qRangeJoinBinned(spark, sf).collect()
+    val totalClose = rows.map(_.getAs[Long]("n_close")).sum
+    assert(totalClose > 0 && totalClose % 2 == 0, s"asymmetric band join: $totalClose")
+    assert(rows.map(_.getAs[Long]("sum_gap_cents")).sum % 2 == 0)
+  }
+
+  test("window_time_range: trailing frame includes self and never shrinks below 1") {
+    val rows = qWindowTimeRange(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("ev_cnt_10m") >= 1L))
+  }
+
   test("top customer per nation: rank within 1..3 and descending spend") {
     val rows = qTopCustomerPerNation(spark, sf).collect()
     rows.groupBy(_.getAs[String]("n_name")).foreach { case (_, rs) =>
