@@ -563,7 +563,58 @@ object Corpus {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Stratified quota sampling / domain-mixture construction: each source
+    * stratum keeps an EXACT per-mille quota of its documents (the "domain
+    * weights" step of assembling a pretraining mix — e.g. upsample curated
+    * sources, downsample crawl). Deterministic and shuffle-cheap:
+    *  - rank within stratum by md5(seed || doc_id) — a content-addressed
+    *    uniform order, reproducible across engines and runs, no RNG state;
+    *  - quota = (n_src * permille) div 1000 in exact integer arithmetic;
+    *  - one shuffle on `source` for the two window functions, then a filter.
+    * At 100 TB the rank-window shuffles each stratum once — same cost class
+    * as any per-key window; skewed strata split by AQE. No collect, no
+    * global sort (final ORDER BY is presentation-only).
+    *
+    * Weights: src ending 0/4/8 keep 100%, 1/5/9 keep 50%, 2/6 keep 25%,
+    * else 10% — a stand-in for a named domain-weight table, which at scale
+    * would be a broadcast-joined config relation. */
+  def corpusSampleStratified(s: SparkSession, d: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "(\\d+)$", 1).cast("long")
+    val permille = when(pmod(srcNum, lit(4)) === 0, 1000L)
+      .when(pmod(srcNum, lit(4)) === 1, 500L)
+      .when(pmod(srcNum, lit(4)) === 2, 250L)
+      .otherwise(100L)
+    val rankHash = md5(concat(lit("graft-mix-1"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("source").orderBy(rankHash.asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("permille", permille)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")).cast("long"))
+      .withColumn("quota", expr("(n_src * permille) div 1000"))
+      .filter(col("rk") <= col("quota"))
+      .select("source", "rk", "doc_id", "lang", "quota", "n_src")
+      .orderBy("source", "rk")
+  }
+
+  private val corpusSampleStratifiedSql =
+    """WITH base AS (
+      |  SELECT *, CASE CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 4
+      |      WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 100 END AS permille
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT source, doc_id, lang, permille,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('graft-mix-1' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      |  FROM base
+      |)
+      |SELECT source, rk, doc_id, lang,
+      |  CAST((n_src * permille) // 1000 AS BIGINT) AS quota, n_src
+      |FROM ranked WHERE rk <= (n_src * permille) // 1000
+      |ORDER BY source, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("corpus_sample_stratified", corpusSampleStratified, Some(corpusSampleStratifiedSql)),
     Q("corpus_tag_themes", corpusTagThemes, Some(corpusTagThemesSql)),
     Q("corpus_heavy_hitters", corpusHeavyHitters, Some(corpusTopTokensSql)),
     Q("corpus_sample", corpusSample, Some(corpusSampleSql)),

@@ -419,7 +419,107 @@ object TextAnalysis {
        |HAVING count(*) >= 3
        |ORDER BY c.doc_id, benchmark_id""".stripMargin
 
+  /** Sequence packing: assign documents to fixed token-budget training
+    * sequences (budget 512) with NEXT-FIT semantics — walk the stratum in a
+    * deterministic order, a document lands in the sequence its exclusive
+    * cumulative token count falls in, oversized documents overflow their
+    * sequence rather than splitting. This is the shard-building step between
+    * "filtered corpus" and "training batches".
+    *
+    * Packing is per-LANGUAGE (the realistic sharding key): one window
+    * shuffle on lang, running sum inside the partition — NOT a global sort.
+    * At 100 TB the stratum key would be (lang, shard_salt) so no single
+    * partition holds a whole language; the per-stratum plan is unchanged.
+    * All arithmetic exact integers. */
+  def textPackSequences(s: SparkSession, d: String): DataFrame = {
+    val budget = 512L
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), wordCount(col("text")).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tokens) div $budget"))
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("seq_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang", "seq_id")
+  }
+
+  private val textPackSequencesSql =
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+      |         ELSE array_length(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t
+      |)
+      |SELECT lang, CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c
+      |GROUP BY lang, (cum - n_tokens) // 512
+      |ORDER BY lang, seq_id""".stripMargin
+
+  /** Composite pretraining filter chain (C4/Gopher-style): the rules run in
+    * a fixed order and the FIRST failing rule is the recorded drop reason —
+    * exactly the keep/drop audit log a data-curation run must emit. One
+    * single-scan case-when cascade, all thresholds compared in exact integer
+    * cross-multiplication (ratio < x/y as n*y < x*d), so the verdict is
+    * bit-stable across engines. */
+  def textFilterChain(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      wordCount(col("text")).as("n_tokens"),
+      length(col("text")).cast("long").as("len_chars"),
+      alphaCount(lower(col("text"))).as("n_alpha"),
+      punctCount(col("text")).cast("long").as("n_punct"),
+      nonSpaceCount(col("text")).as("n_nonspace"))
+    base
+      .withColumn("reason",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("n_nonspace") < col("n_tokens") * 3, "short_words")
+          .when(col("n_nonspace") > col("n_tokens") * 12, "long_words")
+          .when(col("n_alpha") * 10 < col("len_chars") * 6, "low_alpha")
+          .when(col("n_punct") * 100 > col("len_chars") * 10, "high_punct")
+          .otherwise("keep"))
+      .withColumn("keep", (col("reason") === "keep").cast("boolean"))
+      .select("doc_id", "n_tokens", "keep", "reason")
+      .orderBy("doc_id")
+  }
+
+  private val textFilterChainSql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+      |         ELSE array_length(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
+      |    length(text) AS len_chars,
+      |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+      |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+      |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+      |  FROM documents
+      |), v AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN n_tokens < 20 THEN 'too_short'
+      |         WHEN n_nonspace < n_tokens * 3 THEN 'short_words'
+      |         WHEN n_nonspace > n_tokens * 12 THEN 'long_words'
+      |         WHEN n_alpha * 10 < len_chars * 6 THEN 'low_alpha'
+      |         WHEN n_punct * 100 > len_chars * 10 THEN 'high_punct'
+      |         ELSE 'keep' END AS reason
+      |  FROM b
+      |)
+      |SELECT doc_id, n_tokens, reason = 'keep' AS keep, reason
+      |FROM v ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_pack_sequences", textPackSequences, Some(textPackSequencesSql)),
+    Q("text_filter_chain", textFilterChain, Some(textFilterChainSql)),
     Q("text_fuzzy_match", textFuzzyMatch, Some(textFuzzyMatchSql)),
     Q("text_token_stats", textTokenStats, Some(textTokenStatsSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),

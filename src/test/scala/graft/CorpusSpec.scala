@@ -91,4 +91,26 @@ class CorpusSpec extends SparkSpec {
       assert(tags == tags.sorted, s"doc $id: tags not sorted")
     }
   }
+
+  test("stratified sample: every stratum keeps exactly its integer quota") {
+    import graft.Tables
+    val srcTotals = Tables.documents(spark, sf)
+      .groupBy("source").count()
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val rows = corpusSampleStratified(spark, sf).collect()
+    val kept = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length.toLong).toMap
+    kept.foreach { case (src, n) =>
+      val total = srcTotals(src)
+      val permille = src.replaceAll("\\D", "").toLong % 4 match {
+        case 0 => 1000L; case 1 => 500L; case 2 => 250L; case _ => 100L
+      }
+      assert(n == total * permille / 1000,
+        s"$src: kept $n of $total at $permille permille")
+    }
+    // full-weight strata keep everything; ranks are 1..quota with no gaps
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val rks = rs.map(_.getAs[Long]("rk")).sorted.toSeq
+      assert(rks == (1L to rks.length).toSeq, s"$src: rank gaps $rks")
+    }
+  }
 }

@@ -52,4 +52,42 @@ class TextAnalysisSpec extends SparkSpec {
       assert(shared >= 3)
     }
   }
+
+  test("sequence packing: conserves tokens/docs; next-fit boundaries respected") {
+    import graft.functions.TextFunctions._
+    val perDoc = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), wordCount(col("text")).as("t"))
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"), r.getAs[Long]("t")))
+    val rows = textPackSequences(spark, sf).collect()
+    // conservation: packing moves every token and every doc into exactly one sequence
+    assert(rows.map(_.getAs[Long]("seq_tokens")).sum == perDoc.map(_._3).sum)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == perDoc.length)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val ids = rs.map(_.getAs[Long]("seq_id")).sorted.toSeq
+      assert(ids == (0L until ids.length).toSeq, s"$lang: seq_id gaps: $ids")
+      // next-fit: a sequence only opens once the previous one crossed the
+      // budget, so every sequence except the last must hold >= 512 - (max
+      // doc size - 1) tokens... the tight invariant: the exclusive cumsum of
+      // each sequence's first doc lies in [seq_id*512, (seq_id+1)*512)
+      val docsSorted = perDoc.filter(_._1 == lang).sortBy(_._2)
+      val cumEx = docsSorted.scanLeft(0L)(_ + _._3)
+      val firstDocBin = docsSorted.zip(cumEx).map { case ((_, id, _), ce) => id -> ce / 512 }.toMap
+      rs.foreach { r =>
+        assert(firstDocBin(r.getAs[Long]("first_doc")) == r.getAs[Long]("seq_id"))
+      }
+    }
+  }
+
+  test("filter chain: verdicts partition the corpus; reasons from the fixed set") {
+    val total = Tables.documents(spark, sf).count()
+    val rows = textFilterChain(spark, sf).collect()
+    assert(rows.length == total, "one verdict per document")
+    val reasons = Set("keep", "too_short", "short_words", "long_words", "low_alpha", "high_punct")
+    rows.foreach { r =>
+      assert(reasons.contains(r.getAs[String]("reason")))
+      assert(r.getAs[Boolean]("keep") == (r.getAs[String]("reason") == "keep"))
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")), "some docs must survive")
+    assert(rows.exists(!_.getAs[Boolean]("keep")), "some docs must be dropped")
+  }
 }
