@@ -21,7 +21,9 @@ object SparkEntry {
       operators.Multimodal.all ++
       sources.JsonlSource.all :+
       Q("streaming_sessionize", streaming.EventStream.streamingSessionize,
-        Some(streaming.EventStream.streamingSessionizeSql))
+        Some(streaming.EventStream.streamingSessionizeSql)) :+
+      Q("streaming_dedup", streaming.EventStream.streamingDedup,
+        Some(streaming.EventStream.streamingDedupSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -80,10 +80,13 @@ object Similarity {
     * 64-dim dot product in index order, so the sign bits — and hence the
     * buckets — match bit-exactly). Recall vs brute force additionally
     * asserted in SimilaritySpec. */
-  def simAnnLsh(s: SparkSession, d: String): DataFrame = {
+  /** (vec_id, v, nrm, sig): every embedding with its 8-bit hyperplane sign
+    * signature — the shared bucketing relation for LSH ANN and the kNN
+    * graph. The signature folds 8 codegen'd dot products into one long. */
+  private def sigRelation(s: SparkSession, d: String): DataFrame = {
     val planesCol = typedlit(planes)
     def shl(v: Column, n: Column) = call_function("shiftleft", v, n)
-    val emb = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
       .withColumn("sig",
@@ -91,6 +94,10 @@ object Similarity {
           (acc, p) => acc.bitwiseOR(
             shl(when(vecDot(element_at(planesCol, p + 1), col("v")) >= 0, lit(1L))
               .otherwise(lit(0L)), p))))
+  }
+
+  def simAnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = sigRelation(s, d)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("sig").as("qsig"))
@@ -230,6 +237,57 @@ object Similarity {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  /** k-nearest-neighbor GRAPH: top-3 cosine neighbors for EVERY vector, not
+    * just a query set — the structure semantic-dedup clustering and
+    * diversity sampling are built on. All-pairs is n² and unthinkable at
+    * 100 TB; instead both sides bucket by the LSH sign signature and the
+    * self-join runs per bucket (a shuffle hash join on `sig`, ~n/256 rows a
+    * bucket, skew split by AQE). Recall at scale comes from running multiple
+    * signature bands and unioning — same plan shape, b× the cost, still
+    * never n². Fully oracled: the plane constants are embedded in the SQL
+    * (see simAnnLsh), so bucket membership matches bit-exactly. */
+  def simKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val emb = sigRelation(s, d)
+    val pairs = emb.as("a").join(emb.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        round(vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4).as("cosine"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr_id").asc)
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy("vec_id", "rk")
+  }
+
+  private val simKnnGraphSql = {
+    val planeRows = planes.zipWithIndex
+      .map { case (pl, i) => s"($i, [${pl.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), planes(p, pl) AS (
+       |  VALUES $planeRows
+       |), sig AS (
+       |  SELECT v.vec_id,
+       |    CAST(sum(CASE WHEN list_dot_product(v.e, planes.pl) >= 0
+       |      THEN 1 << planes.p ELSE 0 END) AS BIGINT) AS sig
+       |  FROM v CROSS JOIN planes GROUP BY v.vec_id
+       |), scored AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |    round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS cosine
+       |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+       |  JOIN v x ON x.vec_id = a.vec_id
+       |  JOIN v y ON y.vec_id = b.vec_id
+       |), ranked AS (
+       |  SELECT vec_id, nbr_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT vec_id, nbr_id, cosine, rk FROM ranked WHERE rk <= 3
+       |ORDER BY vec_id, rk""".stripMargin
+  }
+
   /** Per-label centroid norm — the IVF coarse-quantizer statistic. Two-level
     * aggregation: (label, dim) partial means, then per-label norm. */
   def simCentroidByLabel(s: SparkSession, d: String): DataFrame = {
@@ -294,6 +352,7 @@ object Similarity {
     Q("sim_doc_embedding_join", simDocEmbeddingJoin, Some(simDocEmbeddingJoinSql)),
     Q("sim_topk_bruteforce", simTopkBruteforce, Some(simTopkBruteforceSql)),
     Q("sim_ann_lsh", simAnnLsh, Some(simAnnLshSql)),
+    Q("sim_knn_graph", simKnnGraph, Some(simKnnGraphSql)),
     Q("sim_ann_ivf", simAnnIvf, None),
     Q("sim_centroid_by_label", simCentroidByLabel, Some(simCentroidByLabelSql))
   )

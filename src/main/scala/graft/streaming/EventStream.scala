@@ -138,6 +138,45 @@ object EventStream {
     result
   }
 
+  /** Streaming deduplication: collapse retriggered events — duplicates of
+    * the same (user_id, event_type) within a minute — then count survivors
+    * per event_type. `dropDuplicates` holds one state row per key; the
+    * dedup key INCLUDES the watermarked event-time column (`mb`, the minute
+    * bucket the watermark is declared on), which is what lets the state
+    * store GC keys older than the watermark — without that, a 100 TB
+    * stream's dedup state grows forever. Output depends only on which KEYS
+    * exist, never on which duplicate arrived first, so batch parity is
+    * exact. */
+  def dedupCountsByType(events: DataFrame): DataFrame = {
+    val tsMs = graft.functions.TimeFunctions.nsToMs("ts")
+    // minute-floor without div: x - pmod(x, m) is the exact floor multiple
+    val minuteMs = tsMs - pmod(tsMs, lit(60000L))
+    events
+      .withColumn("mb", timestamp_millis(minuteMs))
+      .withWatermark("mb", "10 minutes")
+      .dropDuplicates("user_id", "event_type", "mb")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_dedup"))
+  }
+
+  /** Driver-contract entry: watermarked streaming dedup over the sf dir. */
+  def streamingDedup(s: SparkSession, dir: String): DataFrame =
+    // Complete mode: the finite replay must emit counts for keys still
+    // inside the watermark horizon too
+    runOnBatch(s, dir, dedupCountsByType, s"stream_dedup_${System.nanoTime()}",
+      OutputMode.Complete)
+      .orderBy("event_type")
+
+  /** Batch-equivalent SQL: distinct (user, type, minute) keys per type. */
+  val streamingDedupSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_dedup
+      |FROM (
+      |  SELECT DISTINCT user_id, event_type, epoch_ms(ts) // 60000 AS mb
+      |  FROM events
+      |)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Driver-contract entry: streaming sessionization over the sf dir,
     * deterministically ordered. Oracled: the finite replay must produce the
     * exact batch gap-sessionization (StreamingSpec proves parity; the DuckDB

@@ -52,6 +52,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("knn graph: per-vector top-3, ranked, and edges stay within LSH buckets") {
+    val rows = simKnnGraph(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (v, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.length <= 3, s"vec $v has ${sorted.length} neighbors")
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length).toSeq)
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"vec $v not ranked")
+      assert(sorted.forall(_.getAs[Long]("nbr_id") != v), s"vec $v self-edge")
+    }
+    // the graph is bucket-closed: an edge (a,b) implies b's neighbor list is
+    // drawn from the same bucket, so b must also have >= 1 edge
+    val withEdges = rows.map(_.getAs[Long]("vec_id")).toSet
+    assert(rows.forall(r => withEdges.contains(r.getAs[Long]("nbr_id"))),
+      "edge target has no own neighbor list — bucket asymmetry")
+  }
+
   test("centroid norms: one row per label, norm below mean member norm") {
     val rows = simCentroidByLabel(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("label")).distinct.length == rows.length)

@@ -47,4 +47,18 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
     assert(finalRows == batch)
   }
+
+  test("streaming dedup equals batch distinct-key counts per event type") {
+    val streamed = EventStream.streamingDedup(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_dedup")).toMap
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        graft.functions.TimeFunctions.nsToMs("ts").as("ms"))
+      .withColumn("mb", col("ms") - pmod(col("ms"), lit(60000L)))
+      .select("user_id", "event_type", "mb").distinct()
+      .groupBy("event_type").count()
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.values.sum > 0)
+  }
 }
