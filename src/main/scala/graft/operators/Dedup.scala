@@ -217,6 +217,40 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-document boilerplate detection — C4's "remove lines occurring
+    * repeatedly across the corpus" adapted to word-span granularity: for
+    * each document, how many of its distinct 3-word shingles occur in ≥ 5
+    * documents, as an exact integer basis-point share. High common_bp =
+    * template/boilerplate text that near-dup pair finding (which needs
+    * j ≥ 0.5 overall) never flags.
+    *
+    * Plan: the shared cached shingle relation → ONE df aggregation (shuffle
+    * on shingle, uniform) → join back → per-doc aggregation on the doc_id
+    * partitioning the shingle relation already has. Linear everywhere; the
+    * df relation is never collected or broadcast by hand (at 100 TB it is
+    * corpus-vocabulary-sized — the shuffle join is the right plan). */
+  def dedupCommonSpans(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRelation(s, d)
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(dfs, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 5, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("common_bp", expr("(10000 * n_common) div n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupCommonSpansSql =
+    s"""WITH $shingleCte,
+       |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+       |SELECT sh.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN dfs.df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       |  CAST((10000 * sum(CASE WHEN dfs.df >= 5 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS common_bp
+       |FROM sh JOIN dfs ON sh.shingle = dfs.shingle
+       |GROUP BY sh.doc_id
+       |ORDER BY sh.doc_id""".stripMargin
+
   /** Production MinHash+LSH: k=32 hash permutations (xxhash64 seeded by
     * index), 8 bands × 4 rows, candidate pairs from band-bucket collisions,
     * verified with exact Jaccard over shingle sets.
@@ -520,6 +554,7 @@ object Dedup {
     Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(trueJaccardSql)),
     Q("dedup_minhash_lsh", dedupMinhashLsh, Some(trueJaccardSql)),
     Q("dedup_simhash", dedupSimhash, None),
-    Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql))
+    Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
+    Q("dedup_common_spans", dedupCommonSpans, Some(dedupCommonSpansSql))
   )
 }

@@ -80,7 +80,45 @@ object Multimodal {
       .orderBy("source")
   }
 
+  /** Frame sampling over "video" payloads: uniform-stride selection of at
+    * most 8 frame indices per document, then a byte-slice "frame extraction"
+    * — the sampling plan a video-pretraining pipeline runs before feature
+    * extraction. Everything after payload synthesis is DECLARATIVE and
+    * codegen'd: `sequence(0, n-1, stride)` + `posexplode` generate the
+    * sampled indices distributedly (never a driver-side loop over frames),
+    * and `substring` on the BinaryType column slices the frame bytes. A real
+    * decoder would replace only the slice with a mapPartitions arm like
+    * decodeStub. Rows-only (payload synthesis is not SQL-expressible);
+    * MultimodalSpec asserts stride uniformity, bounds, and byte accounting.
+    *
+    * The fake layout: the body after the 8-byte header is declared_w
+    * "frames"; frame i starts at body offset i*frameBytes with frameBytes =
+    * max(1, bodyLen div n_frames). */
+  def mmFrameSample(s: SparkSession, d: String): DataFrame = {
+    val withMeta = withPayload(s, d)
+      .select(col("doc_id"), col("source"), col("payload"),
+        col("meta.declared_w").cast("long").as("n_frames"),
+        (length(col("payload")).cast("long") - 8L).as("body_len"))
+      .withColumn("stride", greatest(lit(1L), expr("n_frames div 8")))
+      .withColumn("frame_bytes", greatest(lit(1L), expr("body_len div n_frames")))
+    val frames = withMeta
+      .select(col("doc_id"), col("source"), col("payload"),
+        col("n_frames"), col("frame_bytes"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1, col("stride")))
+          .as(Seq("sample_idx", "frame_idx")))
+      .filter(col("sample_idx") < 8) // cap: stride rounding can yield a 9th
+      .withColumn("frame", expr(
+        "substring(payload, cast(9 + frame_idx * frame_bytes as int), cast(frame_bytes as int))"))
+    frames.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sampled"),
+        max("frame_idx").as("max_idx"),
+        first("n_frames").as("n_frames"),
+        sum(length(col("frame")).cast("long")).as("sampled_bytes"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
-    Q("mm_decode_stats", mmDecodeStats, None)
+    Q("mm_decode_stats", mmDecodeStats, None),
+    Q("mm_frame_sample", mmFrameSample, None)
   )
 }

@@ -518,6 +518,41 @@ object Relational {
     qMarketShareFrom(s, d, l, o)
   }
 
+  /** CUBE (full grouping-sets lattice) over (returnflag, linestatus),
+    * written as union-of-levels re-aggregation from ONE base aggregate:
+    * the (rf, ls) level scans lineitem once, the three coarser levels
+    * re-aggregate the tiny base — the exact partial-agg reuse a GROUPING
+    * SETS plan does, minus Spark 4.1's Dataset.cube ambiguous-self-join
+    * false positive (same trap as rollup, see qRollup). Quantities are
+    * integer-valued doubles, so the long cast is exact cross-engine. */
+  def qCube(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+    val byRf = base.groupBy("l_returnflag")
+      .agg(lit(null).cast("string").as("l_linestatus"), sum("n").as("n"), sum("q").as("q"))
+      .select("l_returnflag", "l_linestatus", "n", "q")
+    val byLs = base.groupBy("l_linestatus")
+      .agg(sum("n").as("n"), sum("q").as("q"))
+      .select(lit(null).cast("string").as("l_returnflag"), col("l_linestatus"),
+        col("n"), col("q"))
+    val grand = base.agg(sum("n").as("n"), sum("q").as("q"))
+      .select(lit(null).cast("string").as("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus"), col("n"), col("q"))
+    base.unionByName(byRf).unionByName(byLs).unionByName(grand)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("n").as("n_items"), col("q").cast("long").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  private val qCubeSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** Band (range) join via bin bucketing: for each part, how many other
     * parts are priced within ±50 cents, and the exact sum of the gaps.
     *
@@ -621,6 +656,7 @@ object Relational {
     Q("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     Q("q_approx_distinct", qApproxDistinct, None),
     Q("q_range_join_binned", qRangeJoinBinned, Some(qRangeJoinBinnedSql)),
-    Q("q_window_time_range", qWindowTimeRange, Some(qWindowTimeRangeSql))
+    Q("q_window_time_range", qWindowTimeRange, Some(qWindowTimeRangeSql)),
+    Q("q_cube", qCube, Some(qCubeSql))
   )
 }

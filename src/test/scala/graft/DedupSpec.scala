@@ -130,4 +130,26 @@ class DedupSpec extends SparkSpec {
     assert(cellCand * 2 < labelCand,
       s"IVF cells should halve the candidate space at least: $cellCand vs $labelCand")
   }
+
+  test("common spans: basis points match a manual df>=5 pass over the shingles") {
+    import graft.functions.TextFunctions._
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(wordShingles(normalizeText(col("text")), 3)).as("sh"))
+      .distinct()
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("sh")))
+    val df = sh.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = sh.groupBy(_._1).map { case (doc, ss) =>
+      val n = ss.length.toLong
+      val c = ss.count(p => df(p._2) >= 5).toLong
+      doc -> ((n, c, 10000L * c / n))
+    }
+    val rows = operators.Dedup.dedupCommonSpans(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val got = (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_common"),
+        r.getAs[Long]("common_bp"))
+      assert(got == expected(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}: $got vs ${expected(r.getAs[Long]("doc_id"))}")
+    }
+  }
 }

@@ -33,4 +33,33 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("doc_id") === row.doc_id).select("text").head().getString(0)
     assert(row.payload.drop(8).sameElements(text.getBytes("UTF-8")))
   }
+
+  test("frame sampling: <= 8 uniform-stride frames per doc, in-range, byte-accounted") {
+    val s = spark
+    import s.implicits._
+    val meta = Multimodal.withPayload(spark, sf).as[Multimodal.MediaRow]
+      .collect().map(r => r.doc_id ->
+        (r.meta.declared_w.toLong, r.payload.length.toLong - 8L)).toMap
+    val rows = Multimodal.mmFrameSample(spark, sf).collect()
+    assert(rows.length == meta.size, "one row per document")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nFrames, bodyLen) = meta(id)
+      val stride = math.max(1L, nFrames / 8)
+      val n = r.getAs[Long]("n_sampled")
+      assert(n >= 1 && n <= 8, s"doc $id: $n frames sampled")
+      assert(n == math.min(8L, (nFrames - 1) / stride + 1), s"doc $id: stride not uniform")
+      assert(r.getAs[Long]("max_idx") == (n - 1) * stride, s"doc $id: wrong last index")
+      assert(r.getAs[Long]("n_frames") == nFrames)
+      // exact byte accounting: frame idx starts at body offset idx*frameBytes
+      // and is clipped by the payload end (declared frame counts can exceed
+      // the body, so tail frames may be legitimately empty)
+      val frameBytes = math.max(1L, bodyLen / nFrames)
+      val expectedBytes = (0L until n).map(_ * stride)
+        .map(idx => math.max(0L, math.min(frameBytes, bodyLen - idx * frameBytes)))
+        .sum
+      assert(r.getAs[Long]("sampled_bytes") == expectedBytes,
+        s"doc $id: ${r.getAs[Long]("sampled_bytes")} vs $expectedBytes")
+    }
+  }
 }

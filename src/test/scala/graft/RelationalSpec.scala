@@ -78,6 +78,20 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("ev_cnt_10m") >= 1L))
   }
 
+  test("cube: all four grouping levels present and internally consistent") {
+    val rows = qCube(spark, sf).collect()
+    def lvl(rf: Boolean, ls: Boolean) = rows.filter(r =>
+      (r.getAs[String]("l_returnflag") != null) == rf &&
+        (r.getAs[String]("l_linestatus") != null) == ls)
+    val (base, byRf, byLs, grand) = (lvl(true, true), lvl(true, false), lvl(false, true), lvl(false, false))
+    assert(grand.length == 1 && base.nonEmpty && byRf.nonEmpty && byLs.nonEmpty)
+    val total = base.map(_.getAs[Long]("n_items")).sum
+    assert(grand.head.getAs[Long]("n_items") == total)
+    assert(byRf.map(_.getAs[Long]("n_items")).sum == total)
+    assert(byLs.map(_.getAs[Long]("n_items")).sum == total)
+    assert(grand.head.getAs[Long]("sum_qty") == base.map(_.getAs[Long]("sum_qty")).sum)
+  }
+
   test("top customer per nation: rank within 1..3 and descending spend") {
     val rows = qTopCustomerPerNation(spark, sf).collect()
     rows.groupBy(_.getAs[String]("n_name")).foreach { case (_, rs) =>
