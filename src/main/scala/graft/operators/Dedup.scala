@@ -422,8 +422,10 @@ object Dedup {
     pairs.filter(col("cosine") >= 0.35).orderBy("vec_a", "vec_b")
   }
 
-  private val dedupEmbeddingSql =
-    s"""WITH v AS (
+  // Embedding near-dup pairs as a reusable CTE chain: consumed standalone
+  // (dedup_embedding) and under the recursive closure (dedup_semantic_clusters)
+  private val embeddingPairCte =
+    s"""v AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS e,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings
@@ -440,13 +442,18 @@ object Dedup {
       |      row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cid) AS rk
       |    FROM aff
       |  ) WHERE rk = 1
-      |)
-      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS cosine
-      |FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
-      |JOIN v x ON x.vec_id = a.vec_id
-      |JOIN v y ON y.vec_id = b.vec_id
-      |WHERE round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) >= 0.35
+      |), epairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS cosine
+      |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  JOIN v x ON x.vec_id = a.vec_id
+      |  JOIN v y ON y.vec_id = b.vec_id
+      |  WHERE round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) >= 0.35
+      |)""".stripMargin
+
+  private val dedupEmbeddingSql =
+    s"""WITH $embeddingPairCte
+      |SELECT vec_a, vec_b, cosine FROM epairs
       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Duplicate-cluster formation: connected components over the near-dup
@@ -547,8 +554,34 @@ object Dedup {
        |  doc = min(lbl) AS is_keeper
        |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
 
+  /** SemDeDup-style semantic duplicate clusters: connected components over
+    * the embedding-cosine near-dup pair graph (pairs from IVF-cell blocking,
+    * CC from the same pointer-jumping core as dedup_clusters — keep the
+    * min-id vector per semantic cluster, drop the rest). Pure composition of
+    * two already-scale-proven operators; the oracle composes the embedding
+    * pair CTEs under DuckDB's recursive closure. */
+  def dedupSemanticClusters(s: SparkSession, d: String): DataFrame =
+    clusterPairs(dedupEmbedding(s, d)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .withColumnRenamed("doc_id", "vec_id")
+
+  private val dedupSemanticClustersSql =
+    s"""WITH RECURSIVE $embeddingPairCte,
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM epairs
+       |  UNION ALL SELECT vec_b, vec_a FROM epairs
+       |), reach(doc, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc = e.src
+       |)
+       |SELECT doc AS vec_id, min(lbl) AS cluster,
+       |  doc = min(lbl) AS is_keeper
+       |FROM reach GROUP BY doc ORDER BY vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Q("dedup_semantic_clusters", dedupSemanticClusters, Some(dedupSemanticClustersSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("dedup_minhash_1band", dedupMinhash1Band, Some(dedupMinhash1BandSql)),
     Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(trueJaccardSql)),

@@ -152,7 +152,40 @@ object Sessionize {
       |UNION ALL SELECT '3_purchase_after_click', count(*) FROM purchases
       |ORDER BY stage""".stripMargin
 
+  /** Cohort retention matrix: users grouped by their first-activity day,
+    * counted on each later active day — the product-analytics classic. Two
+    * aggregations over the SAME distinct (user, day) relation (cohort = min
+    * day per user, then count per (cohort, offset)); both shuffles key on
+    * user_id/cohort so the exchange is reused. Exact integer day arithmetic
+    * (floor-division via x − pmod(x, m), matching DuckDB // on all inputs). */
+  def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val dayMs = 86400000L
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        ((ms - pmod(ms, lit(dayMs))) / dayMs).cast("long").as("day"))
+      .distinct()
+    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users")) // (user, day) is distinct → count = users
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val eventsRetentionSql =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+      |), c AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
+      |)
+      |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM d JOIN c ON d.user_id = c.user_id
+      |GROUP BY c.cohort_day, d.day - c.cohort_day
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_events_retention", eventsRetention, Some(eventsRetentionSql)),
     Q("q_events_funnel", eventsFunnel, Some(eventsFunnelSql)),
     Q("q_events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
     Q("q_events_tumbling", eventsTumbling, Some(eventsTumblingSql)),

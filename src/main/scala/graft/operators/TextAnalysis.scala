@@ -517,7 +517,60 @@ object TextAnalysis {
       |SELECT doc_id, n_tokens, reason = 'keep' AS keep, reason
       |FROM v ORDER BY doc_id""".stripMargin
 
+  /** Perplexity-proxy quality scoring: per-document mean token SURPRISAL
+    * under the corpus's own unigram distribution (-ln p(tok), the
+    * KenLM-filter shape with n=1). Low mean surprisal = repetitive/common
+    * tokens; high = rare-token soup — both tails get dropped by real
+    * pretraining filters.
+    *
+    * Plan: one token explode → unigram counts (shuffle on token, uniform) →
+    * scalar total via a 1-row cross join (broadcast) → join scores back to
+    * the token stream → per-doc aggregate. Per-TOKEN surprisal is quantized
+    * to integer centinats FIRST (round(-ln p · 100)) and doc aggregation is
+    * exact integer sum/div — a per-doc float sum would re-associate
+    * differently across engines. The ~1-ulp libm ln() divergence cannot flip
+    * a centinat rounding (it sits ~13 orders of magnitude from a boundary). */
+  def textUnigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(wsTrim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dfs = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = dfs.agg(sum("cnt").as("tot"))
+    val scored = dfs.crossJoin(total)
+      .select(col("tok"),
+        round(-log(col("cnt") / col("tot")) * 100).cast("long").as("surp"))
+    toks.join(scored, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("surp").as("sum_surp"))
+      .withColumn("avg_surprisal_cn", expr("sum_surp div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val textUnigramLogprobSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(
+      |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+      |  FROM documents
+      |), t2 AS (
+      |  SELECT doc_id, tok FROM toks WHERE length(tok) > 0
+      |), dfs AS (
+      |  SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok
+      |), tot AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM dfs
+      |), scored AS (
+      |  SELECT tok, CAST(round(-ln(cnt * 1.0 / tot) * 100) AS BIGINT) AS surp
+      |  FROM dfs, tot
+      |)
+      |SELECT t2.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(surp) AS BIGINT) AS sum_surp,
+      |  CAST(sum(surp) // count(*) AS BIGINT) AS avg_surprisal_cn
+      |FROM t2 JOIN scored ON t2.tok = scored.tok
+      |GROUP BY t2.doc_id
+      |ORDER BY t2.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_unigram_logprob", textUnigramLogprob, Some(textUnigramLogprobSql)),
     Q("text_pack_sequences", textPackSequences, Some(textPackSequencesSql)),
     Q("text_filter_chain", textFilterChain, Some(textFilterChainSql)),
     Q("text_fuzzy_match", textFuzzyMatch, Some(textFuzzyMatchSql)),

@@ -80,6 +80,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semantic clusters: every embedding near-dup pair shares a cluster") {
+    val clusters = dedupSemanticClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val pairs = dedupEmbedding(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"cluster $c keeper is not the min id")
+    }
+  }
+
   test("clusterPairs: empty pair set yields an empty cluster table, no NPE") {
     import SparkSpec.spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")

@@ -39,4 +39,24 @@ class SessionizeSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
     rows.foreach(r => assert(r.getAs[Long]("n_missing") == 0))
   }
+
+  test("retention: day-0 row equals cohort size and bounds every later offset") {
+    val rows = eventsRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_day"))
+    byCohort.foreach { case (c, rs) =>
+      val day0 = rs.find(_.getAs[Long]("day_offset") == 0L)
+      assert(day0.isDefined, s"cohort $c missing its day-0 row")
+      val size = day0.get.getAs[Long]("n_users")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("day_offset") >= 0L)
+        assert(r.getAs[Long]("n_users") <= size,
+          s"cohort $c retains more users than it has")
+      }
+    }
+    // every user appears in exactly one cohort: day-0 totals = user count
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_.getAs[Long]("day_offset") == 0L)
+      .get.getAs[Long]("n_users")).sum == users)
+  }
 }

@@ -78,6 +78,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("unigram surprisal: positive, conserved token counts, rare beats common") {
+    import graft.functions.TextFunctions._
+    val rows = textUnigramLogprob(spark, sf).collect()
+    val totalToks = Tables.documents(spark, sf)
+      .select(wordCount(col("text")).as("n")).collect().map(_.getAs[Long]("n")).sum
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalToks)
+    rows.foreach { r =>
+      val (n, s, avg) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_surp"),
+        r.getAs[Long]("avg_surprisal_cn"))
+      assert(n > 0 && s > 0 && avg > 0)
+      assert(avg == s / n, "integer mean must be exact sum div count")
+    }
+    // a corpus has spread: not every document carries the same mean surprisal
+    assert(rows.map(_.getAs[Long]("avg_surprisal_cn")).distinct.length > 1)
+  }
+
   test("filter chain: verdicts partition the corpus; reasons from the fixed set") {
     val total = Tables.documents(spark, sf).count()
     val rows = textFilterChain(spark, sf).collect()
