@@ -60,7 +60,38 @@ object Skew {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Two-phase SALTED AGGREGATION: the skew tool for aggregates (salted
+    * joins fix joins; a hot GROUP BY key still pins one reducer during the
+    * final aggregate). Phase 1 aggregates on (key, salt) — the hot key's
+    * rows spread over `saltFactor` reducers; phase 2 re-aggregates the tiny
+    * per-salt partials by key. Orders' o_orderstatus is 3-valued, the
+    * worst-case skew shape. Every aggregate here re-composes exactly
+    * (count→sum, sum→sum, min→min); value sums in exact integer cents.
+    * Oracle = the plain single-phase GROUP BY. */
+  def qSaltedAgg(s: SparkSession, d: String): DataFrame = {
+    val saltFactor = 16
+    Tables.orders(s, d)
+      .withColumn("_salt", pmod(xxhash64(col("o_orderkey")), lit(saltFactor)))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .groupBy(col("o_orderstatus"), col("_salt"))
+      .agg(count(lit(1)).as("pn"), sum("cents").as("ps"), min("cents").as("pm"))
+      .groupBy("o_orderstatus")
+      .agg(sum("pn").as("n_orders"), sum("ps").as("total_cents"),
+        min("pm").as("min_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val qSaltedAggSql =
+    """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+      |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("q_salted_join", qSaltedJoin, Some(qSaltedJoinSql))
+    Q("q_salted_join", qSaltedJoin, Some(qSaltedJoinSql)),
+    Q("q_salted_agg", qSaltedAgg, Some(qSaltedAggSql))
   )
 }

@@ -517,6 +517,39 @@ object TextAnalysis {
       |SELECT doc_id, n_tokens, reason = 'keep' AS keep, reason
       |FROM v ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish token counting: the GPT-2-family pre-tokenizer shape — letter
+    * runs, single digits, punctuation runs — as one RE2-safe regex (no
+    * lookarounds, so Java and RE2 agree), counted with a single codegen'd
+    * regexp_extract_all per row. Fertility (BPE tokens per whitespace word,
+    * in basis points) is THE budget number a training pipeline sizes
+    * sequences with; exact integer arithmetic. */
+  def textBpeTokenCount(s: SparkSession, d: String): DataFrame = {
+    val pat = "[a-z]+|[0-9]|[^a-z0-9\\s]+"
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        wordCount(col("text")).as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .withColumn("fertility_bp",
+        when(col("n_ws_tokens") > 0,
+          expr("(10000 * n_bpe_tokens) div n_ws_tokens")).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  private val textBpeTokenCountSql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+      |         ELSE array_length(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_ws_tokens,
+      |    CAST(array_length(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+      |  CASE WHEN n_ws_tokens > 0
+      |       THEN CAST((10000 * n_bpe_tokens) // n_ws_tokens AS BIGINT)
+      |       ELSE 0 END AS fertility_bp
+      |FROM b ORDER BY doc_id""".stripMargin
+
   /** Perplexity-proxy quality scoring: per-document mean token SURPRISAL
     * under the corpus's own unigram distribution (-ln p(tok), the
     * KenLM-filter shape with n=1). Low mean surprisal = repetitive/common
@@ -571,6 +604,7 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(
     Q("text_unigram_logprob", textUnigramLogprob, Some(textUnigramLogprobSql)),
+    Q("text_bpe_token_count", textBpeTokenCount, Some(textBpeTokenCountSql)),
     Q("text_pack_sequences", textPackSequences, Some(textPackSequencesSql)),
     Q("text_filter_chain", textFilterChain, Some(textFilterChainSql)),
     Q("text_fuzzy_match", textFuzzyMatch, Some(textFuzzyMatchSql)),

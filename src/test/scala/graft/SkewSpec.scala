@@ -26,4 +26,21 @@ class SkewSpec extends SparkSpec {
       .select("_salt").distinct().collect().map(_.getLong(0)).toSet
     assert(salts == (0L until 8L).toSet, s"salts seen: $salts")
   }
+
+  test("salted aggregation equals the plain single-phase aggregate") {
+    val salted = operators.Skew.qSaltedAgg(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("total_cents"), r.getAs[Long]("min_cents")))
+      .toMap
+    val plain = Tables.orders(spark, sf)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"), min("cents").as("m"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s"), r.getAs[Long]("m")))
+      .toMap
+    assert(salted == plain)
+    assert(salted.size == 3, "o_orderstatus is 3-valued — the worst-case skew")
+  }
 }

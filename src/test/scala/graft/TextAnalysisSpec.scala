@@ -78,6 +78,24 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bpe-ish counts: >= whitespace counts and match a manual regex pass") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val pat = java.util.regex.Pattern.compile("[a-z]+|[0-9]|[^a-z0-9\\s]+")
+    val rows = textBpeTokenCount(spark, sf).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nBpe = r.getAs[Long]("n_bpe_tokens")
+      val m = pat.matcher(texts(id).toLowerCase)
+      var manual = 0L
+      while (m.find()) manual += 1
+      assert(nBpe == manual, s"doc $id: $nBpe vs manual $manual")
+      // every whitespace word yields at least one BPE-ish piece
+      assert(r.getAs[Long]("fertility_bp") >= 10000L || r.getAs[Long]("n_ws_tokens") == 0L)
+    }
+  }
+
   test("unigram surprisal: positive, conserved token counts, rare beats common") {
     import graft.functions.TextFunctions._
     val rows = textUnigramLogprob(spark, sf).collect()
