@@ -133,6 +133,30 @@ class PlanSpec extends SparkSpec {
       s"user filter not pushed:\n$plan")
   }
 
+  test("salted agg: two aggregation phases, both with map-side partials") {
+    val plan = planOf(Skew.qSaltedAgg(spark, sf))
+    // (key,salt) partial+final plus key partial+final = 4 HashAggregates
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"expected two-phase salted aggregation:\n$plan")
+  }
+
+  test("knn graph: bucketed self-join is an equi join, never a cartesian") {
+    val plan = planOf(Similarity.simKnnGraph(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"knn graph fell back to all-pairs:\n$plan")
+  }
+
+  test("filter chain and bpe counts are single-scan: no exchange before the sort") {
+    for (df <- Seq(TextAnalysis.textFilterChain(spark, sf),
+        TextAnalysis.textBpeTokenCount(spark, sf))) {
+      val plan = planOf(df)
+      // the only exchange allowed is the final presentation ORDER BY's range
+      // partitioning — a scan-shaped op must not shuffle its data otherwise
+      assert(!"Exchange hashpartitioning".r.findFirstIn(plan).isDefined,
+        s"unexpected hash exchange in a single-scan op:\n$plan")
+    }
+  }
+
   test("every query prunes every testdata parquet scan (no full-width reads)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val violations = SparkEntry.allQueries.flatMap { q =>
