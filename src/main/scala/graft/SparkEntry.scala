@@ -23,7 +23,9 @@ object SparkEntry {
       Q("streaming_sessionize", streaming.EventStream.streamingSessionize,
         Some(streaming.EventStream.streamingSessionizeSql)) :+
       Q("streaming_dedup", streaming.EventStream.streamingDedup,
-        Some(streaming.EventStream.streamingDedupSql))
+        Some(streaming.EventStream.streamingDedupSql)) :+
+      Q("streaming_tumbling", streaming.EventStream.streamingTumbling,
+        Some(streaming.EventStream.streamingTumblingSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -96,7 +96,13 @@ object EventStream {
   }
 
   /** Replay a parquet events table through a real streaming query into a
-    * memory sink; returns the sink contents as a DataFrame. */
+    * memory sink; returns the sink contents as a DataFrame.
+    *
+    * The memory sink + collect is the FINITE-REPLAY PARITY HARNESS only
+    * (bounded by the sink's aggregated output, which Verify collects for
+    * every query anyway). A production deployment writes the same `build`
+    * pipeline to a files sink or foreachBatch — nothing upstream of the
+    * sink changes. */
   def runOnBatch(
       s: SparkSession,
       dir: String,
@@ -176,6 +182,35 @@ object EventStream {
       |)
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** Streaming tumbling-window aggregation: hourly (window × event_type)
+    * counts and value sums under a watermark — the third core streaming
+    * shape next to sessionization and dedup. Values summed in exact integer
+    * cents: streaming state accumulates in arrival order, a double sum
+    * would re-associate against the batch oracle. */
+  def tumblingCountsByType(events: DataFrame): DataFrame =
+    events
+      .withColumn("ets", timestamp_millis(graft.functions.TimeFunctions.nsToMs("ts")))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("val_cents"))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+        col("event_type"), col("n"), col("val_cents"))
+
+  /** Driver-contract entry: watermarked streaming tumbling aggregation. */
+  def streamingTumbling(s: SparkSession, dir: String): DataFrame =
+    runOnBatch(s, dir, tumblingCountsByType, s"stream_tumb_${System.nanoTime()}",
+      OutputMode.Complete)
+      .orderBy("hour_ms", "event_type")
+
+  val streamingTumblingSql: String =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_ms, event_type""".stripMargin
 
   /** Driver-contract entry: streaming sessionization over the sf dir,
     * deterministically ordered. Oracled: the finite replay must produce the

@@ -61,4 +61,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
     assert(streamed.values.sum > 0)
   }
+
+  test("streaming tumbling agg equals the batch hourly aggregation") {
+    val streamed = EventStream.streamingTumbling(spark, sf)
+      .collect().map(r => (r.getAs[Long]("hour_ms"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("val_cents"))).toMap
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val batch = Tables.events(spark, sf)
+      .groupBy((ms - pmod(ms, lit(3600000L))).as("hour_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getAs[Long]("hour_ms"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("c"))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
