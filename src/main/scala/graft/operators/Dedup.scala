@@ -95,9 +95,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  // Shingle CTE mirrors wordShingles(normalizeText(text), 3): tokenize the
-  // normalized text, emit distinct 3-grams (1-based list indexing).
-  private[operators] val shingleCte =
+  // Normalized-token-array CTE mirroring normalizeText(text) + split: the
+  // shared tokenizer for the shingle relation and the SimHash oracle.
+  private[operators] val toksCte =
     """toks AS (
       |  SELECT doc_id,
       |    regexp_split_to_array(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -105,7 +105,12 @@ object Dedup {
       |      '&nbsp;', ' ', 'g'), '(?m)^\s*\d+\s*$', '', 'g'), '[ \t]+', ' ', 'g'),
       |      '\n{3,}', e'\n\n', 'g'), '^\s+|\s+$', '', 'g'), '\s+') AS t
       |  FROM documents
-      |), idx AS (
+      |)""".stripMargin
+
+  // Shingle CTE mirrors wordShingles(normalizeText(text), 3): tokenize the
+  // normalized text, emit distinct 3-grams (1-based list indexing).
+  private[operators] val shingleCte =
+    s"""$toksCte, idx AS (
       |  SELECT doc_id, t, unnest(generate_series(1, array_length(t) - 2)) AS i
       |  FROM toks WHERE array_length(t) >= 3
       |), sh AS (
@@ -330,23 +335,33 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** SimHash near-dup: 64-bit signature from token-hash bit votes, candidate
-    * pairs blocked on equal 16-bit chunks (pigeonhole: hamming ≤ 3 implies
-    * one of 4 chunks matches), verified with exact hamming distance.
-    * Rows-only check; SimHashSpec covers semantics. */
+    * pairs blocked on equal 16-bit chunks, verified with exact hamming
+    * distance. The token hash is the first 16 hex nibbles of md5(token) —
+    * engine-portable, so the operator is FULLY oracled, and the chunk
+    * blocking is a recall PROOF, not a probabilistic check: hamming ≤ 3
+    * over 4 chunks forces at least one chunk equal (pigeonhole), so the
+    * blocked pair set provably equals the all-pairs oracle's. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     // variable-distance shift needs the SQL builtin (Scala shiftright only
     // takes Int literals)
     def shr(v: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
       call_function("shiftright", v, n)
-    // exploded (doc_id, token-hash): hash each distinct token ONCE
+    // exploded (doc_id, 16 md5 nibbles): hash each distinct token ONCE; conv
+    // is codegen'd, and the md5 common-subexpression is shared via the
+    // intermediate projection
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(array_distinct(split(normalizeText(col("text")), "\\s+"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
-    // bit b vote = sum over tokens of ±1 by hash bit b: ONE codegen'd
-    // hash-aggregate with 64 sum() columns (map-side partial, one shuffle)
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+      .select(col("doc_id") +:
+        (0 until 16).map(j =>
+          conv(substring(col("h"), j + 1, 1), 16, 10).cast("long").as(s"n$j")): _*)
+    // bit b vote = sum over tokens of ±1 by hash bit b (bit b lives in
+    // nibble b/4 at position b%4): ONE codegen'd hash-aggregate with 64
+    // sum() columns (map-side partial, one shuffle)
     val voteCols = (0 until 64).map(b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$b"))
+      sum(when(shiftright(col(s"n${b / 4}"), b % 4).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v$b"))
     val votes = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
     // fold the 64 sign bits into one long (scalar expression, codegen'd);
     // cache: the chunk self-join would otherwise recompute it per side
@@ -372,6 +387,42 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** All-pairs SimHash oracle: same md5-nibble bit votes, hamming over the
+    * full 64-bit signature (as 4×16-bit chunks — BIGINT-safe, no sign-bit
+    * headaches), NO blocking. Hash-matching the blocked Spark plan against
+    * this proves the pigeonhole blocking loses nothing. */
+  private val dedupSimhashSql: String = {
+    val nibbles = (0 until 16)
+      .map(j => s"strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1 AS n$j")
+      .mkString(", ")
+    val votes = (0 until 64)
+      .map(b => s"sum(CASE WHEN (n${b / 4} // ${1 << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val chunks = (0 until 4).map { c =>
+      (0 until 16)
+        .map(b => s"CASE WHEN v${16 * c + b} > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ") + s" AS c$c"
+    }.mkString(", ")
+    val ham = (0 until 4).map(c => s"bit_count(xor(a.c$c, b.c$c))").mkString(" + ")
+    s"""WITH $toksCte, tok AS (
+       |  SELECT DISTINCT doc_id, tok
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+       |), hx AS (
+       |  SELECT doc_id, md5(tok) AS h FROM tok
+       |), nib AS (
+       |  SELECT doc_id, $nibbles FROM hx
+       |), votes AS (
+       |  SELECT doc_id, $votes FROM nib GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, $chunks FROM votes
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST($ham AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE $ham <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Number of IVF coarse cells used to block `dedupEmbedding`. */
@@ -586,7 +637,7 @@ object Dedup {
     Q("dedup_minhash_1band", dedupMinhash1Band, Some(dedupMinhash1BandSql)),
     Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(trueJaccardSql)),
     Q("dedup_minhash_lsh", dedupMinhashLsh, Some(trueJaccardSql)),
-    Q("dedup_simhash", dedupSimhash, None),
+    Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("dedup_common_spans", dedupCommonSpans, Some(dedupCommonSpansSql))
   )
