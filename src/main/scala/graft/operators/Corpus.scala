@@ -437,6 +437,62 @@ object Corpus {
     * bottom-k. Same rows on every run, every engine, any partitioning —
     * dedoose_sample in build_corpus.py:100 is the reference's (manual)
     * sampling step. */
+  /** Temperature-balanced domain mixture (T = 2 ⇒ weight ∝ count^(1/2)) —
+    * the domain-temperature step of assembling a pretraining mix, upweighting
+    * small domains relative to proportional sampling. Budget = 20% of the
+    * corpus, allocated ∝ √count across sources.
+    *
+    * Engine-exact weight derivation: sqrt is IEEE-correctly-rounded in both
+    * engines, and round(√c·1000) can never land on a .5 boundary (it would
+    * need (2k+1)² = 4·10⁶·c — odd = even), so the quantized weights, the
+    * integer quota div, and the md5-rank selection are all deterministic.
+    *
+    * At 100 TB: per-source counts are one narrow aggregate, quotas broadcast;
+    * the per-source md5-rank window would become a hash-threshold filter
+    * (md5 < scaled quota fraction) to avoid the per-source sort. */
+  def corpusSampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("s_m", round(sqrt(col("n_src")) * 1000, 0).cast("long"))
+    val tot = counts.agg(sum("s_m").as("s_tot"), sum("n_src").as("n_tot"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        expr("(2 * (n_tot div 5) * s_m + s_tot) div (2 * s_tot)"))
+      .select("source", "n_src", "quota")
+    val rankHash = md5(concat(lit("graft-temp-1"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("source").orderBy(rankHash.asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .join(broadcast(quotas), "source")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= col("quota"))
+      .select("source", "rk", "doc_id", "lang", "quota", "n_src")
+      .orderBy("source", "rk")
+  }
+
+  private val corpusSampleTemperatureSql =
+    """WITH counts AS (
+      |  SELECT source, count(*) AS n_src,
+      |    CAST(round(sqrt(count(*)) * 1000) AS BIGINT) AS s_m
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(sum(s_m) AS BIGINT) AS s_tot,
+      |    CAST(sum(n_src) AS BIGINT) AS n_tot
+      |  FROM counts
+      |), quotas AS (
+      |  SELECT source, n_src,
+      |    (2 * (n_tot // 5) * s_m + s_tot) // (2 * s_tot) AS quota
+      |  FROM counts CROSS JOIN tot
+      |), ranked AS (
+      |  SELECT d.source, d.doc_id, d.lang, q.quota, q.n_src,
+      |    CAST(row_number() OVER (PARTITION BY d.source
+      |      ORDER BY md5('graft-temp-1' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+      |      AS BIGINT) AS rk
+      |  FROM documents d JOIN quotas q USING (source)
+      |)
+      |SELECT source, rk, doc_id, lang, quota, n_src
+      |FROM ranked WHERE rk <= quota
+      |ORDER BY source, rk""".stripMargin
+
   def corpusSample(s: SparkSession, d: String): DataFrame = {
     val rankHash = md5(concat(lit("graft-seed-1"), col("doc_id").cast("string")))
     val w = Window.partitionBy("lang").orderBy(rankHash.asc, col("doc_id").asc)
@@ -617,6 +673,7 @@ object Corpus {
     Q("corpus_sample_stratified", corpusSampleStratified, Some(corpusSampleStratifiedSql)),
     Q("corpus_tag_themes", corpusTagThemes, Some(corpusTagThemesSql)),
     Q("corpus_heavy_hitters", corpusHeavyHitters, Some(corpusTopTokensSql)),
+    Q("corpus_sample_temperature", corpusSampleTemperature, Some(corpusSampleTemperatureSql)),
     Q("corpus_sample", corpusSample, Some(corpusSampleSql)),
     Q("corpus_top_tokens", corpusTopTokens, Some(corpusTopTokensSql)),
     Q("corpus_html_extract", corpusHtmlExtract, Some(corpusHtmlExtractSql)),

@@ -299,6 +299,84 @@ object Relational {
       |  round(CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE), 2) AS p95
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Quantile SKETCH: equi-width histogram estimate of p50/p90/p99 — the
+    * one-extra-narrow-pass, bounded-memory, MERGEABLE alternative to
+    * q_percentiles' exact `percentile` (which buffers every value per group).
+    * Per-group 64-bin counts merge by addition (map-side partial combine —
+    * the distributed-sketch property), so at 100 TB the wide data is touched
+    * by one hash-aggregate and the quantile math runs on ≤ 64 rows per group.
+    *
+    * Deterministic by construction (integer cents, integer bin width
+    * `(hi-lo) div 64 + 1`, rank `ceil(q·n/100)`, within-bin linear
+    * interpolation as integer div), hence fully oracled — unlike t-digest/GK
+    * sketches whose estimates are engine-specific. Error ≤ one bin width;
+    * RelationalSpec asserts that bound against the exact percentiles. */
+  def qHistogramQuantiles(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.orders(s, d)
+      .select(col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    // pass 1: per-group range + count — three longs per group, broadcast back
+    val mm = c.groupBy("status").agg(
+        min("cents").as("lo"), max("cents").as("hi"), count(lit(1)).as("n"))
+      .withColumn("w", expr("(hi - lo) div 64 + 1"))
+    // pass 2: the sketch — per (group, bin) counts, map-side partial
+    val binned = c.join(broadcast(mm), "status")
+      .groupBy(col("status"), expr("(cents - lo) div w").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    // quantile math on the tiny sketch: cumulative counts, pick the bin
+    // holding rank ceil(q·n/100), interpolate inside it with integer div
+    val cum = binned.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("status").orderBy("bin")))
+    val est = cum.join(broadcast(mm), "status")
+      .select(col("status"), col("n"), col("lo"), col("w"), col("bin"),
+        col("cnt"), col("cum"),
+        explode(array(lit(50L), lit(90L), lit(99L))).as("q"))
+      .withColumn("r", expr("(q * n + 99) div 100"))
+      .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+      .withColumn("est_cents",
+        expr("lo + bin * w + ((r - (cum - cnt)) * w) div cnt"))
+    est.groupBy("status", "n").agg(
+        max(when(col("q") === 50, col("est_cents"))).as("p50_cents"),
+        max(when(col("q") === 90, col("est_cents"))).as("p90_cents"),
+        max(when(col("q") === 99, col("est_cents"))).as("p99_cents"))
+      .orderBy("status")
+  }
+
+  private val qHistogramQuantilesSql =
+    """WITH c AS (
+      |  SELECT o_orderstatus AS status,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), mm AS (
+      |  SELECT status, min(cents) AS lo, max(cents) AS hi, count(*) AS n,
+      |    (max(cents) - min(cents)) // 64 + 1 AS w
+      |  FROM c GROUP BY status
+      |), binned AS (
+      |  SELECT c.status, (cents - lo) // w AS bin, count(*) AS cnt
+      |  FROM c JOIN mm ON c.status = mm.status
+      |  GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT status, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY status ORDER BY bin) AS cum
+      |  FROM binned
+      |), est AS (
+      |  SELECT b.status, mm.n,
+      |    q.q,
+      |    CAST(lo + bin * w +
+      |      (((q.q * mm.n + 99) // 100 - (cum - cnt)) * w) // cnt AS BIGINT)
+      |      AS est_cents
+      |  FROM cum b
+      |  JOIN mm ON b.status = mm.status
+      |  CROSS JOIN (VALUES (50), (90), (99)) q(q)
+      |  WHERE cum >= (q.q * mm.n + 99) // 100
+      |    AND cum - cnt < (q.q * mm.n + 99) // 100
+      |)
+      |SELECT status, n,
+      |  max(CASE WHEN q = 50 THEN est_cents END) AS p50_cents,
+      |  max(CASE WHEN q = 90 THEN est_cents END) AS p90_cents,
+      |  max(CASE WHEN q = 99 THEN est_cents END) AS p99_cents
+      |FROM est GROUP BY status, n ORDER BY status""".stripMargin
+
   /** Cardinality sketch: approx_count_distinct (HyperLogLog++) next to the
     * exact count — the 100 TB substitute for countDistinct when a shuffle of
     * raw keys is unaffordable. Rows-only check (sketch estimates are
@@ -636,6 +714,7 @@ object Relational {
       |ORDER BY user_id, ts_ms, event_id""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q_histogram_quantiles", qHistogramQuantiles, Some(qHistogramQuantilesSql)),
     Q("q_pivot", qPivot, Some(qPivotSql)),
     Q("q_describe", qDescribe, Some(qDescribeSql)),
     Q("q_window_running", qWindowRunning, Some(qWindowRunningSql)),

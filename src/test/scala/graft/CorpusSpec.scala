@@ -113,4 +113,29 @@ class CorpusSpec extends SparkSpec {
       assert(rks == (1L to rks.length).toSeq, s"$src: rank gaps $rks")
     }
   }
+
+  test("temperature sample: smaller domains get a larger sampling fraction") {
+    val rows = corpusSampleTemperature(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per-source: kept == min(quota, n_src), ranks dense from 1
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rs) =>
+      val quota = rs.head.getAs[Long]("quota")
+      val nSrc = rs.head.getAs[Long]("n_src")
+      assert(rs.length.toLong == math.min(quota, nSrc), s"$src kept ${rs.length}")
+      val rks = rs.map(_.getAs[Long]("rk")).sorted.toSeq
+      assert(rks == (1L to rks.length).toSeq, s"$src: rank gaps")
+    }
+    // the temperature property: sampled FRACTION is monotone non-increasing
+    // in domain size (√-weighting upweights small domains); compare via
+    // cross-multiplication to stay in integers
+    val stats = bySrc.values.map { rs =>
+      (rs.head.getAs[Long]("n_src"), rs.head.getAs[Long]("quota"))
+    }.toSeq.sortBy(_._1)
+    stats.zip(stats.tail).foreach { case ((nA, qA), (nB, qB)) =>
+      // nA <= nB  ⇒  qA/nA >= qB/nB  (allow 1 quantum of rounding slack)
+      assert((qA + 1) * nB >= qB * nA,
+        s"fraction not monotone: ($nA docs → quota $qA) vs ($nB docs → quota $qB)")
+    }
+  }
 }

@@ -101,4 +101,32 @@ class RelationalSpec extends SparkSpec {
       assert(spends.sameElements(spends.sortBy(-_)))
     }
   }
+
+  test("histogram quantile sketch: within one bin width of the exact quantile") {
+    // exact reference + the sketch's own bin width per group
+    val exact = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(round(o_totalprice * 100), 0.5)").as("e50"),
+        expr("percentile(round(o_totalprice * 100), 0.9)").as("e90"),
+        expr("percentile(round(o_totalprice * 100), 0.99)").as("e99"),
+        ((max(round(col("o_totalprice") * 100)) -
+          min(round(col("o_totalprice") * 100))) / 64 + 1).as("w"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val rows = qHistogramQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (e50, e90, e99, w) = exact(r.getAs[String]("status"))
+      def check(colName: String, e: Double): Unit = {
+        val got = r.getAs[Long](colName).toDouble
+        assert(math.abs(got - e) <= w + 1,
+          s"$colName=$got vs exact=$e exceeds bin width $w")
+      }
+      check("p50_cents", e50); check("p90_cents", e90); check("p99_cents", e99)
+      assert(r.getAs[Long]("p50_cents") <= r.getAs[Long]("p90_cents"))
+      assert(r.getAs[Long]("p90_cents") <= r.getAs[Long]("p99_cents"))
+    }
+  }
 }
