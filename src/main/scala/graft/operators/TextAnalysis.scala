@@ -709,7 +709,94 @@ object TextAnalysis {
        |LIMIT 50""".stripMargin
   }
 
+  /** DSIR-style importance weighting (Xie et al., "Data Selection via
+    * Importance Resampling"): score every document by how target-domain-like
+    * it is under hashed-bigram features — weight(doc) = Σ over the doc's
+    * bigram occurrences of ln(p_target(bucket)/p_raw(bucket)), with Laplace
+    * +1 smoothing over the 2^16 hash buckets. The target domain here is the
+    * same deterministic eval slice text_contamination uses (doc_id % 100 = 0).
+    *
+    * Plan: one corpus scan → cached (doc_id, bucket, is_target) feature
+    * relation; BOTH distributions come from ONE hash-aggregate over it
+    * (count + conditional count); the λ table is ≤ 65536 rows → broadcast
+    * back onto the feature relation. Never more than one wide shuffle.
+    *
+    * Cross-engine exactness: bucket = first 16 bits of md5(bigram) (portable
+    * hex math); λ quantized to centinats from a ratio of exact-integer
+    * products (< 2^53, so the doubles divide identically), then per-doc
+    * totals are exact integer sums. */
+  def textDsirWeight(s: SparkSession, d: String): DataFrame = {
+    val rk = Window.orderBy(col("dsir_centi").desc, col("doc_id").asc)
+    textDsirScores(s, d).withColumn("rk", row_number().over(rk).cast("long"))
+      .filter(col("rk") <= 100)
+      .select("rk", "doc_id", "n_feats", "dsir_centi")
+      .orderBy("rk")
+  }
+
+  /** The full per-document DSIR score relation (no top-k) — the operator
+    * core, exposed for spec-level distribution checks. */
+  private[graft] def textDsirScores(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val toks = doc.select(col("doc_id"),
+      posexplode(split(normalizeText(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val feats = toks
+      .select(col("doc_id"), col("tok"), lead("tok", 1).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .select(col("doc_id"),
+        conv(substring(md5(concat_ws(" ", col("tok"), col("t1"))), 1, 4), 16, 10)
+          .cast("long").as("b"),
+        (pmod(col("doc_id"), lit(100)) === 0).as("is_target"))
+      .cache()
+    val counts = feats.groupBy("b").agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"))
+    val tot = counts.agg(sum("c_raw").as("t_raw"), sum("c_t").as("t_t"))
+    val lam = counts.crossJoin(broadcast(tot))
+      .withColumn("lam", round(lit(100.0) * log(
+        ((col("c_t") + 1) * (col("t_raw") + 65536L)).cast("double") /
+          ((col("c_raw") + 1) * (col("t_t") + 65536L)).cast("double"))).cast("long"))
+      .select("b", "lam")
+    feats.join(broadcast(lam), "b")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_feats"), sum("lam").as("dsir_centi"))
+  }
+
+  private val textDsirWeightSql: String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    val bucket = s"${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}"
+    s"""WITH ${Dedup.toksCte}, bg AS (
+       |  SELECT doc_id, md5(t[i] || ' ' || t[i+1]) AS h
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, array_length(t) - 1)) AS i
+       |        FROM toks WHERE array_length(t) >= 2)
+       |), feats AS (
+       |  SELECT doc_id, $bucket AS b, doc_id % 100 = 0 AS is_target FROM bg
+       |), counts AS (
+       |  SELECT b, count(*) AS c_raw,
+       |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+       |  FROM feats GROUP BY b
+       |), tot AS (
+       |  SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw, CAST(sum(c_t) AS BIGINT) AS t_t
+       |  FROM counts
+       |), lam AS (
+       |  SELECT b, CAST(round(100.0 * ln(
+       |      ((c_t + 1) * (t_raw + 65536)) * 1.0 /
+       |      ((c_raw + 1) * (t_t + 65536)))) AS BIGINT) AS lam
+       |  FROM counts CROSS JOIN tot
+       |), by_doc AS (
+       |  SELECT doc_id, count(*) AS n_feats, CAST(sum(lam) AS BIGINT) AS dsir_centi
+       |  FROM feats JOIN lam USING (b)
+       |  GROUP BY doc_id
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY dsir_centi DESC, doc_id) AS BIGINT) AS rk,
+       |  doc_id, n_feats, dsir_centi
+       |FROM by_doc
+       |ORDER BY dsir_centi DESC, doc_id
+       |LIMIT 100""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("text_dsir_weight", textDsirWeight, Some(textDsirWeightSql)),
     Q("text_bm25", textBm25, Some(textBm25Sql)),
     Q("text_unigram_logprob", textUnigramLogprob, Some(textUnigramLogprobSql)),
     Q("text_bpe_token_count", textBpeTokenCount, Some(textBpeTokenCountSql)),

@@ -147,4 +147,27 @@ class TextAnalysisSpec extends SparkSpec {
       assert(rows.take(10).exists(_.getAs[Long]("n_terms") >= 2),
         "no multi-term doc in the top 10 despite multi-term docs existing")
   }
+
+  test("dsir: dense ranks, score-ordered; target slice wins per-occurrence") {
+    val rows = textDsirWeight(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rk") == i + 1L)
+      assert(r.getAs[Long]("n_feats") >= 1L)
+    }
+    val scores = rows.map(_.getAs[Long]("dsir_centi"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the importance-weighting direction: every target-doc occurrence carries
+    // the c_t >= 1 boost, so the target slice's MEAN per-occurrence score
+    // must exceed the non-target mean (per-occurrence normalization removes
+    // doc-length and composition variance that can reorder individual docs)
+    val all = textDsirScores(spark, sf).collect()
+    val (tgt, rest) = all.partition(_.getAs[Long]("doc_id") % 100 == 0)
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    def perOcc(rs: Array[org.apache.spark.sql.Row]): Double =
+      rs.map(r => r.getAs[Long]("dsir_centi").toDouble /
+        r.getAs[Long]("n_feats")).sum / rs.length
+    assert(perOcc(tgt) > perOcc(rest),
+      s"target per-occurrence mean ${perOcc(tgt)} not above raw ${perOcc(rest)}")
+  }
 }
