@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Similarity.all ++
       operators.Skew.all ++
       operators.AsOf.all ++
+      operators.Graph.all ++
       operators.Multimodal.all ++
       sources.JsonlSource.all :+
       Q("streaming_sessionize", streaming.EventStream.streamingSessionize,
