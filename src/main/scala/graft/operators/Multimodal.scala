@@ -117,8 +117,48 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** The stub decode is DETERMINISTIC in (doc_id, utf-8 byte length), so the
+    * whole binary round trip — header synthesis, mapPartitions batch parse,
+    * big-endian dimension decode — is oracle-able: the SQL recomputes the
+    * expected dimensions/sizes from first principles and the hash match
+    * proves the byte-level plumbing is lossless. A corrupt header, a charset
+    * mangle, or an off-by-one in the parse would all break the match. */
+  private val mmDecodeStatsSql =
+    """SELECT source, count(*) AS n_media, count(*) AS n_decoded,
+      |  round(avg(doc_id % 512 + 16), 2) AS avg_width,
+      |  round(avg(doc_id * 7 % 512 + 16), 2) AS avg_height,
+      |  CAST(sum(8 + octet_length(encode(text))) AS BIGINT) AS total_bytes
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Same first-principles reconstruction for the frame sampler: stride,
+    * frame size, the ≤8 sampled indices, and the short-read byte clamp
+    * (substring past the payload end) are all closed-form in
+    * (doc_id, byte length). */
+  private val mmFrameSampleSql =
+    """WITH meta AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 512 + 16 AS BIGINT) AS n_frames,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS body_len
+      |  FROM documents
+      |), m2 AS (
+      |  SELECT doc_id, n_frames, body_len,
+      |    GREATEST(1, n_frames // 8) AS stride,
+      |    GREATEST(1, body_len // n_frames) AS frame_bytes
+      |  FROM meta
+      |), fr AS (
+      |  SELECT doc_id, n_frames, frame_bytes, body_len, stride,
+      |    unnest(generate_series(0, n_frames - 1, stride)) AS frame_idx
+      |  FROM m2
+      |)
+      |SELECT doc_id, count(*) AS n_sampled, max(frame_idx) AS max_idx,
+      |  max(n_frames) AS n_frames,
+      |  CAST(sum(GREATEST(0, LEAST(frame_bytes, body_len - frame_idx * frame_bytes)))
+      |    AS BIGINT) AS sampled_bytes
+      |FROM fr WHERE frame_idx < 8 * stride
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("mm_decode_stats", mmDecodeStats, None),
-    Q("mm_frame_sample", mmFrameSample, None)
+    Q("mm_decode_stats", mmDecodeStats, Some(mmDecodeStatsSql)),
+    Q("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql))
   )
 }
