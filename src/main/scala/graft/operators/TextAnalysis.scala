@@ -795,7 +795,85 @@ object TextAnalysis {
        |LIMIT 100""".stripMargin
   }
 
+  /** Collocation extraction by pointwise mutual information: the top-100
+    * bigrams (min support 5) by PMI = ln(p(ab) / (p(a)·p(b))) over the
+    * normalized token stream — the vocabulary-analysis step behind
+    * multi-word-expression detection and tokenizer-merge candidates.
+    *
+    * Cross-engine exactness without overflow: c_ab·T1² overflows BIGINT, so
+    * PMI is computed as the LN DECOMPOSITION
+    *   ln(c_ab) + 2·ln(T1) − ln(T2) − ln(c_a) − ln(c_b)
+    * — each ln is taken on an exact integer (same double on both engines)
+    * and the five terms combine in identical left-associated expression
+    * order, so the final double and its centinat rounding match bit-for-bit.
+    *
+    * Plan: cached token relation feeds the unigram aggregate and the
+    * window-lead bigram aggregate; totals reduce to one broadcast row; the
+    * support filter (≥5) runs BEFORE the unigram joins so only surviving
+    * bigrams join. At 100 TB the unigram join is a shuffle join on word keys
+    * (vocab too big to broadcast) — which is what this plan does. */
+  def textPmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val toks = doc.select(col("doc_id"),
+        posexplode(split(normalizeText(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .cache()
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bgAll = toks
+      .select(col("doc_id"), col("tok"), lead("tok", 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("wa"), col("nxt").as("wb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .cache()
+    val tots = bgAll.agg(sum("c_ab").as("t2n"))
+      .crossJoin(uni.agg(sum("c").as("t1n")))
+    val scored = bgAll.filter(col("c_ab") >= 5)
+      .join(uni.select(col("tok"), col("c").as("ca")), col("wa") === col("tok"))
+      .drop("tok")
+      .join(uni.select(col("tok"), col("c").as("cb")), col("wb") === col("tok"))
+      .drop("tok")
+      .crossJoin(broadcast(tots))
+      .withColumn("pmi_centi",
+        round(lit(100.0) * (log(col("c_ab")) + lit(2.0) * log(col("t1n")) -
+          log(col("t2n")) - log(col("ca")) - log(col("cb")))).cast("long"))
+    val rk = Window.orderBy(col("pmi_centi").desc, col("wa").asc, col("wb").asc)
+    scored.withColumn("rk", row_number().over(rk).cast("long"))
+      .filter(col("rk") <= 100)
+      .select("rk", "wa", "wb", "c_ab", "pmi_centi")
+      .orderBy("rk")
+  }
+
+  private val textPmiCollocationsSql =
+    s"""WITH ${Dedup.toksCte}, tok AS (
+       |  SELECT doc_id, unnest(t) AS tok FROM toks
+       |), uni AS (
+       |  SELECT tok, count(*) AS c FROM tok GROUP BY tok
+       |), bg AS (
+       |  SELECT t[i] AS wa, t[i+1] AS wb, count(*) AS c_ab
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, array_length(t) - 1)) AS i
+       |        FROM toks WHERE array_length(t) >= 2)
+       |  GROUP BY 1, 2
+       |), tots AS (
+       |  SELECT (SELECT CAST(sum(c_ab) AS BIGINT) FROM bg) AS t2n,
+       |         (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS t1n
+       |), scored AS (
+       |  SELECT bg.wa, bg.wb, bg.c_ab,
+       |    CAST(round(100.0 * (ln(bg.c_ab) + 2.0 * ln(t.t1n) -
+       |      ln(t.t2n) - ln(ua.c) - ln(ub.c))) AS BIGINT) AS pmi_centi
+       |  FROM bg
+       |  JOIN uni ua ON bg.wa = ua.tok
+       |  JOIN uni ub ON bg.wb = ub.tok
+       |  CROSS JOIN tots t
+       |  WHERE bg.c_ab >= 5
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY pmi_centi DESC, wa, wb) AS BIGINT) AS rk,
+       |  wa, wb, c_ab, pmi_centi
+       |FROM scored
+       |ORDER BY pmi_centi DESC, wa, wb
+       |LIMIT 100""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_pmi_collocations", textPmiCollocations, Some(textPmiCollocationsSql)),
     Q("text_dsir_weight", textDsirWeight, Some(textDsirWeightSql)),
     Q("text_bm25", textBm25, Some(textBm25Sql)),
     Q("text_unigram_logprob", textUnigramLogprob, Some(textUnigramLogprobSql)),

@@ -170,4 +170,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(perOcc(tgt) > perOcc(rest),
       s"target per-occurrence mean ${perOcc(tgt)} not above raw ${perOcc(rest)}")
   }
+
+  test("pmi: support respected, ranked, and the top score recomputes by hand") {
+    val rows = textPmiCollocations(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach(r => assert(r.getAs[Long]("c_ab") >= 5L))
+    val scores = rows.map(_.getAs[Long]("pmi_centi"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // recompute the top bigram's PMI from raw token counts
+    val top = rows.head
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        posexplode(split(graft.functions.TextFunctions.normalizeText(col("text")), "\\s+"))
+          .as(Seq("pos", "tok")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val t1n = toks.length.toDouble
+    val byDoc = toks.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val bigrams = byDoc.values.flatMap(ts => ts.zip(ts.tail)).toSeq
+    val t2n = bigrams.size.toDouble
+    val (wa, wb) = (top.getAs[String]("wa"), top.getAs[String]("wb"))
+    val cab = bigrams.count(_ == (wa, wb)).toDouble
+    val ca = toks.count(_._3 == wa).toDouble
+    val cb = toks.count(_._3 == wb).toDouble
+    assert(cab == top.getAs[Long]("c_ab").toDouble)
+    val pmi = 100.0 * (math.log(cab) + 2.0 * math.log(t1n) -
+      math.log(t2n) - math.log(ca) - math.log(cb))
+    assert(math.abs(pmi - top.getAs[Long]("pmi_centi")) <= 1.0,
+      s"hand PMI $pmi vs reported ${top.getAs[Long]("pmi_centi")}")
+  }
 }
