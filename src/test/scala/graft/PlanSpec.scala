@@ -157,6 +157,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: per-iteration joins are equi joins, never a cartesian") {
+    val plan = planOf(Graph.qPagerankCopurchase(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in pagerank:\n$plan")
+    // the rank update is a hash aggregate with a map-side partial
+    assert(plan.contains("partial_sum"), s"no partial aggregation:\n$plan")
+  }
+
+  test("bm25/dsir/pmi: term-stat relations are broadcast, not shuffled onto the corpus") {
+    Seq(
+      TextAnalysis.textBm25(spark, sf),
+      TextAnalysis.textDsirWeight(spark, sf)).foreach { df =>
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"stats join not broadcast:\n$plan")
+    }
+  }
+
+  test("histogram quantiles: both passes aggregate partially; range stats broadcast") {
+    val plan = planOf(Relational.qHistogramQuantiles(spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"sketch aggregate not partial:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
+      s"per-group range stats not broadcast back:\n$plan")
+  }
+
   test("every query prunes every testdata parquet scan (no full-width reads)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val violations = SparkEntry.allQueries.flatMap { q =>
