@@ -390,6 +390,62 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy("ship_year")
 
+  /** KMV cardinality sketch next to the exact count — same query shape as
+    * q_approx_distinct but FULLY oracled: the k-minimum-values sketch
+    * (functions/KmvDistinct, bounded k=256 memory, union-merge) runs on an
+    * engine-portable hash (first 15 md5 nibbles = 60 bits), and its
+    * estimator is a fixed closed form on exact integers, so DuckDB can
+    * recompute the identical estimate from the k-th smallest hash — a
+    * hash-exact correctness statement about an APPROXIMATE aggregate.
+    * err_bp records the estimator's actual error in basis points. */
+  def qKmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val v = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    Tables.lineitem(s, d)
+      .select(year(col("l_shipdate")).cast("long").as("ship_year"),
+        col("l_orderkey"), v.as("v"))
+      .groupBy("ship_year")
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        graft.functions.KmvDistinct.kmvDistinct(col("v"), 256).as("kmv_orders"))
+      .withColumn("err_bp",
+        expr("(abs(kmv_orders - exact_orders) * 10000) div exact_orders"))
+      .orderBy("ship_year")
+  }
+
+  private val qKmvDistinctSql: String = {
+    val v = (0 until 15).map { j =>
+      s"(strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) * ${BigInt(16).pow(14 - j)}"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT DISTINCT CAST(year(l_shipdate) AS BIGINT) AS ship_year, l_orderkey
+       |  FROM lineitem
+       |), hv AS (
+       |  SELECT ship_year, $v AS v
+       |  FROM (SELECT ship_year, md5(CAST(l_orderkey AS VARCHAR)) AS h FROM base)
+       |), ranked AS (
+       |  SELECT ship_year, v,
+       |    row_number() OVER (PARTITION BY ship_year ORDER BY v) AS rk
+       |  FROM (SELECT DISTINCT ship_year, v FROM hv)
+       |), agg AS (
+       |  SELECT ship_year, count(*) AS n_seen,
+       |    max(CASE WHEN rk = 256 THEN v END) AS kth
+       |  FROM ranked GROUP BY ship_year
+       |), ex AS (
+       |  SELECT ship_year, CAST(count(*) AS BIGINT) AS exact_orders
+       |  FROM base GROUP BY ship_year
+       |), est AS (
+       |  SELECT a.ship_year, ex.exact_orders,
+       |    CASE WHEN kth IS NULL THEN CAST(n_seen AS BIGINT)
+       |         ELSE CAST(round(255.0 * 1152921504606846976.0 / kth) AS BIGINT)
+       |    END AS kmv_orders
+       |  FROM agg a JOIN ex ON a.ship_year = ex.ship_year
+       |)
+       |SELECT ship_year, exact_orders, kmv_orders,
+       |  (abs(kmv_orders - exact_orders) * 10000) // exact_orders AS err_bp
+       |FROM est ORDER BY ship_year""".stripMargin
+  }
+
   /** Window-function flavors in one pass: running total, rank, quartile,
     * day-gap to previous order — all over ONE (o_custkey, date, key) sort, so
     * a single exchange serves every window. */
@@ -715,6 +771,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     Q("q_histogram_quantiles", qHistogramQuantiles, Some(qHistogramQuantilesSql)),
+    Q("q_kmv_distinct", qKmvDistinct, Some(qKmvDistinctSql)),
     Q("q_pivot", qPivot, Some(qPivotSql)),
     Q("q_describe", qDescribe, Some(qDescribeSql)),
     Q("q_window_running", qWindowRunning, Some(qWindowRunningSql)),

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.KmvDistinct.kmvDistinct
+
+class KmvDistinctSpec extends SparkSpec {
+
+  private def hashed(n: Int) = {
+    import SparkSpec.spark.implicits._
+    (1 to n).map(_.toLong).toDF("id")
+      .select(conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("v"))
+  }
+
+  test("below capacity the sketch is exact") {
+    val est = hashed(200).agg(kmvDistinct(col("v"), 256).as("e"))
+      .collect().head.getLong(0)
+    assert(est == 200L)
+  }
+
+  test("above capacity the estimate lands within 4 sigma (k=256 => ~25%)") {
+    val n = 20000
+    val est = hashed(n).agg(kmvDistinct(col("v"), 256).as("e"))
+      .collect().head.getLong(0)
+    assert(math.abs(est - n).toDouble / n <= 0.25, s"estimate $est for n=$n")
+  }
+
+  test("estimate is invariant to partitioning (merge is order-independent)") {
+    val df = hashed(5000)
+    val a = df.repartition(1).agg(kmvDistinct(col("v"), 256)).collect().head.getLong(0)
+    val b = df.repartition(32).agg(kmvDistinct(col("v"), 256)).collect().head.getLong(0)
+    assert(a == b, s"partitioning changed the estimate: $a vs $b")
+  }
+
+  test("duplicates do not move the estimate (distinctness is inherent)") {
+    val df = hashed(3000)
+    val dup = df.union(df).union(df)
+    val a = df.agg(kmvDistinct(col("v"), 256)).collect().head.getLong(0)
+    val b = dup.agg(kmvDistinct(col("v"), 256)).collect().head.getLong(0)
+    assert(a == b, s"duplicates changed the estimate: $a vs $b")
+  }
+}
