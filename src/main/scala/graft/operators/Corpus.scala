@@ -493,6 +493,54 @@ object Corpus {
       |FROM ranked WHERE rk <= quota
       |ORDER BY source, rk""".stripMargin
 
+  /** Inverted-index construction: token → (df, cf, capped posting list) —
+    * the index-build step behind BM25/keyword retrieval (text_bm25 scores
+    * with term statistics; this materializes them). One scan → per-(token,
+    * doc) counts (ONE hash-aggregate, map-side partial) → per-token rollup.
+    * Postings are the first 20 doc ids ascending, comma-joined (bounded
+    * output; at 100 TB the full posting lists would go to a bucketed sink
+    * keyed by token instead of a capped preview). Restricted to tokens with
+    * df ≥ 20 and reported top-100 by df — deterministic, oracle-friendly. */
+  def corpusInvertedIndex(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(normalizeText(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("cnt"))
+    val idx = pairs.groupBy("tok").agg(
+      count(lit(1)).as("df"),
+      sum("cnt").as("cf"),
+      expr("array_join(transform(slice(sort_array(collect_list(doc_id)), 1, 20), " +
+        "x -> cast(x as string)), ',')").as("postings"))
+    val w = Window.orderBy(col("df").desc, col("tok").asc)
+    idx.filter(col("df") >= 20)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 100)
+      .select("rk", "tok", "df", "cf", "postings")
+      .orderBy("rk")
+  }
+
+  private val corpusInvertedIndexSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(lower(text), '&amp;', '&', 'g'),
+      |      '&nbsp;', ' ', 'g'), '(?m)^\s*\d+\s*$', '', 'g'), '[ \t]+', ' ', 'g'),
+      |      '\n{3,}', e'\n\n', 'g'), '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT tok, doc_id, count(*) AS cnt FROM toks GROUP BY tok, doc_id
+      |), idx AS (
+      |  SELECT tok, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS cf,
+      |    array_to_string(list_transform(list_sort(list(doc_id))[1:20],
+      |      x -> CAST(x AS VARCHAR)), ',') AS postings
+      |  FROM pairs GROUP BY tok
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY df DESC, tok) AS BIGINT) AS rk,
+      |  tok, df, cf, postings
+      |FROM idx WHERE df >= 20
+      |ORDER BY df DESC, tok
+      |LIMIT 100""".stripMargin
+
   def corpusSample(s: SparkSession, d: String): DataFrame = {
     val rankHash = md5(concat(lit("graft-seed-1"), col("doc_id").cast("string")))
     val w = Window.partitionBy("lang").orderBy(rankHash.asc, col("doc_id").asc)
@@ -673,6 +721,7 @@ object Corpus {
     Q("corpus_sample_stratified", corpusSampleStratified, Some(corpusSampleStratifiedSql)),
     Q("corpus_tag_themes", corpusTagThemes, Some(corpusTagThemesSql)),
     Q("corpus_heavy_hitters", corpusHeavyHitters, Some(corpusTopTokensSql)),
+    Q("corpus_inverted_index", corpusInvertedIndex, Some(corpusInvertedIndexSql)),
     Q("corpus_sample_temperature", corpusSampleTemperature, Some(corpusSampleTemperatureSql)),
     Q("corpus_sample", corpusSample, Some(corpusSampleSql)),
     Q("corpus_top_tokens", corpusTopTokens, Some(corpusTopTokensSql)),

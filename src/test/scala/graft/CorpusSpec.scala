@@ -114,6 +114,20 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("inverted index: postings sorted ascending, capped at 20, df-consistent") {
+    val rows = corpusInvertedIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      assert(df >= 20L)
+      assert(r.getAs[Long]("cf") >= df, "cf counts occurrences, df documents")
+      val ids = r.getAs[String]("postings").split(",").map(_.toLong)
+      assert(ids.length == math.min(df, 20L).toInt)
+      assert(ids.sameElements(ids.sorted), "postings must be ascending")
+      assert(ids.distinct.length == ids.length, "postings must be distinct docs")
+    }
+  }
+
   test("temperature sample: smaller domains get a larger sampling fraction") {
     val rows = corpusSampleTemperature(spark, sf).collect()
     assert(rows.nonEmpty)
