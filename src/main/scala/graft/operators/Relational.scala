@@ -446,6 +446,68 @@ object Relational {
        |FROM est ORDER BY ship_year""".stripMargin
   }
 
+  /** Robust statistics: per-group median, MAD, and 3σ-equivalent outlier
+    * counts (|x − med| > 3·1.4826·MAD, the robust z-score rule) — the
+    * outlier-screening companion to q_describe's mean/stddev, which a
+    * heavy-tailed 100 TB corpus needs because mean/stddev are themselves
+    * dragged by the outliers being hunted.
+    *
+    * Exactness: medians of integer cents are integer-or-half values, so
+    * 2·median (half-cents) and 2·MAD-median (quarter-cents) are EXACT
+    * BIGINTs on both engines (linear interpolation at q=0.5 can only yield
+    * .0/.5), and the outlier test cross-multiplies to integers
+    * (dev2·20000 > mad4·44478). Three narrow passes (med → MAD → count),
+    * each a partial hash-aggregate with the group stats broadcast back —
+    * the unavoidable data-dependence chain of robust stats, each pass
+    * scan-bound at scale. */
+  def qRobustStats(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.orders(s, d).select(col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val med = c.groupBy("status").agg(
+      expr("CAST(percentile(cents, 0.5) * 2 AS BIGINT)").as("med2"),
+      count(lit(1)).as("n"))
+    val dev = c.join(broadcast(med), "status")
+      .withColumn("dev2", abs(col("cents") * 2 - col("med2")))
+    val mad = dev.groupBy("status").agg(
+      expr("CAST(percentile(dev2, 0.5) * 2 AS BIGINT)").as("mad4"))
+    dev.join(broadcast(mad), "status")
+      .groupBy("status")
+      .agg(
+        first("n").as("n"),
+        first("med2").as("med_halfcents"),
+        first("mad4").as("mad_qcents"),
+        sum(when(col("dev2") * 20000L > col("mad4") * 44478L, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("out_bp", expr("(n_outliers * 10000) div n"))
+      .orderBy("status")
+  }
+
+  private val qRobustStatsSql =
+    """WITH c AS (
+      |  SELECT o_orderstatus AS status,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), med AS (
+      |  SELECT status, CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2,
+      |    count(*) AS n
+      |  FROM c GROUP BY status
+      |), dev AS (
+      |  SELECT c.status, abs(cents * 2 - med2) AS dev2, med2, n
+      |  FROM c JOIN med ON c.status = med.status
+      |), mad AS (
+      |  SELECT status, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+      |  FROM dev GROUP BY status
+      |), fin AS (
+      |  SELECT d.status, max(n) AS n, max(med2) AS med_halfcents,
+      |    max(mad4) AS mad_qcents,
+      |    CAST(sum(CASE WHEN dev2 * 20000 > mad4 * 44478 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_outliers
+      |  FROM dev d JOIN mad ON d.status = mad.status GROUP BY d.status
+      |)
+      |SELECT status, n, med_halfcents, mad_qcents, n_outliers,
+      |  (n_outliers * 10000) // n AS out_bp
+      |FROM fin ORDER BY status""".stripMargin
+
   /** Window-function flavors in one pass: running total, rank, quartile,
     * day-gap to previous order — all over ONE (o_custkey, date, key) sort, so
     * a single exchange serves every window. */
@@ -772,6 +834,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     Q("q_histogram_quantiles", qHistogramQuantiles, Some(qHistogramQuantilesSql)),
     Q("q_kmv_distinct", qKmvDistinct, Some(qKmvDistinctSql)),
+    Q("q_robust_stats", qRobustStats, Some(qRobustStatsSql)),
     Q("q_pivot", qPivot, Some(qPivotSql)),
     Q("q_describe", qDescribe, Some(qDescribeSql)),
     Q("q_window_running", qWindowRunning, Some(qWindowRunningSql)),

@@ -102,6 +102,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("robust stats: recomputes by hand from the raw cents") {
+    val cents = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    def med2(xs: Array[Long]): Long = {
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2) * 2 else xs(n / 2 - 1) + xs(n / 2)
+    }
+    qRobustStats(spark, sf).collect().foreach { r =>
+      val xs = cents(r.getAs[String]("status"))
+      val m2 = med2(xs)
+      assert(r.getAs[Long]("med_halfcents") == m2)
+      val devs = xs.map(x => math.abs(x * 2 - m2)).sorted
+      val m4 = med2(devs)
+      assert(r.getAs[Long]("mad_qcents") == m4)
+      val out = devs.count(d => d * 20000L > m4 * 44478L).toLong
+      assert(r.getAs[Long]("n_outliers") == out)
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+    }
+  }
+
   test("histogram quantile sketch: within one bin width of the exact quantile") {
     // exact reference + the sketch's own bin width per group
     val exact = Tables.orders(spark, sf)
