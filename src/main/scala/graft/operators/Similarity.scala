@@ -348,7 +348,103 @@ object Similarity {
       |FROM documents JOIN emb ON doc_id = vec_id
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Product-quantization ANN (Jégou et al.): compress each 64-dim vector to
+    * 8 one-byte codes (8 subspaces × 16-codeword codebooks — 32× smaller
+    * than float32), then answer queries by ASYMMETRIC DISTANCE: the query
+    * stays full-precision and scores against codewords, not vectors. This is
+    * the memory-side scale path for 100 TB embedding stores (IVF prunes the
+    * search space; PQ shrinks what's resident) — at scale the 8-byte codes
+    * live in memory while raw vectors stay on disk for optional re-rank.
+    *
+    * Codebooks are anchor-based like the IVF quantizer (codeword c of
+    * subspace s = subvector of corpus vector c, c < 16 — deterministic, no
+    * trained k-means in the oracle path). Oracle-exactness: each per-subspace
+    * dot is an 8-element sequential double dot (bit-identical cross-engine,
+    * the sim_topk precedent), quantized to integer MICRO-units BEFORE the
+    * per-pair sum, so the 8-term accumulation is order-independent — the
+    * same quantize-then-sum rule every float aggregate here follows. */
+  def simAnnPq(s: SparkSession, d: String): DataFrame = simAnnPqTopk(s, d, 5)
+
+  /** PQ/ADC ranking with a configurable cutoff — the production shape is a
+    * wide PQ shortlist (cheap, in-memory codes) followed by exact re-rank of
+    * the shortlist only; SimilaritySpec asserts the shortlist at 50 always
+    * contains the exact top-1 neighbor. */
+  private[graft] def simAnnPqTopk(s: SparkSession, d: String, topk: Int): DataFrame = {
+    val m = 8; val dsub = 8; val k = 16
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val subs = emb.select(col("vec_id"),
+      posexplode(array((0 until m).map(sub =>
+        slice(col("v"), sub * dsub + 1, dsub)): _*)).as(Seq("s", "vs")))
+    val codebook = subs.filter(col("vec_id") < k)
+      .select(col("s").as("cs"), col("vec_id").cast("int").as("ccode"),
+        col("vs").as("cw"))
+    // encode: nearest codeword per (vector, subspace) — argmax of the same
+    // dot−|c|²/2 affinity the IVF quantizer uses, ties to the smaller code
+    val encoded = subs.join(broadcast(codebook), col("s") === col("cs"))
+      .select(col("vec_id"), col("s"), col("ccode"),
+        (vecDot(col("vs"), col("cw")) - vecDot(col("cw"), col("cw")) / 2).as("aff"))
+      .groupBy("vec_id", "s")
+      .agg(max_by(col("ccode"), struct(col("aff"), -col("ccode"))).as("code"))
+    val scored = encoded
+      .join(broadcast(codebook),
+        col("s") === col("cs") && col("code") === col("ccode"))
+      .join(broadcast(subs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("s").as("qs"), col("vs").as("qv"))),
+        col("s") === col("qs") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        round(vecDot(col("qv"), col("cw")) * 1000000).cast("long").as("d_micro"))
+      .groupBy("qid", "cand_id")
+      .agg(sum("d_micro").as("approx_micro"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("approx_micro").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topk)
+      .select("qid", "cand_id", "approx_micro", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  private val simAnnPqSql =
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      |), subs AS (
+      |  SELECT vec_id, s, list_slice(e, s * 8 + 1, s * 8 + 8) AS vs
+      |  FROM v CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) sub(s)
+      |), codebook AS (
+      |  SELECT s AS cs, CAST(vec_id AS INT) AS ccode, vs AS cw
+      |  FROM subs WHERE vec_id < 16
+      |), aff AS (
+      |  SELECT sub.vec_id, sub.s, cb.ccode,
+      |    list_dot_product(sub.vs, cb.cw)
+      |      - list_dot_product(cb.cw, cb.cw) / 2 AS aff
+      |  FROM subs sub JOIN codebook cb ON sub.s = cb.cs
+      |), encoded AS (
+      |  SELECT vec_id, s, ccode AS code FROM (
+      |    SELECT vec_id, s, ccode,
+      |      row_number() OVER (PARTITION BY vec_id, s
+      |        ORDER BY aff DESC, ccode) AS rk
+      |    FROM aff
+      |  ) WHERE rk = 1
+      |), scored AS (
+      |  SELECT q.vec_id AS qid, enc.vec_id AS cand_id,
+      |    CAST(round(list_dot_product(q.vs, cb.cw) * 1000000) AS BIGINT) AS d_micro
+      |  FROM encoded enc
+      |  JOIN codebook cb ON enc.s = cb.cs AND enc.code = cb.ccode
+      |  JOIN subs q ON q.s = enc.s AND q.vec_id < 10 AND q.vec_id <> enc.vec_id
+      |), by_pair AS (
+      |  SELECT qid, cand_id, CAST(sum(d_micro) AS BIGINT) AS approx_micro
+      |  FROM scored GROUP BY qid, cand_id
+      |), ranked AS (
+      |  SELECT qid, cand_id, approx_micro,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY approx_micro DESC, cand_id) AS BIGINT) AS rk
+      |  FROM by_pair
+      |)
+      |SELECT qid, cand_id, approx_micro, rk FROM ranked WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("sim_ann_pq", simAnnPq, Some(simAnnPqSql)),
     Q("sim_doc_embedding_join", simDocEmbeddingJoin, Some(simDocEmbeddingJoinSql)),
     Q("sim_topk_bruteforce", simTopkBruteforce, Some(simTopkBruteforceSql)),
     Q("sim_ann_lsh", simAnnLsh, Some(simAnnLshSql)),

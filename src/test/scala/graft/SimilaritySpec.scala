@@ -70,6 +70,25 @@ class SimilaritySpec extends SparkSpec {
       "edge target has no own neighbor list — bucket asymmetry")
   }
 
+  test("PQ/ADC: 50-deep shortlist always contains the exact top-1 neighbor") {
+    import operators.Similarity
+    val exactTop1 = Similarity.simTopkBruteforce(spark, sf).collect()
+      .filter(_.getAs[Long]("rk") == 1L)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("cand_id")).toMap
+    val shortlist = Similarity.simAnnPqTopk(spark, sf, 50).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    exactTop1.foreach { case (qid, top1) =>
+      assert(shortlist(qid).contains(top1),
+        s"query $qid: exact top-1 $top1 missing from the PQ top-50 shortlist")
+    }
+    // structural: codes are bytes — every ranked pair's score is a sum of 8
+    // bounded per-subspace terms, so |approx| stays well under 8 * 1e6 * max|dot|
+    Similarity.simAnnPq(spark, sf).collect().foreach { r =>
+      assert(math.abs(r.getAs[Long]("approx_micro")) < 8L * 100L * 1000000L)
+    }
+  }
+
   test("centroid norms: one row per label, norm below mean member norm") {
     val rows = simCentroidByLabel(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("label")).distinct.length == rows.length)
