@@ -26,7 +26,9 @@ object SparkEntry {
       Q("streaming_dedup", streaming.EventStream.streamingDedup,
         Some(streaming.EventStream.streamingDedupSql)) :+
       Q("streaming_tumbling", streaming.EventStream.streamingTumbling,
-        Some(streaming.EventStream.streamingTumblingSql))
+        Some(streaming.EventStream.streamingTumblingSql)) :+
+      Q("streaming_funnel", streaming.EventStream.streamingFunnel,
+        Some(streaming.EventStream.streamingFunnelSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -74,6 +74,8 @@ object EventStream {
 
   case class UserEvent(user_id: Long, value: Double)
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+  case class FunnelEvent(user_id: Long, event_type: String, ms: Long)
+  case class FunnelState(user_id: Long, v_ms: Long, c_ms: Long, p_ms: Long)
 
   /** Custom state machine via flatMapGroupsWithState: running per-user event
     * count and value total, emitted on every update. */
@@ -94,6 +96,88 @@ object EventStream {
           Iterator(next)
       }
   }
+
+  /** Per-user funnel FRONTIERS as flatMapGroupsWithState custom state: the
+    * first view, first click at-or-after it, first purchase at-or-after
+    * that — a state machine session_window can't express (stage order
+    * matters, not time gaps). State is three longs per user (−1 = stage not
+    * reached), partitioned by user across executors; frontiers are monotone
+    * non-increasing once set, which is what makes the finalize step's
+    * min-of-emitted-values correct under multi-batch replay. Cross-batch
+    * assumption (documented, exact for the single-file replay harness):
+    * batches arrive in event-time order — an out-of-order click older than
+    * a later-discovered view would need a watermark-held event buffer. */
+  def funnelFrontiers(events: DataFrame): Dataset[FunnelState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val none = Long.MaxValue
+    events.select(col("user_id"), col("event_type"),
+        graft.functions.TimeFunctions.nsToMs("ts").as("ms"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(uid, -1L, -1L, -1L))
+          val evs = rows.toSeq
+          def dec(x: Long) = if (x < 0) none else x
+          def minAtOrAfter(tpe: String, lo: Long): Long =
+            evs.iterator.filter(e => e.event_type == tpe && e.ms >= lo)
+              .map(_.ms).foldLeft(none)(math.min)
+          val v = math.min(dec(prev.v_ms), minAtOrAfter("view", Long.MinValue))
+          val c = if (v == none) none
+            else math.min(dec(prev.c_ms), minAtOrAfter("click", v))
+          val p = if (c == none) none
+            else math.min(dec(prev.p_ms), minAtOrAfter("purchase", c))
+          def enc(x: Long) = if (x == none) -1L else x
+          val next = FunnelState(uid, enc(v), enc(c), enc(p))
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Driver-contract entry: the ordered view→click→purchase funnel computed
+    * through the streaming state machine, finalized to the same 3-stage
+    * count table as the batch q_events_funnel and oracled against the SAME
+    * SQL — streaming/batch parity on custom-state logic, not just built-in
+    * aggregations. */
+  def streamingFunnel(s: SparkSession, dir: String): DataFrame = {
+    val frontier = runOnBatch(s, dir, df => funnelFrontiers(df).toDF(),
+      s"stream_funnel_${System.nanoTime()}", OutputMode.Update)
+    // latest frontier per user = min of emitted non-negative values (the
+    // frontiers only move down once set); null ⇒ stage never reached
+    val last = frontier.groupBy("user_id").agg(
+      min(when(col("v_ms") >= 0, col("v_ms"))).as("v"),
+      min(when(col("c_ms") >= 0, col("c_ms"))).as("c"),
+      min(when(col("p_ms") >= 0, col("p_ms"))).as("p"))
+    last.filter(col("v").isNotNull)
+      .agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"))
+      .unionByName(last.filter(col("c").isNotNull)
+        .agg(lit("2_click_after_view").as("stage"), count(lit(1)).as("n_users")))
+      .unionByName(last.filter(col("p").isNotNull)
+        .agg(lit("3_purchase_after_click").as("stage"), count(lit(1)).as("n_users")))
+      .orderBy("stage")
+  }
+
+  /** Batch-equivalent oracle: identical to q_events_funnel's. */
+  val streamingFunnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+      |), views AS (
+      |  SELECT user_id, min(ms) AS v_ms FROM ev WHERE event_type = 'view' GROUP BY user_id
+      |), clicks AS (
+      |  SELECT e.user_id, min(ms) AS c_ms
+      |  FROM ev e JOIN views USING (user_id)
+      |  WHERE event_type = 'click' AND ms >= v_ms GROUP BY e.user_id
+      |), purchases AS (
+      |  SELECT e.user_id, min(ms) AS p_ms
+      |  FROM ev e JOIN clicks USING (user_id)
+      |  WHERE event_type = 'purchase' AND ms >= c_ms GROUP BY e.user_id
+      |)
+      |SELECT '1_view' AS stage, count(*) AS n_users FROM views
+      |UNION ALL SELECT '2_click_after_view', count(*) FROM clicks
+      |UNION ALL SELECT '3_purchase_after_click', count(*) FROM purchases
+      |ORDER BY stage""".stripMargin
 
   /** Replay a parquet events table through a real streaming query into a
     * memory sink; returns the sink contents as a DataFrame.

@@ -76,4 +76,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming funnel state machine equals the batch funnel counts") {
+    val streamed = streaming.EventStream.streamingFunnel(spark, sf)
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    val batch = operators.Sessionize.eventsFunnel(spark, sf)
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(streamed == batch)
+    assert(streamed("1_view") >= streamed("2_click_after_view"))
+    assert(streamed("2_click_after_view") >= streamed("3_purchase_after_click"))
+  }
 }
