@@ -109,6 +109,65 @@ object Sessionize {
       |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** SCD Type-2 dimension versioning from a change feed: each user's event
+    * stream becomes a version history with [valid_from, valid_to) intervals
+    * (lead() closes each version; NULL = current), then a POINT-IN-TIME
+    * lookup resolves the version in force at a fixed probe instant — the
+    * slowly-changing-dimension pattern every warehouse needs for
+    * time-travel joins against mutable dimensions (the reference's
+    * status-history updates imply exactly this).
+    *
+    * Intervals per user partition the timeline (zero-length tie intervals
+    * can never match from ≤ T < to), so the probe resolves to AT MOST one
+    * version — users whose history starts after the probe get the explicit
+    * (0, 'none', −1) sentinel instead of nulls. One user_id shuffle serves
+    * the window, the version count, and the lookup. */
+  def qScd2Lookup(s: SparkSession, d: String): DataFrame = {
+    val probe = 1705363200000L // 2024-01-16T00:00Z, mid-range at every SF
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), graft.functions.TimeFunctions.nsToMs("ts").as("ms"))
+    val w = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
+    val hist = ev.select(col("user_id"), col("event_type"), col("ms"),
+      row_number().over(w).cast("long").as("version"),
+      lead("ms", 1).over(w).as("valid_to"))
+    val nv = hist.groupBy("user_id").agg(max("version").as("n_versions"))
+    val at = hist
+      .filter(col("ms") <= probe &&
+        (col("valid_to").isNull || col("valid_to") > probe))
+      .select(col("user_id"), col("version").as("ver_at_probe"),
+        col("event_type").as("attr_at_probe"), col("ms").as("valid_from_ms"))
+    nv.join(at, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_versions"),
+        coalesce(col("ver_at_probe"), lit(0L)).as("ver_at_probe"),
+        coalesce(col("attr_at_probe"), lit("none")).as("attr_at_probe"),
+        coalesce(col("valid_from_ms"), lit(-1L)).as("valid_from_ms"))
+      .orderBy("user_id")
+  }
+
+  private val qScd2LookupSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+      |), hist AS (
+      |  SELECT user_id, event_type, ms,
+      |    CAST(row_number() OVER w AS BIGINT) AS version,
+      |    lead(ms) OVER w AS valid_to
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+      |), nv AS (
+      |  SELECT user_id, max(version) AS n_versions FROM hist GROUP BY user_id
+      |), at AS (
+      |  SELECT user_id, version AS ver_at_probe, event_type AS attr_at_probe,
+      |    ms AS valid_from_ms
+      |  FROM hist
+      |  WHERE ms <= 1705363200000
+      |    AND (valid_to IS NULL OR valid_to > 1705363200000)
+      |)
+      |SELECT nv.user_id, n_versions,
+      |  coalesce(ver_at_probe, 0) AS ver_at_probe,
+      |  coalesce(attr_at_probe, 'none') AS attr_at_probe,
+      |  coalesce(valid_from_ms, -1) AS valid_from_ms
+      |FROM nv LEFT JOIN at USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** Ordered funnel: view → click → purchase, each stage's first occurrence
     * strictly at-or-after the previous stage's. Stage frontiers are tiny
     * per-user aggregates, so each step is a broadcast-joinable reduction —
@@ -187,6 +246,7 @@ object Sessionize {
   val all: Seq[Q] = Seq(
     Q("q_events_retention", eventsRetention, Some(eventsRetentionSql)),
     Q("q_events_funnel", eventsFunnel, Some(eventsFunnelSql)),
+    Q("q_scd2_lookup", qScd2Lookup, Some(qScd2LookupSql)),
     Q("q_events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
     Q("q_events_tumbling", eventsTumbling, Some(eventsTumblingSql)),
     Q("q_events_json_extract", eventsJsonExtract, Some(eventsJsonExtractSql))

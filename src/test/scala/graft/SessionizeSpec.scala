@@ -59,4 +59,26 @@ class SessionizeSpec extends SparkSpec {
     assert(byCohort.values.map(_.find(_.getAs[Long]("day_offset") == 0L)
       .get.getAs[Long]("n_users")).sum == users)
   }
+
+  test("scd2: one row per user; probe resolves consistently with event history") {
+    val probe = 1705363200000L
+    val rows = qScd2Lookup(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.length.toLong == users, "one lookup row per user")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_versions")
+      val ver = r.getAs[Long]("ver_at_probe")
+      val from = r.getAs[Long]("valid_from_ms")
+      assert(n >= 1L)
+      assert(ver >= 0L && ver <= n)
+      if (ver == 0L) {
+        // sentinel: the user's history starts after the probe
+        assert(r.getAs[String]("attr_at_probe") == "none" && from == -1L)
+      } else {
+        assert(from <= probe, "version in force must have started by the probe")
+      }
+    }
+    // at least some users on each side of the probe at this SF
+    assert(rows.exists(_.getAs[Long]("ver_at_probe") > 0L))
+  }
 }
