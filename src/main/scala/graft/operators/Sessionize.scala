@@ -168,6 +168,46 @@ object Sessionize {
       |FROM nv LEFT JOIN at USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** First-order Markov transition matrix over each user's event sequence:
+    * counts and basis-point probabilities for every (from_type → to_type)
+    * step — the behavioral-sequence summary behind next-action prediction
+    * and anomaly screens. One user_id window (reusing sessionize's exchange
+    * shape) then a tiny (types × types) aggregate; probabilities as exact
+    * integer div so the row-normalized matrix is cross-engine stable. */
+  def qEventTransitions(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), graft.functions.TimeFunctions.nsToMs("ts").as("ms"))
+    val w = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
+    val trans = ev
+      .select(col("event_type").as("from_type"),
+        lead("event_type", 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("n_from",
+        sum("n").over(Window.partitionBy("from_type")))
+      .withColumn("p_bp", expr("(2 * 10000 * n + n_from) div (2 * n_from)"))
+      .select("from_type", "to_type", "n", "p_bp")
+      .orderBy("from_type", "to_type")
+  }
+
+  private val qEventTransitionsSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+      |), tr AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS to_type
+      |  FROM ev
+      |), counts AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, n,
+      |  (2 * 10000 * n + sum(n) OVER (PARTITION BY from_type))
+      |    // (2 * sum(n) OVER (PARTITION BY from_type)) AS p_bp
+      |FROM counts
+      |ORDER BY from_type, to_type""".stripMargin
+
   /** Ordered funnel: view → click → purchase, each stage's first occurrence
     * strictly at-or-after the previous stage's. Stage frontiers are tiny
     * per-user aggregates, so each step is a broadcast-joinable reduction —
@@ -247,6 +287,7 @@ object Sessionize {
     Q("q_events_retention", eventsRetention, Some(eventsRetentionSql)),
     Q("q_events_funnel", eventsFunnel, Some(eventsFunnelSql)),
     Q("q_scd2_lookup", qScd2Lookup, Some(qScd2LookupSql)),
+    Q("q_event_transitions", qEventTransitions, Some(qEventTransitionsSql)),
     Q("q_events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
     Q("q_events_tumbling", eventsTumbling, Some(eventsTumblingSql)),
     Q("q_events_json_extract", eventsJsonExtract, Some(eventsJsonExtractSql))

@@ -81,4 +81,18 @@ class SessionizeSpec extends SparkSpec {
     // at least some users on each side of the probe at this SF
     assert(rows.exists(_.getAs[Long]("ver_at_probe") > 0L))
   }
+
+  test("event transitions: rows normalize to ~10000 bp per from_type") {
+    val rows = qEventTransitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val events = Tables.events(spark, sf).count()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(total == events - users, "one transition per event except each user's last")
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rs) =>
+      val bp = rs.map(_.getAs[Long]("p_bp")).sum
+      // each row rounds independently: sum within ±(rows/2) of 10000
+      assert(math.abs(bp - 10000L) <= rs.length, s"$ft rows sum to $bp bp")
+    }
+  }
 }
