@@ -602,6 +602,87 @@ object TextAnalysis {
       |GROUP BY t2.doc_id
       |ORDER BY t2.doc_id""".stripMargin
 
+  /** Bigram-LM surprisal — the n=2 rung above text_unigram_logprob: token i
+    * is scored by −ln p(wᵢ|wᵢ₋₁) under the corpus-trained bigram model
+    * (p = c(w₁w₂)/c(w₁·), the count of the bigram over the count of its
+    * context as a prefix), the first token of each document by its unigram
+    * surprisal. Self-scoring the training corpus means every bigram is seen
+    * (no backoff path exercised), which keeps the estimator pure-ML and the
+    * oracle exact; the per-token centinat quantization → integer doc sums
+    * is the same parity rule the unigram scorer proved.
+    *
+    * Plan: cached token relation feeds the bigram window, both count
+    * aggregates, and the first-token slice; scoring joins are shuffle joins
+    * on token keys (vocab² too large to broadcast at scale). */
+  def textBigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(wsTrim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .cache()
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = toks
+      .select(col("doc_id"), col("tok").as("w1"), lead("tok", 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1p = bg.groupBy("w1").agg(count(lit(1)).as("c1p"))
+    val bgScored = bg.join(c12, Seq("w1", "w2")).join(c1p, Seq("w1"))
+      .select(col("doc_id"),
+        round(-log(col("c12") / col("c1p")) * 100).cast("long").as("surp"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = uni.agg(sum("cnt").as("tot"))
+    val firstScored = toks.filter(col("pos") === 0)
+      .join(uni, "tok").crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(-log(col("cnt") / col("tot")) * 100).cast("long").as("surp"))
+    bgScored.unionByName(firstScored)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("surp").as("sum_surp"))
+      .withColumn("avg_surprisal_cn", expr("sum_surp div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val textBigramLogprobSql =
+    """WITH raw AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents
+      |), tk AS (
+      |  SELECT doc_id, i, t[i] AS tok
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, array_length(t))) AS i
+      |        FROM raw)
+      |  WHERE length(t[i]) > 0
+      |), bg AS (
+      |  SELECT doc_id, w1, w2 FROM (
+      |    SELECT doc_id, tok AS w1,
+      |      lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      |    FROM tk
+      |  ) WHERE w2 IS NOT NULL
+      |), c12 AS (
+      |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+      |), c1p AS (
+      |  SELECT w1, count(*) AS c1p FROM bg GROUP BY w1
+      |), bg_scored AS (
+      |  SELECT bg.doc_id,
+      |    CAST(round(-ln(c12.c12 * 1.0 / c1p.c1p) * 100) AS BIGINT) AS surp
+      |  FROM bg JOIN c12 USING (w1, w2) JOIN c1p USING (w1)
+      |), uni AS (
+      |  SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
+      |), tot AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM uni
+      |), first_scored AS (
+      |  SELECT tk.doc_id,
+      |    CAST(round(-ln(uni.cnt * 1.0 / tot.tot) * 100) AS BIGINT) AS surp
+      |  FROM tk JOIN uni USING (tok) CROSS JOIN tot
+      |  WHERE tk.i = 1
+      |), allsurp AS (
+      |  SELECT * FROM bg_scored UNION ALL SELECT * FROM first_scored
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(surp) AS BIGINT) AS sum_surp,
+      |  CAST(sum(surp) // count(*) AS BIGINT) AS avg_surprisal_cn
+      |FROM allsurp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** The fixed "query" for BM25 retrieval — the corpus keyword vocabulary
     * (same six terms as corpus_keyword_match, text_processor.py:119-131). */
   private val bmTerms = Seq("spark", "join", "filter", "window", "hash", "stream")
@@ -877,6 +958,7 @@ object TextAnalysis {
     Q("text_dsir_weight", textDsirWeight, Some(textDsirWeightSql)),
     Q("text_bm25", textBm25, Some(textBm25Sql)),
     Q("text_unigram_logprob", textUnigramLogprob, Some(textUnigramLogprobSql)),
+    Q("text_bigram_logprob", textBigramLogprob, Some(textBigramLogprobSql)),
     Q("text_bpe_token_count", textBpeTokenCount, Some(textBpeTokenCountSql)),
     Q("text_pack_sequences", textPackSequences, Some(textPackSequencesSql)),
     Q("text_filter_chain", textFilterChain, Some(textFilterChainSql)),

@@ -171,6 +171,25 @@ class TextAnalysisSpec extends SparkSpec {
       s"target per-occurrence mean ${perOcc(tgt)} not above raw ${perOcc(rest)}")
   }
 
+  test("bigram LM beats unigram LM on training-corpus log-loss") {
+    val uni = textUnigramLogprob(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_surp"))).toMap
+    val bi = textBigramLogprob(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_surp"))).toMap
+    assert(bi.keySet == uni.keySet)
+    bi.foreach { case (id, (n, _)) => assert(uni(id)._1 == n, s"doc $id token count") }
+    // H(W|prev) <= H(W): corpus-total conditional log-loss can't exceed the
+    // marginal one (both models score first tokens identically); allow the
+    // per-token ±0.5 centinat quantization as slack
+    val totalBi = bi.values.map(_._2).sum
+    val totalUni = uni.values.map(_._2).sum
+    val slack = bi.values.map(_._1).sum // 1 centinat per token
+    assert(totalBi <= totalUni + slack,
+      s"bigram $totalBi should not exceed unigram $totalUni")
+  }
+
   test("pmi: support respected, ranked, and the top score recomputes by hand") {
     val rows = textPmiCollocations(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
