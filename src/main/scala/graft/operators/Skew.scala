@@ -16,6 +16,58 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Bloom-filter SEMI-JOIN REDUCTION: prune the fact side against a compact
+    * membership summary of the dim keys BEFORE the join — the classic
+    * distributed-join optimization (runtime filters in warehouses; Spark's
+    * own InjectRuntimeFilter) made explicit and engine-portable. The "bloom
+    * filter" is k=4 bit positions per key over a 2^16-bit space, derived
+    * from md5 nibbles; it is represented RELATIONALLY as the broadcast
+    * distinct-positions set, and a fact key survives iff all 4 of its
+    * positions are set (exactly a Bloom membership test, false positives
+    * included). Survivors are then EXACTLY verified against the dim, so the
+    * result is precise and oracled against the plain semi-join SQL.
+    *
+    * Scale story: the bloom test runs on the DISTINCT fact keys (narrow)
+    * against a broadcast position set, so the wide fact shuffle happens only
+    * for keys that pass — at 100 TB that is the difference between shuffling
+    * the whole fact table and shuffling the selective slice. SkewSpec
+    * asserts the pruning actually bites (candidates ≪ distinct keys). */
+  def qBloomSemiPrune(s: SparkSession, d: String): DataFrame = {
+    def positions(key: Column): Column = array((0 until 4).map(j =>
+      pmod(conv(substring(md5(key.cast("string")), 4 * j + 1, 4), 16, 10)
+        .cast("long"), lit(65536L))): _*)
+    val dim = Tables.supplier(s, d)
+      .filter(col("s_nationkey") < 5).select(col("s_suppkey"))
+    val dimPos = dim
+      .select(explode(positions(col("s_suppkey"))).as("pos")).distinct()
+    val factKeys = Tables.lineitem(s, d).select(col("l_suppkey")).distinct()
+    val candidates = factKeys
+      .select(col("l_suppkey"), posexplode(positions(col("l_suppkey")))
+        .as(Seq("j", "pos")))
+      .join(broadcast(dimPos), "pos")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === 4)
+    // exact verification of the bloom survivors, then the pruned fact join
+    val verified = candidates
+      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+      .select("l_suppkey")
+    Tables.lineitem(s, d)
+      .join(broadcast(verified), "l_suppkey")
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev_cents"))
+      .orderBy("ship_year")
+  }
+
+  private val qBloomSemiPruneSql =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM lineitem
+      |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+      |GROUP BY 1 ORDER BY ship_year""".stripMargin
+
+
   /** Inner-join fact to a small dim with the fact side salted.
     * The salt must depend only on intra-row data (here: a hash of the fact's
     * whole key + a rotating component) so it's deterministic and uniform. */
@@ -92,6 +144,7 @@ object Skew {
 
   val all: Seq[Q] = Seq(
     Q("q_salted_join", qSaltedJoin, Some(qSaltedJoinSql)),
+    Q("q_bloom_semi_prune", qBloomSemiPrune, Some(qBloomSemiPruneSql)),
     Q("q_salted_agg", qSaltedAgg, Some(qSaltedAggSql))
   )
 }

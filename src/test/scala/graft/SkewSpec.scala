@@ -43,4 +43,25 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
     assert(salted.size == 3, "o_orderstatus is 3-valued — the worst-case skew")
   }
+
+  test("bloom semi prune: exact result and the pre-filter actually bites") {
+    val result = operators.Skew.qBloomSemiPrune(spark, sf).collect()
+      .map(r => r.getAs[Long]("ship_year") ->
+        (r.getAs[Long]("n_items"), r.getAs[Long]("rev_cents"))).toMap
+    val dimKeys = Tables.supplier(spark, sf)
+      .filter(col("s_nationkey") < 5).select("s_suppkey")
+      .collect().map(_.getLong(0)).toSet
+    val plain = Tables.lineitem(spark, sf)
+      .filter(col("l_suppkey").isin(dimKeys.toSeq: _*))
+      .groupBy(year(col("l_shipdate")).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("c"))
+      .collect().map(r => r.getAs[Long]("y") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("c"))).toMap
+    assert(result == plain, "bloom + exact verify must equal the plain semi join")
+    // the pre-filter must discard most distinct fact keys (selective dim)
+    val distinctKeys = Tables.lineitem(spark, sf).select("l_suppkey").distinct().count()
+    assert(dimKeys.size.toLong < distinctKeys / 2,
+      "test premise: the dim must be selective for pruning to mean anything")
+  }
 }
