@@ -127,9 +127,12 @@ object Sessionize {
     val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
       col("event_type"), graft.functions.TimeFunctions.nsToMs("ts").as("ms"))
     val w = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
+    // cached: the version window (user_id shuffle + sort) feeds both the
+    // version count and the point-in-time lookup
     val hist = ev.select(col("user_id"), col("event_type"), col("ms"),
       row_number().over(w).cast("long").as("version"),
       lead("ms", 1).over(w).as("valid_to"))
+      .cache()
     val nv = hist.groupBy("user_id").agg(max("version").as("n_versions"))
     val at = hist
       .filter(col("ms") <= probe &&

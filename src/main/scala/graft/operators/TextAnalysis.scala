@@ -621,9 +621,12 @@ object TextAnalysis {
       .filter(length(col("tok")) > 0)
       .cache()
     val w = Window.partitionBy("doc_id").orderBy("pos")
+    // cached: the bigram window (a doc_id shuffle + sort) feeds BOTH count
+    // aggregates and the scoring join — three consumers, one computation
     val bg = toks
       .select(col("doc_id"), col("tok").as("w1"), lead("tok", 1).over(w).as("w2"))
       .filter(col("w2").isNotNull)
+      .cache()
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1p = bg.groupBy("w1").agg(count(lit(1)).as("c1p"))
     val bgScored = bg.join(c12, Seq("w1", "w2")).join(c1p, Seq("w1"))
@@ -898,7 +901,9 @@ object TextAnalysis {
     val toks = doc.select(col("doc_id"),
         posexplode(split(normalizeText(col("text")), "\\s+")).as(Seq("pos", "tok")))
       .cache()
-    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // cached: the unigram table is consumed by the totals row and BOTH
+    // sides of the scoring join
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c")).cache()
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val bgAll = toks
       .select(col("doc_id"), col("tok"), lead("tok", 1).over(w).as("nxt"))
