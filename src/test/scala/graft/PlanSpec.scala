@@ -182,6 +182,17 @@ class PlanSpec extends SparkSpec {
       s"per-group range stats not broadcast back:\n$plan")
   }
 
+  test("no query plans an unpartitioned CartesianProduct") {
+    // BroadcastNestedLoopJoin over a broadcast-small side is an intentional
+    // pattern (query-set scoring, anchor assignment); a CartesianProduct
+    // node means two big sides crossed — always a 100 TB failure
+    val offenders = SparkEntry.allQueries.flatMap { q =>
+      val plan = q.build(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("every query prunes every testdata parquet scan (no full-width reads)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val violations = SparkEntry.allQueries.flatMap { q =>
