@@ -686,6 +686,98 @@ object TextAnalysis {
       |  CAST(sum(surp) // count(*) AS BIGINT) AS avg_surprisal_cn
       |FROM allsurp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** T5/UL2-style SPAN CORRUPTION planning: deterministically select ~15%
+    * of each document's tokens in spans of length ≤ 3 and account for
+    * exactly what gets masked — the denoising-objective preparation step
+    * that pairs with text_pack_sequences (packing feeds the model, masking
+    * defines its target). Stratified pseudo-random placement: the document
+    * is cut into n_spans = max(1, n/20) strata of width stride = n/n_spans,
+    * and span k starts at a portable md5-derived offset inside stratum k —
+    * spans are provably disjoint (each clamped to its stratum), so the
+    * masked-token count is an exact sum.
+    *
+    * Scale shape: tokens map to their stratum by pos/stride, so the
+    * token-to-span match is an EQUI-join on (doc_id, stratum) — never a
+    * per-doc range blowup. Fully oracled (md5-nibble offsets + integer
+    * arithmetic on both engines). */
+  def textSpanCorruption(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(wsTrim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .cache()
+    val meta = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .withColumn("n_spans", greatest(lit(1L), expr("n div 20")))
+      .withColumn("stride", expr("n div n_spans"))
+    val spans = meta
+      .select(col("doc_id"), col("n"), col("n_spans"), col("stride"),
+        explode(sequence(lit(0L), col("n_spans") - 1)).as("k"))
+      .withColumn("off",
+        pmod(conv(substring(md5(concat(lit("graft-span-1"),
+          col("doc_id").cast("string"), lit(":"), col("k").cast("string"))),
+          1, 4), 16, 10).cast("long"), col("stride")))
+      .withColumn("start", col("k") * col("stride") + col("off"))
+      .withColumn("len", least(lit(3L), col("stride") - col("off")))
+    val masked = toks.as("t")
+      .join(spans.as("sp"),
+        col("t.doc_id") === col("sp.doc_id") &&
+          expr("t.pos div sp.stride") === col("sp.k") &&
+          col("t.pos") >= col("sp.start") &&
+          col("t.pos") < col("sp.start") + col("sp.len"))
+      .groupBy(col("t.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_masked_tokens"),
+        sum(length(col("t.tok")).cast("long")).as("n_masked_chars"))
+    meta.join(masked, "doc_id")
+      .withColumn("mask_bp", expr("(n_masked_tokens * 10000) div n"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_spans"),
+        col("n_masked_tokens"), col("n_masked_chars"), col("mask_bp"))
+      .orderBy("doc_id")
+  }
+
+  private val textSpanCorruptionSql = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH raw AS (
+       |  SELECT doc_id, regexp_split_to_array(
+       |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+       |  FROM documents
+       |), tk AS (
+       |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, array_length(t))) AS i
+       |        FROM raw)
+       |  WHERE length(t[i]) > 0
+       |), meta AS (
+       |  SELECT doc_id, count(*) AS n,
+       |    GREATEST(1, count(*) // 20) AS n_spans,
+       |    count(*) // GREATEST(1, count(*) // 20) AS stride
+       |  FROM tk GROUP BY doc_id
+       |), hashed AS (
+       |  SELECT doc_id, n, n_spans, stride, k,
+       |    md5('graft-span-1' || CAST(doc_id AS VARCHAR)
+       |      || ':' || CAST(k AS VARCHAR)) AS h
+       |  FROM (SELECT doc_id, n, n_spans, stride,
+       |          unnest(generate_series(0, n_spans - 1)) AS k
+       |        FROM meta)
+       |), spans AS (
+       |  SELECT doc_id, n, n_spans, stride, k,
+       |    k * stride + off AS start, LEAST(3, stride - off) AS len
+       |  FROM (SELECT doc_id, n, n_spans, stride, k,
+       |          (${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16
+       |           + ${nib(4)}) % stride AS off
+       |        FROM hashed)
+       |), masked AS (
+       |  SELECT tk.doc_id, count(*) AS n_masked_tokens,
+       |    CAST(sum(length(tok)) AS BIGINT) AS n_masked_chars
+       |  FROM tk JOIN spans ON tk.doc_id = spans.doc_id
+       |    AND tk.pos // spans.stride = spans.k
+       |    AND tk.pos >= spans.start AND tk.pos < spans.start + spans.len
+       |  GROUP BY tk.doc_id
+       |)
+       |SELECT meta.doc_id, n AS n_tokens, n_spans, n_masked_tokens,
+       |  n_masked_chars, (n_masked_tokens * 10000) // n AS mask_bp
+       |FROM meta JOIN masked ON meta.doc_id = masked.doc_id
+       |ORDER BY meta.doc_id""".stripMargin
+  }
+
   /** The fixed "query" for BM25 retrieval — the corpus keyword vocabulary
     * (same six terms as corpus_keyword_match, text_processor.py:119-131). */
   private val bmTerms = Seq("spark", "join", "filter", "window", "hash", "stream")
@@ -964,6 +1056,7 @@ object TextAnalysis {
     Q("text_bm25", textBm25, Some(textBm25Sql)),
     Q("text_unigram_logprob", textUnigramLogprob, Some(textUnigramLogprobSql)),
     Q("text_bigram_logprob", textBigramLogprob, Some(textBigramLogprobSql)),
+    Q("text_span_corruption", textSpanCorruption, Some(textSpanCorruptionSql)),
     Q("text_bpe_token_count", textBpeTokenCount, Some(textBpeTokenCountSql)),
     Q("text_pack_sequences", textPackSequences, Some(textPackSequencesSql)),
     Q("text_filter_chain", textFilterChain, Some(textFilterChainSql)),

@@ -171,6 +171,26 @@ class TextAnalysisSpec extends SparkSpec {
       s"target per-occurrence mean ${perOcc(tgt)} not above raw ${perOcc(rest)}")
   }
 
+  test("span corruption: disjoint spans, ~15% mask rate, deterministic") {
+    val rows = textSpanCorruption(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val spans = r.getAs[Long]("n_spans")
+      val masked = r.getAs[Long]("n_masked_tokens")
+      assert(spans == math.max(1L, n / 20))
+      // strata-clamped spans are disjoint: at most 3 tokens per span
+      assert(masked >= spans && masked <= 3 * spans,
+        s"doc ${r.getAs[Long]("doc_id")}: $masked masked from $spans spans")
+      val bp = r.getAs[Long]("mask_bp")
+      // 15% target with a wide tolerance for short docs and clamped spans
+      if (n >= 100) assert(bp >= 500 && bp <= 1600, s"mask_bp $bp out of band")
+    }
+    val again = textSpanCorruption(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "md5-seeded placement must be reproducible")
+  }
+
   test("bigram LM beats unigram LM on training-corpus log-loss") {
     val uni = textUnigramLogprob(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
