@@ -22,6 +22,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // dev-iteration filter (comma-separated names); the driver never sets it
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val bench: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,7 +36,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      bench.foreach { case (_, fn) =>
         try fn(spark, warmupDir).count() catch { case _: Throwable => () }
       }
       spark.catalog.clearCache() // don't let warmup caches pollute timings
@@ -39,9 +44,9 @@ object Bench {
     // Run the whole suite nRuns times (round-robin over queries, not
     // back-to-back per query, so one load spike on the shared machine can't
     // hit all runs of the same query), then take per-query medians.
-    val names = SparkEntry.queries.keys.toSeq
+    val names = bench.keys.toSeq
     val runs: Seq[Map[String, Double]] = (1 to nRuns).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
+      bench.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>

@@ -85,6 +85,107 @@ object Graph {
        |LIMIT 100""".stripMargin
   }
 
+  /** Triangle counting over the same co-purchase graph — the other canonical
+    * distributed-graph primitive next to PageRank/CC (clustering-coefficient
+    * numerator, community detection, spam-graph features).
+    *
+    * Scale design: the standard wedge join is O(Σ deg²), which a hub node
+    * turns into a hot partition. The fix is DEGREE ORIENTATION (Chiba–
+    * Nishizeki / Cohen's MapReduce form): orient every undirected edge from
+    * the (degree, id)-smaller endpoint to the larger, so every out-degree is
+    * bounded by O(√m) regardless of skew, and each triangle is generated
+    * exactly once (at its lowest-ordered corner — no ÷6 dedup pass, no
+    * double counting). The (deg, id) total order packs into one BIGINT
+    * (deg·10⁹ + id) so both engines compare identically. Two shuffle joins
+    * on the cached oriented-edge relation; nothing materializes n².
+    */
+  def qTriangleCount(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    // undirected edge set, one row per {u,v}: per-order basket² fanout
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .cache()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .cache()
+    // pk packs the (deg, id) total order into one comparable BIGINT
+    val pk = deg.select(col("node"), (col("deg") * lit(1000000000L) + col("node")).as("pk"))
+    val e = und
+      .join(pk.select(col("node").as("u"), col("pk").as("pu")), "u")
+      .join(pk.select(col("node").as("v"), col("pk").as("pv")), "v")
+      .select(
+        when(col("pu") < col("pv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("pu") < col("pv"), col("v")).otherwise(col("u")).as("dst"),
+        when(col("pu") < col("pv"), col("pv")).otherwise(col("pu")).as("pdst"))
+      .cache()
+    // wedge at the lowest-ordered corner; close with the oriented (y→z) edge.
+    // The wedge relation is O(Σ outdeg²) ≫ |E| — never shuffle it. The edge
+    // set is |E| rows of 2 longs, so when it fits (size gate, same pattern
+    // as Dedup's CC broadcast) the closing-edge check is a BROADCAST semi
+    // join and the wedges stay put; beyond the gate it falls back to the
+    // shuffle join, still correct.
+    val closing = e.select(col("src").as("cy"), col("dst").as("cz"))
+    val closingSide =
+      if (e.count() < 5000000L) broadcast(closing) else closing
+    val tri = e.as("ab").join(e.as("ac"),
+        col("ab.src") === col("ac.src") && col("ab.pdst") < col("ac.pdst"))
+      .select(col("ab.src").as("x"), col("ab.dst").as("y"),
+        col("ac.dst").as("z"))
+      .join(closingSide,
+        col("y") === col("cy") && col("z") === col("cz"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val w = Window.orderBy(col("n_triangles").desc, col("node").asc)
+    perNode.join(deg, "node")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 50)
+      .select(col("rk"), col("node").as("p_partkey"), col("deg").as("degree"),
+        col("n_triangles"))
+      .orderBy("rk")
+  }
+
+  private val qTriangleCountSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      |), und AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+      |), deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+      |  GROUP BY node
+      |), pk AS (
+      |  SELECT node, deg * 1000000000 + node AS pk FROM deg
+      |), e AS (
+      |  SELECT CASE WHEN pu.pk < pv.pk THEN und.u ELSE und.v END AS src,
+      |         CASE WHEN pu.pk < pv.pk THEN und.v ELSE und.u END AS dst,
+      |         CASE WHEN pu.pk < pv.pk THEN pv.pk ELSE pu.pk END AS pdst
+      |  FROM und
+      |  JOIN pk pu ON und.u = pu.node
+      |  JOIN pk pv ON und.v = pv.node
+      |), tri AS (
+      |  SELECT ab.src AS x, ab.dst AS y, ac.dst AS z
+      |  FROM e ab
+      |  JOIN e ac ON ab.src = ac.src AND ab.pdst < ac.pdst
+      |  WHERE EXISTS (SELECT 1 FROM e bc WHERE bc.src = ab.dst AND bc.dst = ac.dst)
+      |), pern AS (
+      |  SELECT node, count(*) AS n_triangles FROM (
+      |    SELECT x AS node FROM tri
+      |    UNION ALL SELECT y AS node FROM tri
+      |    UNION ALL SELECT z AS node FROM tri)
+      |  GROUP BY node
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY n_triangles DESC, node) AS BIGINT) AS rk,
+      |  node AS p_partkey, deg AS degree, n_triangles
+      |FROM pern JOIN deg USING (node)
+      |ORDER BY n_triangles DESC, node
+      |LIMIT 50""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("q_pagerank_copurchase", qPagerankCopurchase, Some(qPagerankCopurchaseSql)))
+    Q("q_pagerank_copurchase", qPagerankCopurchase, Some(qPagerankCopurchaseSql)),
+    Q("q_triangle_count", qTriangleCount, Some(qTriangleCountSql)))
 }

@@ -286,7 +286,59 @@ object Sessionize {
       |GROUP BY c.cohort_day, d.day - c.cohort_day
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Last-touch marketing attribution: each purchase is credited to the most
+    * recent preceding click/view by the same user within a 24 h lookback —
+    * the standard attribution shape (and the same-table sibling of the as-of
+    * join). One user_id shuffle + one window pass: `last(..., ignoreNulls)`
+    * over a 1-PRECEDING frame carries the latest touch forward, so there is
+    * no event-grain self-join to blow up on a hot user. The touch ms and
+    * type come from the SAME carried row (both last() calls skip exactly the
+    * non-touch rows), so the pair is always consistent. */
+  def eventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val lookbackMs = 24L * 3600 * 1000
+    val order = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
+    val before = order.rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("click", "view")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        graft.functions.TimeFunctions.nsToMs("ts").as("ms"))
+      .withColumn("touch_ms", last(when(isTouch, col("ms")), ignoreNulls = true).over(before))
+      .withColumn("touch_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(before))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("touch_ms").isNotNull && col("ms") - col("touch_ms") <= lookbackMs,
+          col("touch_type")).otherwise(lit("organic")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).as("revenue"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("channel")
+  }
+
+  private val eventsAttributionSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms FROM events
+      |), touched AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type IN ('click','view') THEN ms END IGNORE NULLS)
+      |      OVER w AS touch_ms,
+      |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+      |      OVER w AS touch_type
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), attributed AS (
+      |  SELECT CASE WHEN touch_ms IS NOT NULL AND ms - touch_ms <= 86400000
+      |              THEN touch_type ELSE 'organic' END AS channel,
+      |    value, user_id
+      |  FROM touched WHERE event_type = 'purchase'
+      |)
+      |SELECT channel, count(*) AS n_purchases, round(sum(value), 2) AS revenue,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM attributed GROUP BY channel ORDER BY channel""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_event_attribution", eventsAttribution, Some(eventsAttributionSql)),
     Q("q_events_retention", eventsRetention, Some(eventsRetentionSql)),
     Q("q_events_funnel", eventsFunnel, Some(eventsFunnelSql)),
     Q("q_scd2_lookup", qScd2Lookup, Some(qScd2LookupSql)),

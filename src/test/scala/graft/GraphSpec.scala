@@ -22,6 +22,31 @@ class GraphSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("triangle counts: degree orientation agrees with naive id orientation") {
+    import org.apache.spark.sql.functions._
+    // independent naive formulation: a<b<c by id, count per node
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct().cache()
+    val naive = und.as("ab").join(und.as("ac"),
+        col("ab.u") === col("ac.u") && col("ab.v") < col("ac.v"))
+      .select(col("ab.u").as("x"), col("ab.v").as("y"), col("ac.v").as("z"))
+      .join(und.as("bc"), col("y") === col("bc.u") && col("z") === col("bc.v"), "left_semi")
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("naive_n"))
+    val got = qTriangleCount(spark, sf)
+    assert(got.count() > 0)
+    val joined = got.join(naive, col("p_partkey") === col("node")).collect()
+    assert(joined.length == got.count(),
+      "every reported node must exist in the naive per-node counts")
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_triangles") == r.getAs[Long]("naive_n"),
+        s"degree-oriented count disagrees with naive at node ${r.getAs[Long]("node")}")
+    }
+  }
+
   test("co-purchase edges are symmetric and loop-free") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()

@@ -34,6 +34,46 @@ class SessionizeSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("hour_ms") % 3600000L == 0))
   }
 
+  test("attribution conserves purchases and channels are touch types or organic") {
+    val rows = eventsAttribution(spark, sf).collect()
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == purchases,
+      "every purchase must land in exactly one channel")
+    val channels = rows.map(_.getAs[String]("channel")).toSet
+    assert(channels.subsetOf(Set("click", "view", "organic")))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_purchases"))
+    }
+  }
+
+  test("attribution: a purchase with no preceding touch in window is organic") {
+    // hand-check one user: earliest purchase before any click/view → organic
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.functions.TimeFunctions.nsToMs("ts").as("ms"))
+      .collect()
+    val byUser = ev.groupBy(_.getAs[Long]("user_id"))
+    val lookback = 24L * 3600 * 1000
+    // recompute expected channel totals naively on the driver (sf0.001 only)
+    val expected = byUser.values.flatMap { rs =>
+      val sorted = rs.sortBy(r => (r.getAs[Long]("ms"), r.getAs[Long]("event_id")))
+      sorted.zipWithIndex.collect {
+        case (r, i) if r.getAs[String]("event_type") == "purchase" =>
+          val touch = sorted.take(i).reverse.find(p =>
+            Set("click", "view")(p.getAs[String]("event_type")))
+          touch match {
+            case Some(t) if r.getAs[Long]("ms") - t.getAs[Long]("ms") <= lookback =>
+              t.getAs[String]("event_type")
+            case _ => "organic"
+          }
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = eventsAttribution(spark, sf).collect()
+      .map(r => r.getAs[String]("channel") -> r.getAs[Long]("n_purchases")).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("json extract: every event has k, so no missing values") {
     val rows = eventsJsonExtract(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
