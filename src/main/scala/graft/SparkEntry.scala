@@ -28,7 +28,9 @@ object SparkEntry {
       Q("streaming_tumbling", streaming.EventStream.streamingTumbling,
         Some(streaming.EventStream.streamingTumblingSql)) :+
       Q("streaming_funnel", streaming.EventStream.streamingFunnel,
-        Some(streaming.EventStream.streamingFunnelSql))
+        Some(streaming.EventStream.streamingFunnelSql)) :+
+      Q("streaming_join", streaming.EventStream.streamingJoin,
+        Some(streaming.EventStream.streamingJoinSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -630,7 +630,68 @@ object Dedup {
        |  doc = min(lbl) AS is_keeper
        |FROM reach GROUP BY doc ORDER BY vec_id""".stripMargin
 
+  /** CONTAINMENT near-dup join (|A∩B| / |A| ≥ 0.8) — the asymmetric sibling
+    * of the Jaccard join: it catches a document swallowed whole inside a
+    * larger one (quote farms, concatenated dumps, page-plus-boilerplate),
+    * which symmetric Jaccard misses because the union is dominated by the
+    * big side. This is the pair-level form of Lee et al.'s "Deduplicating
+    * Training Data" substring concern, at shingle granularity.
+    *
+    * Blocking is the asymmetric prefix filter: order shingles by the global
+    * (df, shingle) total order; if B holds ≥ τ·|A| of A's shingles, B misses
+    * < (1−τ)|A| of them, so B must share one of A's ⌊n/5⌋+2 rarest (the +2
+    * absorbs the round(·,4) ≥ 0.8 boundary). A's PREFIX joins B's FULL
+    * posting list (containment constrains only A's side — that asymmetry is
+    * the operator), so recall is 100% by construction and the oracle below
+    * is the UNBLOCKED all-pairs truth, same strongest form as the LSH and
+    * Jaccard oracles. Verification reuses the array_intersect doc-set join.
+    */
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    containmentPairs(shingleRelation(s, d))
+
+  private[graft] def containmentPairs(sh: DataFrame): DataFrame = {
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id")
+    val ranked = sh.join(dfs, "shingle")
+      .select(col("doc_id"), col("shingle"), col("df"),
+        row_number().over(wDoc.orderBy("df", "shingle")).as("rk"),
+        count(lit(1)).over(wDoc).as("n_sh"))
+    val prefixA = ranked.filter(col("rk") <= floor(col("n_sh") / 5) + 2)
+    val cand = prefixA.as("a").join(ranked.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"))
+      .distinct()
+    val docSets = sh.groupBy("doc_id").agg(collect_list("shingle").as("shs"))
+    cand
+      .join(docSets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_common").cast("double") / col("na").cast("double"), 4)
+          .as("containment"))
+      .filter(col("containment") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Unblocked all-pairs containment truth — the hash match proves the
+    * prefix filter's 100% recall. */
+  private val dedupContainmentSql =
+    s"""WITH $shingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(n_common * 1.0 / za.n_sh, 4) AS containment
+       |FROM common JOIN sizes za ON za.doc_id = doc_a
+       |WHERE round(n_common * 1.0 / za.n_sh, 4) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_semantic_clusters", dedupSemanticClusters, Some(dedupSemanticClustersSql)),
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),

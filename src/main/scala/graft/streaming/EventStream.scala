@@ -179,6 +179,28 @@ object EventStream {
       |UNION ALL SELECT '3_purchase_after_click', count(*) FROM purchases
       |ORDER BY stage""".stripMargin
 
+  /** Driver-contract entry: the watermarked stream-stream interval join
+    * (each purchase × same-user clicks in the preceding hour) replayed and
+    * oracled against the equivalent batch range join. Inner-join matches
+    * emit eagerly per micro-batch (the watermark only bounds and GCs join
+    * state), so the finite replay emits every pair. */
+  def streamingJoin(s: SparkSession, dir: String): DataFrame =
+    runOnBatch(s, dir, clickPurchaseJoin, s"stream_join_${System.nanoTime()}",
+      OutputMode.Append)
+      .orderBy("purchase_id", "click_id")
+
+  /** Batch-equivalent SQL: the same user-keyed 1 h interval join. */
+  val streamingJoinSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+      |  epoch_ms(p.ts) AS purchase_ms, epoch_ms(c.ts) AS click_ms
+      |FROM events p
+      |JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+      | AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 3600000
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Replay a parquet events table through a real streaming query into a
     * memory sink; returns the sink contents as a DataFrame.
     *

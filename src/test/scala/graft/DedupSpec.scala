@@ -39,6 +39,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment: catches a doc swallowed by a larger one that Jaccard misses") {
+    import SparkSpec.spark.implicits._
+    // doc 0 = 12 words; doc 1 = doc 0 + 60 words of filler. Containment
+    // 0→1 is 1.0, but Jaccard = 10/70 ≈ 0.14 — far below the 0.5 join
+    // threshold. The asymmetric operator must report (0,1) and not (1,0).
+    val core = (0 until 12).map(j => s"core$j").mkString(" ")
+    val big = core + " " + (0 until 60).map(j => s"fill$j").mkString(" ")
+    val docs = (Seq((0L, core), (1L, big)) ++
+      (2L until 20L).map(i => (i, (0 until 30).map(j => s"u${i}w$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val sh = operators.Dedup.shinglesOf(docs)
+    val cont = operators.Dedup.containmentPairs(sh)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("containment")))
+    val jac = operators.Dedup.ngramJaccardPairs(sh)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    sh.unpersist()
+    assert(cont.toSeq == Seq((0L, 1L, 1.0)),
+      s"expected exactly the asymmetric (0,1,1.0) pair, got ${cont.toSeq}")
+    assert(!jac.contains((0L, 1L)),
+      "Jaccard at 0.5 must NOT flag the swallowed doc — that asymmetry is the point")
+  }
+
   test("ngram jaccard: prefix filtering keeps pairs the absolute df<=4 cap loses") {
     import SparkSpec.spark.implicits._
     // 6 identical copies: every shared shingle has df=6, so an absolute
