@@ -85,6 +85,40 @@ object Sessionize {
       |GROUP BY 1, 2
       |ORDER BY hour_ms, event_type""".stripMargin
 
+  /** Hopping (sliding) window aggregation: 1 h windows every 30 min, so each
+    * event lands in exactly window/slide = 2 overlapping windows — the
+    * smoothing shape behind moving KPIs and rate alerting. Spark's `window`
+    * with a slide handles the replication declaratively (a codegen'd
+    * explode, no self-join); values in exact integer cents so overlap
+    * accumulation is order-independent cross-engine. */
+  def eventsHopping(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("ets",
+        timestamp_millis(graft.functions.TimeFunctions.nsToMs("ts")))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(window(col("ets"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("val_cents"))
+      .select(unix_millis(col("window.start")).as("win_ms"),
+        col("event_type"), col("n"), col("val_cents"))
+      .orderBy("win_ms", "event_type")
+
+  /** Each event belongs to the windows starting at its 30-min slot and the
+    * slot before — the same replicate-by-offset identity Spark's slide
+    * implements. */
+  private val eventsHoppingSql =
+    """WITH e AS (
+      |  SELECT epoch_ms(ts) AS ms, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), rep AS (
+      |  SELECT (ms // 1800000) * 1800000 - k.off AS win_ms, event_type, cents
+      |  FROM e CROSS JOIN (VALUES (0), (1800000)) AS k(off)
+      |)
+      |SELECT win_ms, event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS val_cents
+      |FROM rep GROUP BY win_ms, event_type
+      |ORDER BY win_ms, event_type""".stripMargin
+
   /** JSON property extraction (regex-based so it stays codegen'd; at scale
     * prefer from_json with an explicit schema for nested payloads). */
   def eventsJsonExtract(s: SparkSession, d: String): DataFrame =
@@ -345,6 +379,7 @@ object Sessionize {
     Q("q_event_transitions", qEventTransitions, Some(qEventTransitionsSql)),
     Q("q_events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
     Q("q_events_tumbling", eventsTumbling, Some(eventsTumblingSql)),
+    Q("q_events_hopping", eventsHopping, Some(eventsHoppingSql)),
     Q("q_events_json_extract", eventsJsonExtract, Some(eventsJsonExtractSql))
   )
 }

@@ -1050,7 +1050,57 @@ object TextAnalysis {
        |ORDER BY pmi_centi DESC, wa, wb
        |LIMIT 100""".stripMargin
 
+  /** Windowed co-occurrence counts (GloVe / word2vec-CBOW statistics, window
+    * ±3): for every unordered token pair within 3 positions, the corpus
+    * count — the raw material for embedding training and distributional
+    * similarity, one rung above the adjacent-bigram PMI table.
+    *
+    * Plan: NO pair self-join — the 3 offsets come from 3 window leads over
+    * ONE doc_id sort (the same exchange every shingle/bigram operator
+    * reuses), exploded and counted. Pairs are canonicalized with
+    * least/greatest so (a,b) and (b,a) accumulate together; ties at the
+    * top-100 boundary break on (w1, w2). */
+  def textCooccurrence(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(normalizeText(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val pairs = toks
+      .select(col("tok"),
+        lead("tok", 1).over(w).as("n1"),
+        lead("tok", 2).over(w).as("n2"),
+        lead("tok", 3).over(w).as("n3"))
+      .select(col("tok"), explode(array(col("n1"), col("n2"), col("n3"))).as("other"))
+      .filter(col("other").isNotNull)
+      .select(least(col("tok"), col("other")).as("w1"),
+        greatest(col("tok"), col("other")).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val rk = Window.orderBy(col("c").desc, col("w1").asc, col("w2").asc)
+    pairs.withColumn("rk", row_number().over(rk).cast("long"))
+      .filter(col("rk") <= 100)
+      .select("rk", "w1", "w2", "c")
+      .orderBy("rk")
+  }
+
+  private val textCooccurrenceSql =
+    s"""WITH ${Dedup.toksCte}, idx AS (
+       |  SELECT t, unnest(generate_series(1, array_length(t))) AS i
+       |  FROM toks WHERE array_length(t) >= 2
+       |), pr AS (
+       |  SELECT least(t[i], t[i + k.o]) AS w1, greatest(t[i], t[i + k.o]) AS w2
+       |  FROM idx CROSS JOIN (VALUES (1), (2), (3)) AS k(o)
+       |  WHERE i + k.o <= array_length(t)
+       |), counts AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM pr GROUP BY 1, 2
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY c DESC, w1, w2) AS BIGINT) AS rk,
+       |  w1, w2, c
+       |FROM counts
+       |ORDER BY c DESC, w1, w2
+       |LIMIT 100""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_cooccurrence", textCooccurrence, Some(textCooccurrenceSql)),
     Q("text_pmi_collocations", textPmiCollocations, Some(textPmiCollocationsSql)),
     Q("text_dsir_weight", textDsirWeight, Some(textDsirWeightSql)),
     Q("text_bm25", textBm25, Some(textBm25Sql)),

@@ -34,6 +34,29 @@ class SessionizeSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("hour_ms") % 3600000L == 0))
   }
 
+  test("hopping windows: every event counted exactly twice, 30-min aligned starts") {
+    val rows = eventsHopping(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == 2 * total,
+      "window/slide = 2 ⇒ each event lands in exactly 2 windows")
+    rows.foreach(r => assert(r.getAs[Long]("win_ms") % 1800000L == 0))
+    // each hopping window's count equals the sum of its two half-hour slots
+    val tumbling30 = Tables.events(spark, sf)
+      .groupBy({
+        val ms = graft.functions.TimeFunctions.nsToMs("ts")
+        (ms - pmod(ms, lit(1800000L))).as("slot")
+      }, col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Long]("slot"), r.getAs[String]("event_type")) -> r.getAs[Long]("n"))
+      .toMap
+    rows.foreach { r =>
+      val (w, t) = (r.getAs[Long]("win_ms"), r.getAs[String]("event_type"))
+      val expected = tumbling30.getOrElse((w, t), 0L) + tumbling30.getOrElse((w + 1800000L, t), 0L)
+      assert(r.getAs[Long]("n") == expected, s"window $w/$t")
+    }
+  }
+
   test("attribution conserves purchases and channels are touch types or organic") {
     val rows = eventsAttribution(spark, sf).collect()
     val purchases = Tables.events(spark, sf)

@@ -210,6 +210,35 @@ class TextAnalysisSpec extends SparkSpec {
       s"bigram $totalBi should not exceed unigram $totalUni")
   }
 
+  test("cooccurrence: symmetric canonical pairs, counts >= adjacent-bigram counts") {
+    val rows = textCooccurrence(spark, sf).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      assert(r.getAs[String]("w1") <= r.getAs[String]("w2"),
+        "pairs must be canonicalized least/greatest")
+      assert(r.getAs[Long]("c") > 0)
+    }
+    val cs = rows.map(_.getAs[Long]("c"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "ranked by count desc")
+    // window ±3 co-occurrence of a pair dominates its adjacent-bigram count
+    // (distance-1 pairs are a subset of distance-≤3 pairs)
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), posexplode(split(
+        graft.functions.TextFunctions.normalizeText(col("text")), "\\s+"))
+        .as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val bigram = toks
+      .select(least(col("tok"), lead("tok", 1).over(w)).as("w1"),
+        greatest(col("tok"), lead("tok", 1).over(w)).as("w2"))
+      .filter(col("w2").isNotNull)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("bc")).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      assert(r.getAs[Long]("c") >= bigram.getOrElse(key, 0L))
+    }
+  }
+
   test("pmi: support respected, ranked, and the top score recomputes by hand") {
     val rows = textPmiCollocations(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
