@@ -714,6 +714,32 @@ object Relational {
     qMarketShareFrom(s, d, l, o)
   }
 
+  /** 2-D box scan over the Z-ORDERED lineitem layout
+    * (sources/ZOrderLayout): literal range predicates on BOTH l_partkey and
+    * l_suppkey reach the parquet reader as pushed filters, and because the
+    * files are laid out along the Morton curve their min/max stats skip
+    * most row groups in either dimension (ZOrderSpec measures the skipping
+    * against a shuffled layout of the same file count). The layout is
+    * invisible in results — the oracle is the same predicate over the plain
+    * table, exactly like q_salted_join's. */
+  def qZorderScan(s: SparkSession, d: String): DataFrame =
+    graft.sources.ZOrderLayout.lineitemZ(s, d)
+      .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 5)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag")
+
+  private val qZorderScanSql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem
+      |WHERE l_partkey <= 100 AND l_suppkey <= 5
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** CUBE (full grouping-sets lattice) over (returnflag, linestatus),
     * written as union-of-levels re-aggregation from ONE base aggregate:
     * the (rf, ls) level scans lineitem once, the three coarser levels
@@ -848,6 +874,7 @@ object Relational {
     Q("q3_bucketed", q3Bucketed, Some(q3Sql)),
     Q("q5_bucketed", q5Bucketed, Some(q5Sql)),
     Q("q_market_share_bucketed", qMarketShareBucketed, Some(qMarketShareSql)),
+    Q("q_zorder_scan", qZorderScan, Some(qZorderScanSql)),
     Q("q_top_customer_per_nation", qTopCustomerPerNation, Some(qTopCustomerPerNationSql)),
     Q("q_rollup", qRollup, Some(qRollupSql)),
     Q("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
