@@ -157,8 +157,60 @@ object Multimodal {
       |FROM fr WHERE frame_idx < 8 * stride
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** OVERLAPPED chunking over "audio" payloads: fixed 64-byte windows every
+    * 48 bytes (25% overlap) — the ASR-pretraining segmentation shape
+    * (30 s windows / 10 s hop, scaled to the stub payload). Like the frame
+    * sampler, everything after payload synthesis is declarative:
+    * `sequence(0, body_len−1, hop)` + `posexplode` generate chunk starts
+    * distributedly, `substring` slices the bytes. `first_byte_sum`
+    * aggregates the FIRST BYTE of every chunk, so the oracle (which
+    * recomputes it from the text characters) proves each chunk starts at
+    * exactly the right byte — offset arithmetic, not just byte counts.
+    * A real feature extractor (fbank/MFCC) replaces only the slice with a
+    * mapPartitions arm like decodeStub. */
+  def mmAudioChunk(s: SparkSession, d: String): DataFrame = {
+    val (win, hop) = (64L, 48L)
+    val chunks = withPayload(s, d)
+      .select(col("doc_id"),
+        (length(col("payload")).cast("long") - 8L).as("body_len"),
+        col("payload"))
+      .select(col("doc_id"), col("body_len"), col("payload"),
+        posexplode(sequence(lit(0L), col("body_len") - 1, lit(hop)))
+          .as(Seq("chunk_no", "start")))
+      .withColumn("chunk", expr(
+        s"substring(payload, cast(9 + start as int), cast($win as int))"))
+    chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        first("body_len").as("body_len"),
+        sum(length(col("chunk")).cast("long")).as("chunked_bytes"),
+        // payload body = UTF-8 text (ASCII in this corpus), so the first
+        // byte of a chunk is the text character at its start offset
+        sum(ascii(col("chunk").cast("string")).cast("long")).as("first_byte_sum"))
+      .orderBy("doc_id")
+  }
+
+  /** First-principles reconstruction: starts, the short-window clamp, and
+    * each chunk's first character are closed-form in (text, byte length). */
+  private val mmAudioChunkSql =
+    """WITH meta AS (
+      |  SELECT doc_id, text,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS body_len
+      |  FROM documents
+      |), ch AS (
+      |  SELECT doc_id, body_len, text,
+      |    unnest(generate_series(0, body_len - 1, 48)) AS start
+      |  FROM meta
+      |)
+      |SELECT doc_id, count(*) AS n_chunks, max(body_len) AS body_len,
+      |  CAST(sum(LEAST(64, body_len - start)) AS BIGINT) AS chunked_bytes,
+      |  CAST(sum(ascii(substr(text, CAST(start + 1 AS INT), 1))) AS BIGINT)
+      |    AS first_byte_sum
+      |FROM ch
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("mm_decode_stats", mmDecodeStats, Some(mmDecodeStatsSql)),
-    Q("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql))
+    Q("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
+    Q("mm_audio_chunk", mmAudioChunk, Some(mmAudioChunkSql))
   )
 }

@@ -85,6 +85,53 @@ object Sessionize {
       |GROUP BY 1, 2
       |ORDER BY hour_ms, event_type""".stripMargin
 
+  /** Incremental VIEW MAINTENANCE of an aggregate: a per-type (count, cents,
+    * min, max) snapshot over history is staged ONCE (one-time cost, like the
+    * bucketed/Z-order layouts), and the query merges it with an aggregate of
+    * only the DELTA slice (ts ≥ cut, pushed to the parquet scan) — the
+    * mergeable-aggregate algebra (partial states combine by sum/min/max)
+    * that lets a 100 TB daily pipeline pay for one day, not the whole
+    * history. Only decomposable aggregates participate (a count-distinct
+    * would need a sketch — q_kmv_distinct is that operator). Oracle = the
+    * full-table aggregate: snapshot + delta must be indistinguishable from
+    * recomputation. */
+  def qIncrAgg(s: SparkSession, d: String): DataFrame = {
+    val cutNs = 1705968000000L * 1000000L // 2024-01-23T00:00Z, mid-range at every SF
+    val partial = (df: DataFrame) => df
+      .select(col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("val_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+    val path = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+      s"/graft_events_aggsnap_${d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")}"
+    qIncrAggStaged.synchronized {
+      if (!qIncrAggStaged.contains(path)) {
+        partial(Tables.events(s, d).filter(col("ts") < cutNs))
+          .write.mode("overwrite").parquet(path)
+        qIncrAggStaged += path
+      }
+    }
+    s.read.parquet(path)
+      .unionByName(partial(Tables.events(s, d).filter(col("ts") >= cutNs)))
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("val_cents").as("val_cents"),
+        min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
+      .orderBy("event_type")
+  }
+
+  private val qIncrAggStaged = scala.collection.mutable.Set[String]()
+
+  private val qIncrAggSql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS val_cents,
+      |  min(cents) AS min_cents, max(cents) AS max_cents
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Hopping (sliding) window aggregation: 1 h windows every 30 min, so each
     * event lands in exactly window/slide = 2 overlapping windows — the
     * smoothing shape behind moving KPIs and rate alerting. Spark's `window`
@@ -380,6 +427,7 @@ object Sessionize {
     Q("q_events_sessionize", eventsSessionize, Some(eventsSessionizeSql)),
     Q("q_events_tumbling", eventsTumbling, Some(eventsTumblingSql)),
     Q("q_events_hopping", eventsHopping, Some(eventsHoppingSql)),
+    Q("q_incr_agg", qIncrAgg, Some(qIncrAggSql)),
     Q("q_events_json_extract", eventsJsonExtract, Some(eventsJsonExtractSql))
   )
 }

@@ -62,4 +62,23 @@ class MultimodalSpec extends SparkSpec {
         s"doc $id: ${r.getAs[Long]("sampled_bytes")} vs $expectedBytes")
     }
   }
+
+  test("audio chunks: overlap accounting and byte-exact chunk starts") {
+    import org.apache.spark.sql.functions._
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = operators.Multimodal.mmAudioChunk(spark, sf).collect()
+    assert(rows.length == texts.count(_._2.nonEmpty))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val body = texts(id).getBytes("UTF-8")
+      val starts = 0L.until(body.length.toLong, 48L)
+      assert(r.getAs[Long]("n_chunks") == starts.size, s"doc $id chunk count")
+      assert(r.getAs[Long]("chunked_bytes") ==
+        starts.map(s0 => math.min(64L, body.length - s0)).sum, s"doc $id bytes")
+      assert(r.getAs[Long]("first_byte_sum") ==
+        starts.map(s0 => body(s0.toInt).toLong).sum,
+        s"doc $id: a chunk does not start at the exact byte offset")
+    }
+  }
 }

@@ -34,6 +34,21 @@ class SessionizeSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("hour_ms") % 3600000L == 0))
   }
 
+  test("incremental aggregate merge is indistinguishable from full recompute") {
+    val full = Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("val_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .orderBy("event_type").collect()
+    val incr = qIncrAgg(spark, sf).collect()
+    assert(incr.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq,
+      "snapshot + delta must equal the full aggregate exactly")
+    // and the snapshot really is reused: a second call must not restage
+    val again = qIncrAgg(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+  }
+
   test("hopping windows: every event counted exactly twice, 30-min aligned starts") {
     val rows = eventsHopping(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
