@@ -717,7 +717,55 @@ object Corpus {
       |FROM ranked WHERE rk <= (n_src * permille) // 1000
       |ORDER BY source, rk""".stripMargin
 
+  /** Corpus SNAPSHOT DIFF — dataset versioning's core primitive (the
+    * reference's decisions-log / re-fetch change detection generalized):
+    * classify every doc across two corpus versions as added / removed /
+    * modified by doc_id presence + content hash. The versions are
+    * deterministic slices of `documents` (v1 lacks doc_id%17==3 — "added
+    * later"; v2 drops doc_id%13==5 — "removed" — and rewrites the text of
+    * doc_id%7==2 — "modified"), so the diff is fully oracle-able.
+    *
+    * Plan: ONE full outer join of two narrow (doc_id, md5) projections —
+    * both sides hash-partitioned on doc_id (at 100 TB: co-bucketed snapshot
+    * layouts make it exchange-free); unchanged docs (the overwhelming mass
+    * at scale) are filtered before the output sort. */
+  def corpusSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val v1 = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("h1"))
+    val v2 = docs.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 2, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("modified")))
+      .filter(col("change").isNotNull)
+      .select("doc_id", "change")
+      .orderBy("doc_id")
+  }
+
+  private val corpusSnapshotDiffSql =
+    """WITH v1 AS (
+      |  SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 17 <> 3
+      |), v2 AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END) AS h2
+      |  FROM documents WHERE doc_id % 13 <> 5
+      |), j AS (
+      |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+      |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |         WHEN v2.doc_id IS NULL THEN 'removed'
+      |         WHEN h1 <> h2 THEN 'modified' END AS change
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |)
+      |SELECT doc_id, change FROM j WHERE change IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("corpus_snapshot_diff", corpusSnapshotDiff, Some(corpusSnapshotDiffSql)),
     Q("corpus_sample_stratified", corpusSampleStratified, Some(corpusSampleStratifiedSql)),
     Q("corpus_tag_themes", corpusTagThemes, Some(corpusTagThemesSql)),
     Q("corpus_heavy_hitters", corpusHeavyHitters, Some(corpusTopTokensSql)),

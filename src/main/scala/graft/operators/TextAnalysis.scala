@@ -1099,7 +1099,84 @@ object TextAnalysis {
        |ORDER BY c DESC, w1, w2
        |LIMIT 100""".stripMargin
 
+  /** COUNT-MIN SKETCH frequency estimation (Cormode–Muthukrishnan): a d=4 ×
+    * w=256 counter grid where cell (j, b) sums every token whose j-th hash
+    * lands in bucket b; a point estimate is the MIN over the 4 rows — never
+    * an underestimate, overestimate bounded by collision mass. The sketch's
+    * 100 TB property is MERGEABILITY: the grid is a groupBy(j, b) count, so
+    * partial grids combine by addition (map-side partials ARE sub-sketches;
+    * same algebra as q_histogram_quantiles). The 4×256-row grid then
+    * broadcasts to score probes.
+    *
+    * Probes = the top-20 exact-count tokens; the output records exact vs
+    * estimate with the overestimate in basis points — deterministic integers
+    * end-to-end (portable md5-prefix hashing), so the APPROXIMATE structure
+    * is hash-exactly oracled, like q_kmv_distinct. */
+  def textCmsFreq(s: SparkSession, d: String): DataFrame = {
+    val depth = 4
+    val toks = Tables.documents(s, d)
+      .select(explode(split(normalizeText(col("text")), "\\s+")).as("tok"))
+      .cache() // consumed by the exact counts AND the sketch grid
+    def bucket(j: Int, tok: Column): Column =
+      conv(substring(md5(concat(lit(s"cms$j:"), tok)), 1, 2), 16, 10).cast("long")
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_c"))
+    val wTop = Window.orderBy(col("exact_c").desc, col("tok").asc)
+    val probes = exact.withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 20)
+    val sketch = toks
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j.toLong).as("j"), bucket(j, col("tok")).as("b"))): _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val est = probes
+      .select(col("rk"), col("tok"), col("exact_c"),
+        explode(array((0 until depth).map(j =>
+          struct(lit(j.toLong).as("j"), bucket(j, col("tok")).as("b"))): _*)).as("jb"))
+      .join(broadcast(sketch),
+        col("jb.j") === col("j") && col("jb.b") === col("b"))
+      .groupBy("rk", "tok", "exact_c")
+      .agg(min("c").as("est_c"))
+    est
+      .withColumn("overest_bp",
+        expr("(10000 * (est_c - exact_c)) div exact_c"))
+      .select("rk", "tok", "exact_c", "est_c", "overest_bp")
+      .orderBy("rk")
+  }
+
+  private val textCmsFreqSql: String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH ${Dedup.toksCte}, tok AS (
+       |  SELECT unnest(t) AS tok FROM toks
+       |), exact AS (
+       |  SELECT tok, count(*) AS exact_c FROM tok GROUP BY tok
+       |), probes AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY exact_c DESC, tok) AS BIGINT) AS rk,
+       |    tok, exact_c
+       |  FROM exact
+       |  ORDER BY exact_c DESC, tok LIMIT 20
+       |), hashed AS (
+       |  SELECT tok, j.j, md5('cms' || j.j || ':' || tok) AS h
+       |  FROM tok CROSS JOIN (VALUES (0), (1), (2), (3)) AS j(j)
+       |), grid AS (
+       |  SELECT j, ${nib(1)} * 16 + ${nib(2)} AS b, CAST(count(*) AS BIGINT) AS c
+       |  FROM hashed GROUP BY 1, 2
+       |), probe_cells AS (
+       |  SELECT p.rk, p.tok, p.exact_c, j.j,
+       |    md5('cms' || j.j || ':' || p.tok) AS h
+       |  FROM probes p CROSS JOIN (VALUES (0), (1), (2), (3)) AS j(j)
+       |), est AS (
+       |  SELECT rk, tok, exact_c, min(c) AS est_c
+       |  FROM probe_cells pc JOIN grid g
+       |    ON pc.j = g.j AND ${nib(1)} * 16 + ${nib(2)} = g.b
+       |  GROUP BY rk, tok, exact_c
+       |)
+       |SELECT rk, tok, exact_c, est_c,
+       |  CAST((10000 * (est_c - exact_c)) // exact_c AS BIGINT) AS overest_bp
+       |FROM est ORDER BY rk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("text_cms_freq", textCmsFreq, Some(textCmsFreqSql)),
     Q("text_cooccurrence", textCooccurrence, Some(textCooccurrenceSql)),
     Q("text_pmi_collocations", textPmiCollocations, Some(textPmiCollocationsSql)),
     Q("text_dsir_weight", textDsirWeight, Some(textDsirWeightSql)),

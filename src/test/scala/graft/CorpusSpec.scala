@@ -152,4 +152,22 @@ class CorpusSpec extends SparkSpec {
         s"fraction not monotone: ($nA docs → quota $qA) vs ($nB docs → quota $qB)")
     }
   }
+
+  test("snapshot diff: every class recomputes from the version slice rules") {
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val expected = ids.flatMap { id =>
+      val inV1 = id % 17 != 3
+      val inV2 = id % 13 != 5
+      (inV1, inV2) match {
+        case (false, true) => Some(id -> "added")
+        case (true, false) => Some(id -> "removed")
+        case (true, true) if id % 7 == 2 => Some(id -> "modified")
+        case _ => None
+      }
+    }
+    val got = corpusSnapshotDiff(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("change")).toSet
+    assert(got == expected)
+  }
 }

@@ -210,6 +210,21 @@ class TextAnalysisSpec extends SparkSpec {
       s"bigram $totalBi should not exceed unigram $totalUni")
   }
 
+  test("count-min sketch never underestimates and overest matches the grid") {
+    val rows = textCmsFreq(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact_c"), r.getAs[Long]("est_c"))
+      assert(est >= exact,
+        s"CMS must never underestimate: ${r.getAs[String]("tok")} $est < $exact")
+      assert(r.getAs[Long]("overest_bp") == 10000 * (est - exact) / exact)
+    }
+    // depth=4, width=256: expected collision inflation per row is N/256;
+    // taking the min over 4 rows keeps the top-token estimates tight
+    val worst = rows.map(r => r.getAs[Long]("overest_bp")).max
+    assert(worst <= 10000, s"top-token estimates should be within 2x (got $worst bp)")
+  }
+
   test("cooccurrence: symmetric canonical pairs, counts >= adjacent-bigram counts") {
     val rows = textCooccurrence(spark, sf).collect()
     assert(rows.length == 100)
