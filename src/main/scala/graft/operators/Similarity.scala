@@ -443,7 +443,63 @@ object Similarity {
       |SELECT qid, cand_id, approx_micro, rk FROM ranked WHERE rk <= 5
       |ORDER BY qid, rk""".stripMargin
 
+  /** Late-interaction MULTI-VECTOR scoring (ColBERT's MaxSim, Khattab &
+    * Zaharia 2020): a "document" is a SET of vectors (here: a label group),
+    * and score(Q, D) = Σ_{q∈Q} max_{d∈D} cos(q, d) — each query vector finds
+    * its best-matching document vector, unlike single-vector retrieval that
+    * pools first and loses token-level alignment.
+    *
+    * Scale shape: the small query set (2 labels' vectors) BROADCASTS against
+    * ONE scan of the corpus vectors — per (query-vector, doc-label) maxes
+    * are a hash-aggregate on that scan (map-side partial maxes), and the
+    * final Σ is a tiny re-aggregation. The corpus never self-joins and
+    * nothing materializes |Q|×|D| beyond the streamed scan.
+    *
+    * Parity: each pair cosine quantizes to integer ten-thousandths BEFORE
+    * max/sum (both engines produce bit-identical doubles for the index-order
+    * dot product — the same contract every sim_* oracle relies on — and
+    * max/Σ over integers are order-independent). */
+  def simMaxsim(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+    val queries = v.filter(col("label") <= 1)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val pairCos = v.crossJoin(broadcast(queries))
+      .select(col("qlabel"), col("qid"), col("label").as("dlabel"),
+        round(vecDot(col("qv"), col("v")) / (col("qnrm") * col("nrm")) * 10000)
+          .cast("long").as("cos_e4"))
+    pairCos
+      .groupBy("qlabel", "qid", "dlabel")
+      .agg(max("cos_e4").as("best_e4"))
+      .groupBy("qlabel", "dlabel")
+      .agg(count(lit(1)).as("n_qvecs"), sum("best_e4").as("maxsim_e4"))
+      .orderBy("qlabel", "dlabel")
+  }
+
+  private val simMaxsimSql =
+    """WITH v AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS qid, label AS qlabel, e AS qv, nrm AS qnrm
+      |  FROM v WHERE label <= 1
+      |), best AS (
+      |  SELECT q.qlabel, q.qid, v.label AS dlabel,
+      |    max(CAST(round(list_dot_product(q.qv, v.e) / (q.qnrm * v.nrm) * 10000)
+      |        AS BIGINT)) AS best_e4
+      |  FROM v CROSS JOIN q
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT qlabel, dlabel, CAST(count(*) AS BIGINT) AS n_qvecs,
+      |  CAST(sum(best_e4) AS BIGINT) AS maxsim_e4
+      |FROM best GROUP BY qlabel, dlabel
+      |ORDER BY qlabel, dlabel""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("sim_maxsim", simMaxsim, Some(simMaxsimSql)),
     Q("sim_ann_pq", simAnnPq, Some(simAnnPqSql)),
     Q("sim_doc_embedding_join", simDocEmbeddingJoin, Some(simDocEmbeddingJoinSql)),
     Q("sim_topk_bruteforce", simTopkBruteforce, Some(simTopkBruteforceSql)),

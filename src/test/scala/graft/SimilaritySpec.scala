@@ -97,4 +97,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
       Tables.embeddings(spark, sf).count())
   }
+
+  test("maxsim: self-retrieval is perfect and strictly beats every other doc") {
+    val rows = simMaxsim(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Int]("qlabel"))
+    assert(byQ.size == 2)
+    byQ.foreach { case (q, rs) =>
+      val diag = rs.find(_.getAs[Int]("dlabel") == q).get
+      // query vectors ARE in the self doc-set: every one matches itself at
+      // cos=1, so the diagonal is exactly n_qvecs * 10000
+      assert(diag.getAs[Long]("maxsim_e4") == diag.getAs[Long]("n_qvecs") * 10000L)
+      rs.filter(_.getAs[Int]("dlabel") != q).foreach { r =>
+        assert(r.getAs[Long]("maxsim_e4") < diag.getAs[Long]("maxsim_e4"),
+          s"qlabel $q must retrieve itself above dlabel ${r.getAs[Int]("dlabel")}")
+      }
+    }
+  }
 }
