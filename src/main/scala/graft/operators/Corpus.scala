@@ -764,7 +764,44 @@ object Corpus {
       |SELECT doc_id, change FROM j WHERE change IS NOT NULL
       |ORDER BY doc_id""".stripMargin
 
+  /** ORC interop round trip: documents staged once as ORC (the other
+    * columnar warehouse format — Hive/Trino ecosystems), read back through
+    * Spark's vectorized ORC reader, and aggregated. The oracle runs over
+    * the ORIGINAL parquet, so the hash match proves the format conversion
+    * is value-lossless (string/long/timestamp fidelity) — the same
+    * layout-invisible contract as the bucketed/Z-order variants. Filter
+    * pushdown and column pruning work identically on the ORC scan. */
+  def corpusOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+      s"/graft_documents_orc_${d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")}"
+    orcStaged.synchronized {
+      if (!orcStaged.contains(path)) {
+        Tables.documents(s, d).write.mode("overwrite").orc(path)
+        orcStaged += path
+      }
+    }
+    s.read.orc(path)
+      .filter(col("n_chars") > 0)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("lang", "source")
+  }
+
+  private val orcStaged = scala.collection.mutable.Set[String]()
+
+  private val corpusOrcRoundtripSql =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents
+      |WHERE n_chars > 0
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("corpus_orc_roundtrip", corpusOrcRoundtrip, Some(corpusOrcRoundtripSql)),
     Q("corpus_snapshot_diff", corpusSnapshotDiff, Some(corpusSnapshotDiffSql)),
     Q("corpus_sample_stratified", corpusSampleStratified, Some(corpusSampleStratifiedSql)),
     Q("corpus_tag_themes", corpusTagThemes, Some(corpusTagThemesSql)),

@@ -740,6 +740,75 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Declarative DATA-QUALITY audit (the Deequ/dbt-test shape every 100 TB
+    * ingest runs before publishing a dataset): one row per constraint with
+    * its violation count — domain rules, null keys, PK uniqueness,
+    * referential integrity, and a cross-table temporal rule. The first
+    * three rules share ONE scan (a single aggregate with conditional sums —
+    * never one pass per rule); RI is a broadcast-able anti-join count; the
+    * temporal rule rides the lineitem⋈orders join. The testdata generator
+    * doesn't enforce order-date ≤ ship-date, so that check reports real
+    * violations — the audit visibly has teeth. */
+  def qDqChecks(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val nLi = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("disc"),
+      sum(when(col("l_orderkey").isNull || col("l_partkey").isNull ||
+        col("l_suppkey").isNull, 1L).otherwise(0L)).as("nullkey"))
+    val dupPk = o.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup"))
+    val orphan = li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("viol"))
+      .crossJoin(broadcast(li.agg(count(lit(1)).as("n"))))
+    val shipBefore = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)).as("viol"))
+    def row(name: String, viol: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) = Seq(
+      lit(name).as("check"), viol.cast("long").as("n_violations"),
+      n.cast("long").as("n_checked"))
+    nLi.select(row("lineitem.quantity_positive", col("qty"), col("n")): _*)
+      .unionByName(nLi.select(row("lineitem.discount_in_range", col("disc"), col("n")): _*))
+      .unionByName(nLi.select(row("lineitem.keys_not_null", col("nullkey"), col("n")): _*))
+      .unionByName(dupPk.select(row("orders.orderkey_unique", col("dup"), col("n")): _*))
+      .unionByName(orphan.select(row("lineitem.orderkey_ri", col("viol"), col("n")): _*))
+      .unionByName(shipBefore.select(row("lineitem.ship_after_orderdate", col("viol"), col("n")): _*))
+      .orderBy("check")
+  }
+
+  private val qDqChecksSql =
+    """WITH li AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS qty,
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+      |    CAST(sum(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
+      |                    OR l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nullkey
+      |  FROM lineitem
+      |), o AS (
+      |  SELECT count(*) AS n,
+      |    count(*) - count(DISTINCT o_orderkey) AS dup
+      |  FROM orders
+      |), orphan AS (
+      |  SELECT (SELECT count(*) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)) AS viol,
+      |         (SELECT count(*) FROM lineitem) AS n
+      |), ship AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS viol
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)
+      |SELECT 'lineitem.quantity_positive' AS check, qty AS n_violations, n AS n_checked FROM li
+      |UNION ALL SELECT 'lineitem.discount_in_range', disc, n FROM li
+      |UNION ALL SELECT 'lineitem.keys_not_null', nullkey, n FROM li
+      |UNION ALL SELECT 'orders.orderkey_unique', dup, n FROM o
+      |UNION ALL SELECT 'lineitem.orderkey_ri', viol, n FROM orphan
+      |UNION ALL SELECT 'lineitem.ship_after_orderdate', viol, n FROM ship
+      |ORDER BY "check"""".stripMargin
+
   /** CUBE (full grouping-sets lattice) over (returnflag, linestatus),
     * written as union-of-levels re-aggregation from ONE base aggregate:
     * the (rf, ls) level scans lineitem once, the three coarser levels
@@ -875,6 +944,7 @@ object Relational {
     Q("q5_bucketed", q5Bucketed, Some(q5Sql)),
     Q("q_market_share_bucketed", qMarketShareBucketed, Some(qMarketShareSql)),
     Q("q_zorder_scan", qZorderScan, Some(qZorderScanSql)),
+    Q("q_dq_checks", qDqChecks, Some(qDqChecksSql)),
     Q("q_top_customer_per_nation", qTopCustomerPerNation, Some(qTopCustomerPerNationSql)),
     Q("q_rollup", qRollup, Some(qRollupSql)),
     Q("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),

@@ -117,7 +117,11 @@ class PlanSpec extends SparkSpec {
       q <- SparkEntry.allQueries.map(_.name)
       t <- Seq("nation.parquet", "region.parquet")
     } yield (q, t)
-    dimOk.toSet + (("corpus_build", "documents.parquet"))
+    dimOk.toSet +
+      (("corpus_build", "documents.parquet")) +
+      // MaxSim genuinely consumes all three embedding columns: the vector,
+      // the label (doc grouping), and vec_id (per-query-vector max key)
+      (("sim_maxsim", "embeddings.parquet"))
   }
 
   test("range join: bin bucketing yields an equi hash join, not a nested loop") {
