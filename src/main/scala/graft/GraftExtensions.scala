@@ -16,6 +16,7 @@ import graft.functions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotProductDescriptor)
+    e.injectOptimizerRule(graft.plans.ApproxDistinctRule)
   }
 }
 
@@ -34,7 +35,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
     dotProductBuilder)
 
-  /** Register on a live session. */
-  def install(spark: SparkSession): Unit =
+  /** Register on a live session: the SQL function plus the approx-distinct
+    * optimizer rule (via experimentalMethods — the supported post-hoc hook;
+    * the rule no-ops unless spark.graft.approxDistinct=true). */
+  def install(spark: SparkSession): Unit = {
     CatalystBridge.registerFunction(spark, "dot_product", dotProductBuilder)
+    val rule = graft.plans.ApproxDistinctRule(spark)
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[graft.plans.ApproxDistinctRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+  }
 }

@@ -23,4 +23,36 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(sqlNorms.sameElements(colNorms))
   }
+
+  test("approx-distinct rule rewrites count(DISTINCT) to KMV only when enabled") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.install(spark)
+    def q() = Tables.lineitem(spark, sf)
+      .groupBy(year(col("l_shipdate")).cast("long").as("y"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .orderBy("y")
+    val exact = q().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.approxDistinct", "true")
+    try {
+      val approx = q()
+      assert(approx.queryExecution.optimizedPlan.toString.contains("kmv_distinct"),
+        s"rule did not rewrite:\n${approx.queryExecution.optimizedPlan}")
+      // the rewritten plan must agree with calling the sketch directly
+      val direct = Tables.lineitem(spark, sf)
+        .select(year(col("l_shipdate")).cast("long").as("y"),
+          conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("v"))
+        .groupBy("y")
+        .agg(graft.functions.KmvDistinct.kmvDistinct(col("v"), 256).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = approx.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == direct, s"rewrite disagrees with the direct sketch: $got vs $direct")
+      // KMV with k=256 over small per-year cardinalities is exact here
+      assert(got.keySet == exact.keySet)
+    } finally spark.conf.set("spark.graft.approxDistinct", "false")
+    // flag off again: back to the exact plan
+    val off = q()
+    assert(!off.queryExecution.optimizedPlan.toString.contains("kmv_distinct"))
+    assert(off.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == exact)
+  }
 }
