@@ -30,7 +30,9 @@ object SparkEntry {
       Q("streaming_funnel", streaming.EventStream.streamingFunnel,
         Some(streaming.EventStream.streamingFunnelSql)) :+
       Q("streaming_join", streaming.EventStream.streamingJoin,
-        Some(streaming.EventStream.streamingJoinSql))
+        Some(streaming.EventStream.streamingJoinSql)) :+
+      Q("streaming_attribution", streaming.EventStream.streamingAttribution,
+        Some(streaming.EventStream.streamingAttributionSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

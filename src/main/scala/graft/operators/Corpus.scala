@@ -800,7 +800,63 @@ object Corpus {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** MERGE INTO (upsert-apply) semantics — the write-side sibling of
+    * corpus_snapshot_diff and the batch core of every CDC pipeline:
+    * a change feed (inserts, updates, deletes) applied to a base snapshot
+    * in ONE full outer join on the key.
+    *   WHEN MATCHED AND op='D' THEN DELETE
+    *   WHEN MATCHED AND op='U' THEN UPDATE
+    *   WHEN NOT MATCHED AND op='I' THEN INSERT
+    *   (no change row → keep the base row)
+    * Base and feed derive from the same deterministic version rules as the
+    * diff operator, so the post-merge state is fully oracle-able; `rev`
+    * marks which rows the merge touched and `h16` carries the content hash
+    * prefix, so the oracle proves VALUES, not just membership. At 100 TB
+    * the join runs exchange-free over key-bucketed snapshot layouts and the
+    * untouched mass streams through unmodified. */
+  def corpusUpsertMerge(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val v2hash = md5(when(col("doc_id") % 7 === 2, concat(col("text"), lit(" rev2")))
+      .otherwise(col("text")))
+    val feed = docs
+      .withColumn("op",
+        when(col("doc_id") % 13 === 5 && col("doc_id") % 17 =!= 3, lit("D"))
+          .when(col("doc_id") % 17 === 3 && col("doc_id") % 13 =!= 5, lit("I"))
+          .when(col("doc_id") % 7 === 2, lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("doc_id"), col("op"), v2hash.as("h2"))
+    base.join(feed, Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .filter(col("h").isNotNull || col("op") === "I") // guard: U/D of a ghost key
+      .select(col("doc_id"),
+        when(col("op").isNotNull, 1L).otherwise(0L).as("rev"),
+        substring(coalesce(col("h2"), col("h")), 1, 16).as("h16"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusUpsertMergeSql =
+    """WITH base AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 17 <> 3
+      |), feed AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 5 AND doc_id % 17 <> 3 THEN 'D'
+      |         WHEN doc_id % 17 = 3 AND doc_id % 13 <> 5 THEN 'I'
+      |         WHEN doc_id % 7 = 2 THEN 'U' END AS op,
+      |    md5(CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END) AS h2
+      |  FROM documents
+      |  WHERE doc_id % 13 = 5 OR doc_id % 17 = 3 OR doc_id % 7 = 2
+      |)
+      |SELECT coalesce(base.doc_id, feed.doc_id) AS doc_id,
+      |  CAST(CASE WHEN op IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS rev,
+      |  substr(coalesce(h2, h), 1, 16) AS h16
+      |FROM base FULL OUTER JOIN feed ON base.doc_id = feed.doc_id
+      |WHERE coalesce(op, '') <> 'D' AND (h IS NOT NULL OR op = 'I')
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("corpus_upsert_merge", corpusUpsertMerge, Some(corpusUpsertMergeSql)),
     Q("corpus_orc_roundtrip", corpusOrcRoundtrip, Some(corpusOrcRoundtripSql)),
     Q("corpus_snapshot_diff", corpusSnapshotDiff, Some(corpusSnapshotDiffSql)),
     Q("corpus_sample_stratified", corpusSampleStratified, Some(corpusSampleStratifiedSql)),

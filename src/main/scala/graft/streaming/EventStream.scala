@@ -179,6 +179,85 @@ object EventStream {
       |UNION ALL SELECT '3_purchase_after_click', count(*) FROM purchases
       |ORDER BY stage""".stripMargin
 
+  case class AttrEvent(user_id: Long, event_id: Long, event_type: String,
+      ms: Long, value: Double)
+  case class AttrState(touch_ms: Long, touch_type: String)
+  case class AttrOut(user_id: Long, purchase_id: Long, value: Double, channel: String)
+
+  /** Last-touch attribution as a flatMapGroupsWithState STATE MACHINE: the
+    * state is one (touch_ms, touch_type) pair per user — the latest
+    * click/view seen so far — and each purchase emits its channel the
+    * moment it arrives (append semantics; no per-user event history is
+    * retained, unlike the batch window which sees the whole partition).
+    * In-batch arrival order is not guaranteed by the iterator, so each
+    * batch's rows are re-ordered by (ms, event_id) in memory — bounded by
+    * one user's events in one micro-batch. Cross-batch ordering follows the
+    * same event-time-ordered-batches contract as funnelFrontiers
+    * (documented there; exact for the single-file replay harness). */
+  def attributionMachine(events: DataFrame): Dataset[AttrOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val lookbackMs = 24L * 3600 * 1000
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+        graft.functions.TimeFunctions.nsToMs("ts").as("ms"), col("value"))
+      .as[AttrEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AttrEvent], state: GroupState[AttrState]) =>
+          var st = state.getOption.getOrElse(AttrState(-1L, ""))
+          val out = Seq.newBuilder[AttrOut]
+          rows.toSeq.sortBy(e => (e.ms, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "click" | "view" => st = AttrState(e.ms, e.event_type)
+              case "purchase" =>
+                val ch = if (st.touch_ms >= 0 && e.ms - st.touch_ms <= lookbackMs)
+                  st.touch_type else "organic"
+                out += AttrOut(uid, e.event_id, e.value, ch)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Driver-contract entry: streaming last-touch attribution, finalized to
+    * the same per-channel table as the batch q_event_attribution and
+    * oracled against the SAME SQL (6th oracled streaming query). */
+  def streamingAttribution(s: SparkSession, dir: String): DataFrame = {
+    val purchases = runOnBatch(s, dir, df => attributionMachine(df).toDF(),
+      s"stream_attr_${System.nanoTime()}", OutputMode.Append)
+    purchases.groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).as("revenue"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("channel")
+  }
+
+  /** Identical to q_event_attribution's oracle. */
+  val streamingAttributionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms FROM events
+      |), touched AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type IN ('click','view') THEN ms END IGNORE NULLS)
+      |      OVER w AS touch_ms,
+      |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+      |      OVER w AS touch_type
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), attributed AS (
+      |  SELECT CASE WHEN touch_ms IS NOT NULL AND ms - touch_ms <= 86400000
+      |              THEN touch_type ELSE 'organic' END AS channel,
+      |    value, user_id
+      |  FROM touched WHERE event_type = 'purchase'
+      |)
+      |SELECT channel, count(*) AS n_purchases, round(sum(value), 2) AS revenue,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM attributed GROUP BY channel ORDER BY channel""".stripMargin
+
   /** Driver-contract entry: the watermarked stream-stream interval join
     * (each purchase × same-user clicks in the preceding hour) replayed and
     * oracled against the equivalent batch range join. Inner-join matches

@@ -153,6 +153,26 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("upsert merge: post-merge state is exactly v2 for surviving keys") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val got = corpusUpsertMerge(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rev"), r.getAs[String]("h16"))).toMap
+    // expected survivors: v1 keys minus deletes, plus inserts = v2's key set
+    val expectedKeys = docs.keySet.filter(id => id % 13 != 5)
+    assert(got.keySet == expectedKeys)
+    got.foreach { case (id, (rev, h16)) =>
+      val expectedText = if (id % 7 == 2) docs(id) + " rev2" else docs(id)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(expectedText.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      assert(h16 == md, s"doc $id content hash mismatch after merge")
+      assert((rev == 1L) == (id % 17 == 3 || id % 7 == 2),
+        s"doc $id rev flag wrong")
+    }
+  }
+
   test("snapshot diff: every class recomputes from the version slice rules") {
     val ids = Tables.documents(spark, sf).select("doc_id").collect()
       .map(_.getLong(0)).toSet

@@ -86,4 +86,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("1_view") >= streamed("2_click_after_view"))
     assert(streamed("2_click_after_view") >= streamed("3_purchase_after_click"))
   }
+
+  test("streaming attribution state machine equals the batch window attribution") {
+    val streamed = streaming.EventStream.streamingAttribution(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Double]("revenue"),
+          r.getAs[Long]("n_users"))).toMap
+    val batch = operators.Sessionize.eventsAttribution(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Double]("revenue"),
+          r.getAs[Long]("n_users"))).toMap
+    assert(streamed == batch,
+      "one carried (touch_ms, touch_type) per user must reproduce the full-window result")
+  }
 }
