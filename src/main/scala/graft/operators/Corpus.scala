@@ -855,7 +855,41 @@ object Corpus {
       |WHERE coalesce(op, '') <> 'D' AND (h IS NOT NULL OR op = 'I')
       |ORDER BY doc_id""".stripMargin
 
+  /** Hive-partitioned layout in the oracle-checked path: documents staged
+    * once partitioned BY LANG (sources/Sinks.writePartitioned), then read
+    * with a lang predicate — the scan lists only the matching partition
+    * directories (partition pruning: the dominant I/O saver for any
+    * time/tenant-partitioned 100 TB table; SinksSpec asserts the pruned
+    * file listing, this query proves result parity). Layout invisible:
+    * oracle = the same filter over the plain table. */
+  def corpusPartitionedScan(s: SparkSession, d: String): DataFrame = {
+    val path = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+      s"/graft_documents_bylang_${d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")}"
+    partitionedStaged.synchronized {
+      if (!partitionedStaged.contains(path)) {
+        graft.sources.Sinks.writePartitioned(Tables.documents(s, d), path, "lang")
+        partitionedStaged += path
+      }
+    }
+    s.read.parquet(path)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("lang", "source")
+  }
+
+  private val partitionedStaged = scala.collection.mutable.Set[String]()
+
+  private val corpusPartitionedScanSql =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE lang IN ('en', 'de')
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("corpus_partitioned_scan", corpusPartitionedScan, Some(corpusPartitionedScanSql)),
     Q("corpus_upsert_merge", corpusUpsertMerge, Some(corpusUpsertMergeSql)),
     Q("corpus_orc_roundtrip", corpusOrcRoundtrip, Some(corpusOrcRoundtripSql)),
     Q("corpus_snapshot_diff", corpusSnapshotDiff, Some(corpusSnapshotDiffSql)),

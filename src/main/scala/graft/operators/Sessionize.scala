@@ -166,6 +166,46 @@ object Sessionize {
       |FROM rep GROUP BY win_ms, event_type
       |ORDER BY win_ms, event_type""".stripMargin
 
+  /** Trailing moving average + spike screen over the hourly event series:
+    * per type, each hour's count against the mean of the last 3 OBSERVED
+    * hours (rows-frame semantics — deterministic under gaps), spike when
+    * count > 2× that mean, tested by exact integer cross-multiplication
+    * (count·3 > 2·trailing_sum) so there is no float boundary. The
+    * time-series smoothing/alerting shape on top of the tumbling windows;
+    * one tiny (hours × types) window after the grain aggregate. */
+  def eventsMovingAvg(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(
+        {
+          val ms = graft.functions.TimeFunctions.nsToMs("ts")
+          (ms - pmod(ms, lit(3600000L))).as("hour_ms")
+        },
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour_ms").rowsBetween(-2, 0)
+    hourly
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_sum", sum("n").over(w))
+      .withColumn("is_spike",
+        col("trail_n") === 3 && col("n") * 3 > col("trail_sum") * 2)
+      .select("hour_ms", "event_type", "n", "trail_sum", "is_spike")
+      .orderBy("hour_ms", "event_type")
+  }
+
+  private val eventsMovingAvgSql =
+    """WITH hourly AS (
+      |  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT hour_ms, event_type, n,
+      |  CAST(sum(n) OVER w AS BIGINT) AS trail_sum,
+      |  (count(*) OVER w = 3 AND n * 3 > sum(n) OVER w * 2) AS is_spike
+      |FROM hourly
+      |WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY hour_ms, event_type""".stripMargin
+
   /** JSON property extraction (regex-based so it stays codegen'd; at scale
     * prefer from_json with an explicit schema for nested payloads). */
   def eventsJsonExtract(s: SparkSession, d: String): DataFrame =
@@ -428,6 +468,7 @@ object Sessionize {
     Q("q_events_tumbling", eventsTumbling, Some(eventsTumblingSql)),
     Q("q_events_hopping", eventsHopping, Some(eventsHoppingSql)),
     Q("q_incr_agg", qIncrAgg, Some(qIncrAggSql)),
+    Q("q_moving_avg", eventsMovingAvg, Some(eventsMovingAvgSql)),
     Q("q_events_json_extract", eventsJsonExtract, Some(eventsJsonExtractSql))
   )
 }

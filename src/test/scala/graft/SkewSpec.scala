@@ -64,4 +64,37 @@ class SkewSpec extends SparkSpec {
     assert(dimKeys.size.toLong < distinctKeys / 2,
       "test premise: the dim must be selective for pruning to mean anything")
   }
+
+  test("AQE splits the skewed partition of a hot-key sort-merge join") {
+    // the RUNTIME half of the skew story (deterministic salting is the
+    // planned half): with skew-join thresholds hit, AQE must replan the
+    // oversized partition into splits — visible as skew=true on the join
+    val s = spark
+    import s.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.getOption(k)).toMap
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 1/20 of each side lands on key 0 → that shuffle partition dwarfs the
+      // median and crosses the byte threshold (~3k dup rows ≈ 48KB > 20KB)
+      def skewed(n: Long) = s.range(n)
+        .select(when($"id" % 20 === 0, 0L).otherwise($"id").as("k"), $"id".as("v"))
+      // the count MUST be computed over the same QueryExecution we inspect —
+      // a fresh j.count() would build (and execute) a different plan
+      val agg = skewed(60000).join(skewed(60000), "k").groupBy().count()
+      assert(agg.collect().head.getLong(0) > 0)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join partition:\n$plan")
+    } finally restore.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
 }
