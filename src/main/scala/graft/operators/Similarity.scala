@@ -125,8 +125,21 @@ object Similarity {
     * inverted file itself) reads the full corpus. Tiny corpora sample at
     * 100%, so behavior at spec scale is unchanged. Deterministic: seeds are
     * the first 16 vectors, the sample is content-addressed, iteration count
-    * fixed. Rows-only check; SimilaritySpec bounds recall vs brute force
-    * and asserts the probe actually restricts the candidate set. */
+    * fixed.
+    *
+    * FULLY ORACLED (was rows-only through round 4): the two
+    * engine-internal pieces are made portable — (1) the centroid mean is an
+    * EXACT INTEGER mean over micro-unit-quantized coordinates
+    * (Σ round(x·10⁶) floor-div n, via the x − pmod(x, n) idiom since
+    * Spark's div truncates while DuckDB's // floors), so no float
+    * accumulation order can diverge; (2) the training sample hashes with
+    * the portable md5-prefix instead of xxhash64. Affinity dots and the
+    * final cosine rerank stay double — both engines reduce list dot
+    * products in index order, the same bit-exactness contract the LSH and
+    * brute-force oracles already rely on. The oracle SQL unrolls all three
+    * Lloyd iterations as CTEs, including the empty-cell carry-forward.
+    * SimilaritySpec additionally bounds recall vs brute force and asserts
+    * the probe actually restricts the candidate set. */
   def simAnnIvf(s: SparkSession, d: String): DataFrame = {
     val nClusters = 16
     val nIters = 3
@@ -152,21 +165,31 @@ object Similarity {
         .select("vec_id", "cid")
     }
 
-    // deterministic training sample: keep vec_ids whose hash falls under a
+    // deterministic training sample: keep vec_ids whose PORTABLE hash (md5
+    // prefix — replicable in the oracle, unlike xxhash64) falls under a
     // threshold sized from ONE bounded count() action
     val n = emb.count()
     val keepPerMille = math.min(1000L, trainTarget * 1000L / math.max(n, 1L) + 1L)
-    val train = emb.filter(pmod(xxhash64(col("vec_id")), lit(1000L)) < keepPerMille)
+    val train = emb.filter(
+      pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(1000L)) < keepPerMille)
 
     var centroids: Seq[(Int, Seq[Double])] = emb.filter(col("vec_id") < nClusters)
       .orderBy("vec_id").collect()
       .map(r => (r.getAs[Long]("vec_id").toInt,
         r.getAs[scala.collection.Seq[Double]]("v").toSeq)).toSeq
     for (_ <- 1 to nIters) {
+      // EXACT integer mean per coordinate: micro-unit quantize, integer sum
+      // (order-independent), floor-div (x − pmod(x, n) keeps Spark's
+      // truncating div equal to DuckDB's flooring // on negative sums),
+      // back to double (deterministic: same IEEE division both engines)
       val means = assign(train, centroids)
         .join(train, "vec_id")
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .withColumn("xi", round(col("x") * 1000000).cast("long"))
+        .groupBy("cid", "pos")
+        .agg(expr("(sum(xi) - pmod(sum(xi), count(1))) div count(1)").as("mi"))
+        .withColumn("m", col("mi").cast("double") / 1000000.0)
         .groupBy("cid").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("mv"))
         .select(col("cid"), col("mv.m").as("cv"))
         .collect()
@@ -498,6 +521,84 @@ object Similarity {
       |FROM best GROUP BY qlabel, dlabel
       |ORDER BY qlabel, dlabel""".stripMargin
 
+  /** The unrolled-Lloyd IVF oracle: 3 training iterations as CTE chains
+    * (assignment by list_dot_product affinity — index-order reduction, bit-
+    * identical to vecDot — then exact integer micro-unit means with floor
+    * division and empty-cell carry-forward), final full assignment, nprobe
+    * cell probing, exact cosine rerank. Dim 64 and the md5-prefix sample
+    * threshold are inlined; `// 2` halving is exact (power of two). */
+  private val simAnnIvfSql: String = {
+    val hv = (0 until 15).map { j =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), ${j + 1}, 1)) - 1) * ${BigInt(16).pow(14 - j)}"
+    }.mkString(" + ")
+    def iter(k: Int): String = {
+      val prev = if (k == 1) "cent0" else s"cent${k - 1}"
+      s"""a$k AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT t.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |        list_dot_product(t.e, c.cl) - list_dot_product(c.cl, c.cl) / 2 DESC,
+         |        c.cid) AS rk
+         |    FROM train t CROSS JOIN $prev c
+         |  ) WHERE rk = 1
+         |), m$k AS (
+         |  SELECT a.cid, i.i AS pos,
+         |    CAST(sum(CAST(round(t.e[i.i] * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS mi
+         |  FROM a$k a JOIN train t USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+         |  GROUP BY a.cid, i.i
+         |), cent$k AS (
+         |  SELECT c0.cid, coalesce(m.cl, c0.cl) AS cl
+         |  FROM $prev c0 LEFT JOIN (
+         |    SELECT cid, list(mi / 1000000.0 ORDER BY pos) AS cl FROM m$k GROUP BY cid
+         |  ) m USING (cid)
+         |)""".stripMargin
+    }
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), params AS (
+       |  SELECT LEAST(1000, (1024 * 1000) // GREATEST(count(*), 1) + 1) AS kpm FROM v
+       |), train AS (
+       |  SELECT v.* FROM v, params WHERE ($hv) % 1000 < kpm
+       |), cent0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, e AS cl FROM v WHERE vec_id < 16
+       |), ${iter(1)}, ${iter(2)}, ${iter(3)},
+       |member AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT x.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |        list_dot_product(x.e, c.cl) - list_dot_product(c.cl, c.cl) / 2 DESC,
+       |        c.cid) AS rk
+       |    FROM v x CROSS JOIN cent3 c
+       |  ) WHERE rk = 1
+       |), probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(q.e, c.cl) - list_dot_product(c.cl, c.cl) / 2 DESC,
+       |        c.cid) AS rk
+       |    FROM v q CROSS JOIN cent3 c WHERE q.vec_id < 10
+       |  ) WHERE rk <= 3
+       |), cand AS (
+       |  SELECT p.qid, m.vec_id AS cand_id,
+       |    round(list_dot_product(q.e, x.e) / (q.nrm * x.nrm), 4) AS cosine
+       |  FROM probes p
+       |  JOIN member m USING (cid)
+       |  JOIN v q ON q.vec_id = p.qid
+       |  JOIN v x ON x.vec_id = m.vec_id
+       |  WHERE m.vec_id <> p.qid
+       |)
+       |SELECT qid, cand_id, cosine, rk FROM (
+       |  SELECT qid, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+       |  FROM cand
+       |) WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("sim_maxsim", simMaxsim, Some(simMaxsimSql)),
     Q("sim_ann_pq", simAnnPq, Some(simAnnPqSql)),
@@ -505,7 +606,7 @@ object Similarity {
     Q("sim_topk_bruteforce", simTopkBruteforce, Some(simTopkBruteforceSql)),
     Q("sim_ann_lsh", simAnnLsh, Some(simAnnLshSql)),
     Q("sim_knn_graph", simKnnGraph, Some(simKnnGraphSql)),
-    Q("sim_ann_ivf", simAnnIvf, None),
+    Q("sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql)),
     Q("sim_centroid_by_label", simCentroidByLabel, Some(simCentroidByLabelSql))
   )
 }
