@@ -740,6 +740,33 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Several COUNT(DISTINCT ...) over different columns in ONE aggregate —
+    * the shape Catalyst plans via a single Expand (each input row fans out
+    * once per distinct group, NULL-padded) + two-level aggregation, instead
+    * of N self-joined single-distinct aggregates. One lineitem scan, one
+    * shuffle; the regular sum rides along in the same pass. */
+  def qMultiDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  private val qMultiDistinctSql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(*) AS n_rows,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Declarative DATA-QUALITY audit (the Deequ/dbt-test shape every 100 TB
     * ingest runs before publishing a dataset): one row per constraint with
     * its violation count — domain rules, null keys, PK uniqueness,
@@ -752,12 +779,24 @@ object Relational {
   def qDqChecks(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
+    // one scan for the three single-table rules: the single aggregate row
+    // EXPLODES into its three check rows (a unionByName of three selects
+    // would re-evaluate the whole aggregate per branch)
     val nLi = li.agg(
       count(lit(1)).as("n"),
       sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("qty"),
       sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("disc"),
       sum(when(col("l_orderkey").isNull || col("l_partkey").isNull ||
         col("l_suppkey").isNull, 1L).otherwise(0L)).as("nullkey"))
+      .select(explode(array(
+        struct(lit("lineitem.quantity_positive").as("check"),
+          col("qty").cast("long").as("n_violations"), col("n").cast("long").as("n_checked")),
+        struct(lit("lineitem.discount_in_range").as("check"),
+          col("disc").cast("long").as("n_violations"), col("n").cast("long").as("n_checked")),
+        struct(lit("lineitem.keys_not_null").as("check"),
+          col("nullkey").cast("long").as("n_violations"), col("n").cast("long").as("n_checked"))))
+        .as("r"))
+      .select("r.*")
     val dupPk = o.agg(
       count(lit(1)).as("n"),
       (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup"))
@@ -771,9 +810,7 @@ object Relational {
         n: org.apache.spark.sql.Column) = Seq(
       lit(name).as("check"), viol.cast("long").as("n_violations"),
       n.cast("long").as("n_checked"))
-    nLi.select(row("lineitem.quantity_positive", col("qty"), col("n")): _*)
-      .unionByName(nLi.select(row("lineitem.discount_in_range", col("disc"), col("n")): _*))
-      .unionByName(nLi.select(row("lineitem.keys_not_null", col("nullkey"), col("n")): _*))
+    nLi
       .unionByName(dupPk.select(row("orders.orderkey_unique", col("dup"), col("n")): _*))
       .unionByName(orphan.select(row("lineitem.orderkey_ri", col("viol"), col("n")): _*))
       .unionByName(shipBefore.select(row("lineitem.ship_after_orderdate", col("viol"), col("n")): _*))
@@ -945,6 +982,7 @@ object Relational {
     Q("q_market_share_bucketed", qMarketShareBucketed, Some(qMarketShareSql)),
     Q("q_zorder_scan", qZorderScan, Some(qZorderScanSql)),
     Q("q_dq_checks", qDqChecks, Some(qDqChecksSql)),
+    Q("q_multi_distinct", qMultiDistinct, Some(qMultiDistinctSql)),
     Q("q_top_customer_per_nation", qTopCustomerPerNation, Some(qTopCustomerPerNationSql)),
     Q("q_rollup", qRollup, Some(qRollupSql)),
     Q("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
