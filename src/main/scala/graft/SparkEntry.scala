@@ -32,7 +32,9 @@ object SparkEntry {
       Q("streaming_join", streaming.EventStream.streamingJoin,
         Some(streaming.EventStream.streamingJoinSql)) :+
       Q("streaming_attribution", streaming.EventStream.streamingAttribution,
-        Some(streaming.EventStream.streamingAttributionSql))
+        Some(streaming.EventStream.streamingAttributionSql)) :+
+      Q("streaming_hopping", streaming.EventStream.streamingHopping,
+        Some(streaming.EventStream.streamingHoppingSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1175,7 +1175,71 @@ object TextAnalysis {
        |FROM est ORDER BY rk""".stripMargin
   }
 
+  /** Zipf-law fit over the token frequency table — the vocabulary-health
+    * statistic (natural corpora fit slope ≈ −1; template spam and synthetic
+    * junk deviate hard): least-squares slope of ln(freq) on ln(rank), plus
+    * the top-rank share. Determinism recipe: ranks break ties on token;
+    * each ln quantizes to an exact centi-nat BIGINT BEFORE the sums (Σ over
+    * integers is order-independent — raw double Σ would be partition-order
+    * dependent); the closed-form slope then divides two exact int64s (the
+    * n·Σxy − Σx·Σy cross terms stay < 2^63 at centi-nat scale), rounded to
+    * 6 dp. One token scan, one tiny frequency aggregate. */
+  def textZipfFit(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(normalizeText(col("text")), "\\s+")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("tok").asc)
+    val ranked = freq
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("x", round(log(col("rk").cast("double")) * 100).cast("long"))
+      .withColumn("y", round(log(col("c").cast("double")) * 100).cast("long"))
+    // regression over the top-10k ranks only: the freq-1 tail is tie-noise
+    // (classic Zipf practice), and the cap bounds every int64 cross term at
+    // ANY corpus size (n·Σxy ≤ 1e4·3e10); share/total still see everything
+    val fit = when(col("rk") <= 10000, lit(1L)).otherwise(lit(0L))
+    ranked.agg(
+        sum(fit).as("n"),
+        sum(col("x") * fit).as("sx"), sum(col("y") * fit).as("sy"),
+        sum(col("x") * col("y") * fit).as("sxy"),
+        sum(col("x") * col("x") * fit).as("sxx"),
+        max(when(col("rk") === 1, col("c"))).as("top_c"),
+        sum("c").as("total_c"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("zipf_slope"),
+        expr("(10000 * top_c) div total_c").as("top_share_bp"),
+        col("total_c").as("n_tokens"))
+  }
+
+  private val textZipfFitSql =
+    s"""WITH ${Dedup.toksCte}, tok AS (
+       |  SELECT unnest(t) AS tok FROM toks
+       |), freq AS (
+       |  SELECT tok, count(*) AS c FROM tok GROUP BY tok
+       |), ranked AS (
+       |  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rk,
+       |    CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE)) * 100) AS BIGINT) AS x,
+       |    CAST(round(ln(c * 1.0) * 100) AS BIGINT) AS y
+       |  FROM freq
+       |), sums AS (
+       |  SELECT CAST(sum(CASE WHEN rk <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN rk <= 10000 THEN x ELSE 0 END) AS BIGINT) AS sx,
+       |    CAST(sum(CASE WHEN rk <= 10000 THEN y ELSE 0 END) AS BIGINT) AS sy,
+       |    CAST(sum(CASE WHEN rk <= 10000 THEN x * y ELSE 0 END) AS BIGINT) AS sxy,
+       |    CAST(sum(CASE WHEN rk <= 10000 THEN x * x ELSE 0 END) AS BIGINT) AS sxx,
+       |    CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS top_c,
+       |    CAST(sum(c) AS BIGINT) AS total_c
+       |  FROM ranked
+       |)
+       |SELECT n,
+       |  round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS zipf_slope,
+       |  CAST((10000 * top_c) // total_c AS BIGINT) AS top_share_bp,
+       |  total_c AS n_tokens
+       |FROM sums""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_zipf_fit", textZipfFit, Some(textZipfFitSql)),
     Q("text_cms_freq", textCmsFreq, Some(textCmsFreqSql)),
     Q("text_cooccurrence", textCooccurrence, Some(textCooccurrenceSql)),
     Q("text_pmi_collocations", textPmiCollocations, Some(textPmiCollocationsSql)),

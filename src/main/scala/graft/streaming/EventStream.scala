@@ -397,6 +397,42 @@ object EventStream {
       |GROUP BY 1, 2
       |ORDER BY hour_ms, event_type""".stripMargin
 
+  /** Streaming HOPPING-window aggregation: the slide variant of
+    * tumblingCountsByType — each event lands in window/slide = 2 overlapping
+    * windows, state is one row per (window × type) bounded by the watermark.
+    * Same integer-cents parity rule. */
+  def hoppingCountsByType(events: DataFrame): DataFrame =
+    events
+      .withColumn("ets", timestamp_millis(graft.functions.TimeFunctions.nsToMs("ts")))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("val_cents"))
+      .select(unix_millis(col("window.start")).as("win_ms"),
+        col("event_type"), col("n"), col("val_cents"))
+
+  /** Driver-contract entry: watermarked streaming hopping aggregation,
+    * oracled against the same replicate-by-offset SQL as the batch
+    * q_events_hopping (7th oracled streaming query). */
+  def streamingHopping(s: SparkSession, dir: String): DataFrame =
+    runOnBatch(s, dir, hoppingCountsByType, s"stream_hop_${System.nanoTime()}",
+      OutputMode.Complete)
+      .orderBy("win_ms", "event_type")
+
+  val streamingHoppingSql: String =
+    """WITH e AS (
+      |  SELECT epoch_ms(ts) AS ms, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), rep AS (
+      |  SELECT (ms // 1800000) * 1800000 - k.off AS win_ms, event_type, cents
+      |  FROM e CROSS JOIN (VALUES (0), (1800000)) AS k(off)
+      |)
+      |SELECT win_ms, event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS val_cents
+      |FROM rep GROUP BY win_ms, event_type
+      |ORDER BY win_ms, event_type""".stripMargin
+
   /** Driver-contract entry: streaming sessionization over the sf dir,
     * deterministically ordered. Oracled: the finite replay must produce the
     * exact batch gap-sessionization (StreamingSpec proves parity; the DuckDB

@@ -87,6 +87,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("2_click_after_view") >= streamed("3_purchase_after_click"))
   }
 
+  test("streaming hopping windows equal the batch slide aggregation") {
+    val streamed = streaming.EventStream.streamingHopping(spark, sf).collect()
+      .map(r => (r.getAs[Long]("win_ms"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("val_cents"))).toMap
+    val batch = operators.Sessionize.eventsHopping(spark, sf).collect()
+      .map(r => (r.getAs[Long]("win_ms"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("val_cents"))).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming attribution state machine equals the batch window attribution") {
     val streamed = streaming.EventStream.streamingAttribution(spark, sf)
       .collect()

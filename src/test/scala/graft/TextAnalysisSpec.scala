@@ -210,6 +210,17 @@ class TextAnalysisSpec extends SparkSpec {
       s"bigram $totalBi should not exceed unigram $totalUni")
   }
 
+  test("zipf fit: slope negative, token conservation, top share consistent") {
+    val r = textZipfFit(spark, sf).collect().head
+    assert(r.getAs[Double]("zipf_slope") < 0,
+      "rank-frequency slope must be negative (frequency falls with rank)")
+    val total = Tables.documents(spark, sf)
+      .select(explode(split(graft.functions.TextFunctions.normalizeText(col("text")), "\\s+")))
+      .count()
+    assert(r.getAs[Long]("n_tokens") == total)
+    assert(r.getAs[Long]("top_share_bp") > 0 && r.getAs[Long]("top_share_bp") <= 10000)
+  }
+
   test("count-min sketch never underestimates and overest matches the grid") {
     val rows = textCmsFreq(spark, sf).collect()
     assert(rows.length == 20)
