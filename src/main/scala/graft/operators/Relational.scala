@@ -638,6 +638,35 @@ object Relational {
       |SELECT 'only_95' AS tag, o_custkey FROM (FROM y95 EXCEPT FROM y96)
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** INTERSECT ALL / EXCEPT ALL — the MULTISET semantics (duplicates
+    * preserved by min/difference of per-key multiplicities) next to
+    * q_set_ops' distinct forms. Spark plans these as a single aggregate
+    * carrying two counters per key (no distinct pre-shuffles); the probe
+    * here is lineitem quantities per returnflag slice, where duplicate
+    * (flag-erased) rows genuinely recur. */
+  def qSetOpsAll(s: SparkSession, d: String): DataFrame = {
+    def qtys(flag: String) = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === flag)
+      .select(col("l_quantity").cast("long").as("qty"))
+    val inter = qtys("A").intersectAll(qtys("R"))
+      .groupBy("qty").agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("tag"), col("qty"), col("n"))
+    val exc = qtys("A").exceptAll(qtys("R"))
+      .groupBy("qty").agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("tag"), col("qty"), col("n"))
+    inter.unionAll(exc).orderBy("tag", "qty")
+  }
+
+  private val qSetOpsAllSql =
+    """WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'A'),
+      |     r AS (SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT 'intersect_all' AS tag, qty, count(*) AS n
+      |FROM (FROM a INTERSECT ALL FROM r) GROUP BY qty
+      |UNION ALL
+      |SELECT 'except_all' AS tag, qty, count(*) AS n
+      |FROM (FROM a EXCEPT ALL FROM r) GROUP BY qty
+      |ORDER BY tag, qty""".stripMargin
+
   /** Pivot / crosstab — pandas value_counts-by-two-dims (the reference's
     * bills-by-year-by-state tables). Spark's `pivot` emits the same plan as
     * the CASE-based formulation the oracle uses; columns are pinned so the
@@ -973,6 +1002,7 @@ object Relational {
     Q("q_outer_join_fill", qOuterJoinFill, Some(qOuterJoinFillSql)),
     Q("q_correlated_avg", qCorrelatedAvg, Some(qCorrelatedAvgSql)),
     Q("q_set_ops", qSetOps, Some(qSetOpsSql)),
+    Q("q_set_ops_all", qSetOpsAll, Some(qSetOpsAllSql)),
     Q("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     Q("q3_top_orders", q3TopOrders, Some(q3Sql)),
     Q("q5_region_volume", q5RegionVolume, Some(q5Sql)),

@@ -1238,7 +1238,64 @@ object TextAnalysis {
        |  total_c AS n_tokens
        |FROM sums""".stripMargin
 
+  /** FEATURE HASHING (the hashing trick, Weinberger et al.): every token
+    * hashes to one of 64 dimensions with a ±1 sign, giving each document a
+    * fixed-width integer feature vector with NO vocabulary table — the
+    * embedding-free featurizer for classifiers/dedup at 100 TB (no global
+    * dictionary to build, ship, or skew). Exact integers end-to-end
+    * (md5-prefix dim, md5-nibble sign), so fully oracled. Output is the
+    * per-doc sparse summary (nnz / L1 / dominant dim with deterministic
+    * ties) — scalar columns, as the driver compare requires. */
+  def textFeatureHashing(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(normalizeText(col("text")), "\\s+")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .select(col("doc_id"),
+        pmod(conv(substring(col("h"), 1, 2), 16, 10).cast("long"), lit(64L)).as("dim"),
+        when(conv(substring(col("h"), 3, 1), 16, 10).cast("long") < 8, lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+    val dims = toks.groupBy("doc_id", "dim").agg(sum("sgn").as("v"))
+      .filter(col("v") =!= 0)
+    val w = Window.partitionBy("doc_id").orderBy(abs(col("v")).desc, col("dim").asc)
+    dims
+      .withColumn("rk", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nnz"),
+        sum(abs(col("v"))).as("l1"),
+        max(when(col("rk") === 1, col("dim"))).as("top_dim"),
+        max(when(col("rk") === 1, abs(col("v")))).as("top_abs"))
+      .orderBy("doc_id")
+  }
+
+  private val textFeatureHashingSql =
+    s"""WITH ${Dedup.toksCte}, tok AS (
+       |  SELECT doc_id, md5(unnest(t)) AS h FROM toks
+       |), feats AS (
+       |  SELECT doc_id,
+       |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+       |    (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS raw,
+       |    CASE WHEN strpos('0123456789abcdef', substr(h, 3, 1)) - 1 < 8
+       |         THEN 1 ELSE -1 END AS sgn
+       |  FROM tok
+       |), dims AS (
+       |  SELECT doc_id, raw % 64 AS dim, CAST(sum(sgn) AS BIGINT) AS v
+       |  FROM feats GROUP BY 1, 2
+       |  HAVING sum(sgn) <> 0
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY abs(v) DESC, dim) AS rk
+       |  FROM dims
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz,
+       |  CAST(sum(abs(v)) AS BIGINT) AS l1,
+       |  max(CASE WHEN rk = 1 THEN dim END) AS top_dim,
+       |  max(CASE WHEN rk = 1 THEN abs(v) END) AS top_abs
+       |FROM ranked
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_feature_hashing", textFeatureHashing, Some(textFeatureHashingSql)),
     Q("text_zipf_fit", textZipfFit, Some(textZipfFitSql)),
     Q("text_cms_freq", textCmsFreq, Some(textCmsFreqSql)),
     Q("text_cooccurrence", textCooccurrence, Some(textCooccurrenceSql)),
