@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
@@ -208,9 +209,78 @@ object Multimodal {
       |FROM ch
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** PERCEPTUAL average-hash (aHash) over the media payload: sample 64
+    * evenly-strided body bytes, threshold each against their floor-mean,
+    * pack the 64 bits into a 16-hex-char fingerprint (a string, not a
+    * BIGINT — bit 63 would wrap int64 sign differently across engines),
+    * then dedup by fingerprint equality with min-id keepers — the
+    * first-pass image near-dup strategy (identical-content detection
+    * robust to container/metadata noise; hamming-radius pairing is the
+    * SimHash chunk-blocking shape, already covered by dedup_simhash).
+    * Everything after payload synthesis is declarative and exact-integer,
+    * so the whole pipeline — stride sampling, mean threshold, bit packing,
+    * bucket dedup — is oracle-able from first principles. */
+  def mmAhash(s: SparkSession, d: String): DataFrame = {
+    val sampled = withPayload(s, d)
+      .select(col("doc_id"), col("payload"),
+        (length(col("payload")).cast("long") - 8L).as("body_len"))
+      .filter(col("body_len") > 0)
+      .select(col("doc_id"), col("payload"), col("body_len"),
+        posexplode(sequence(lit(0L), lit(63L))).as(Seq("ignored", "i")))
+      .withColumn("pos", expr("(i * body_len) div 64"))
+      .withColumn("b", ascii(expr("cast(substring(payload, cast(9 + pos as int), 1) as string)")).cast("long"))
+    val bits = sampled
+      .withColumn("mean", expr("sum(b) over (partition by doc_id) div 64"))
+      .withColumn("bit", when(col("b") >= col("mean"), 1L).otherwise(0L))
+      .withColumn("j", expr("i div 4"))
+      .withColumn("wt", expr("cast(pow(2, i % 4) as bigint)"))
+    val nibbles = bits.groupBy("doc_id", "j")
+      .agg(sum(col("bit") * col("wt")).as("nv"))
+      .withColumn("ch", expr("substring('0123456789abcdef', cast(nv + 1 as int), 1)"))
+    val hashes = nibbles.groupBy("doc_id")
+      .agg(expr("array_join(reverse(transform(sort_array(collect_list(struct(j, ch))), x -> x.ch)), '')")
+        .as("ahash"))
+    hashes
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("ahash")))
+      .select(col("doc_id"), col("ahash"), col("keeper"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  private val mmAhashSql =
+    """WITH meta AS (
+      |  SELECT doc_id, text,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS body_len
+      |  FROM documents
+      |  WHERE octet_length(encode(text)) > 0
+      |), sampled AS (
+      |  SELECT doc_id, body_len, i.i,
+      |    ascii(substr(text, CAST((i.i * body_len) // 64 + 1 AS INT), 1)) AS b
+      |  FROM meta CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+      |), bits AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN b >= sum(b) OVER (PARTITION BY doc_id) // 64
+      |         THEN 1 ELSE 0 END AS bit
+      |  FROM sampled
+      |), nibbles AS (
+      |  SELECT doc_id, i // 4 AS j,
+      |    substr('0123456789abcdef',
+      |      CAST(sum(bit * CAST(pow(2, i % 4) AS BIGINT)) + 1 AS INT), 1) AS ch
+      |  FROM bits GROUP BY doc_id, i // 4
+      |), hashes AS (
+      |  SELECT doc_id, string_agg(ch, '' ORDER BY j DESC) AS ahash
+      |  FROM nibbles GROUP BY doc_id
+      |)
+      |SELECT doc_id, ahash,
+      |  min(doc_id) OVER (PARTITION BY ahash) AS keeper,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY ahash) AS is_dup
+      |FROM hashes
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("mm_decode_stats", mmDecodeStats, Some(mmDecodeStatsSql)),
     Q("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
-    Q("mm_audio_chunk", mmAudioChunk, Some(mmAudioChunkSql))
+    Q("mm_audio_chunk", mmAudioChunk, Some(mmAudioChunkSql)),
+    Q("mm_ahash", mmAhash, Some(mmAhashSql))
   )
 }

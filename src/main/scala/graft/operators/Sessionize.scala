@@ -166,6 +166,47 @@ object Sessionize {
       |FROM rep GROUP BY win_ms, event_type
       |ORDER BY win_ms, event_type""".stripMargin
 
+  /** Calendar-spine GAP FILLING: daily per-type activity re-gridded onto a
+    * complete day spine (min..max day GENERATED with sequence+explode — a
+    * dimension the data doesn't contain), missing days zero-filled via LEFT
+    * JOIN + coalesce. The time-series-regularization step every downstream
+    * window/forecast needs (a rows-frame over raw days silently skips
+    * gaps). The spine is days × types — tiny even at 100 TB (it scales
+    * with the calendar, not the data), so the join broadcasts the grain
+    * aggregate side or the spine, never re-shuffles the fact table. */
+  def eventsGapFill(s: SparkSession, d: String): DataFrame = {
+    val dayMs = 86400000L
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val daily = Tables.events(s, d)
+      .groupBy(((ms - pmod(ms, lit(dayMs))) / dayMs).cast("long").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .cache() // consumed by the spine bounds AND the fill join
+    val types = daily.select("event_type").distinct()
+    val spine = daily.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .crossJoin(types)
+    spine.join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("day", "event_type")
+  }
+
+  private val eventsGapFillSql =
+    """WITH daily AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT unnest(generate_series((SELECT min(day) FROM daily),
+      |                                (SELECT max(day) FROM daily))) AS day
+      |), grid AS (
+      |  SELECT s.day, t.event_type
+      |  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+      |)
+      |SELECT g.day, g.event_type, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      |FROM grid g LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
+      |ORDER BY g.day, g.event_type""".stripMargin
+
   /** Trailing moving average + spike screen over the hourly event series:
     * per type, each hour's count against the mean of the last 3 OBSERVED
     * hours (rows-frame semantics — deterministic under gaps), spike when
@@ -469,6 +510,7 @@ object Sessionize {
     Q("q_events_hopping", eventsHopping, Some(eventsHoppingSql)),
     Q("q_incr_agg", qIncrAgg, Some(qIncrAggSql)),
     Q("q_moving_avg", eventsMovingAvg, Some(eventsMovingAvgSql)),
+    Q("q_gap_fill", eventsGapFill, Some(eventsGapFillSql)),
     Q("q_events_json_extract", eventsJsonExtract, Some(eventsJsonExtractSql))
   )
 }
