@@ -638,6 +638,36 @@ object Relational {
       |SELECT 'only_95' AS tag, o_custkey FROM (FROM y95 EXCEPT FROM y96)
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** UNPIVOT (pandas melt — the reverse reshape of q_pivot, and the
+    * spreadsheet-normalization idiom behind the reference's wide→long
+    * cleanups): the per-flag aggregate's three measure columns melt into
+    * (measure, value) rows via Spark's native `unpivot` (planned as a
+    * zero-shuffle Expand on top of the aggregate). */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum("l_quantity"), 2).as("qty"),
+        round(sum("l_extendedprice"), 2).as("price"),
+        round(sum("l_discount"), 2).as("disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+
+  private val qUnpivotSql =
+    """WITH agg AS (
+      |  SELECT l_returnflag,
+      |    round(sum(l_quantity), 2) AS qty,
+      |    round(sum(l_extendedprice), 2) AS price,
+      |    round(sum(l_discount), 2) AS disc
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, measure, value
+      |FROM agg UNPIVOT (value FOR measure IN (qty, price, disc))
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   /** INTERSECT ALL / EXCEPT ALL — the MULTISET semantics (duplicates
     * preserved by min/difference of per-key multiplicities) next to
     * q_set_ops' distinct forms. Spark plans these as a single aggregate
@@ -1003,6 +1033,7 @@ object Relational {
     Q("q_correlated_avg", qCorrelatedAvg, Some(qCorrelatedAvgSql)),
     Q("q_set_ops", qSetOps, Some(qSetOpsSql)),
     Q("q_set_ops_all", qSetOpsAll, Some(qSetOpsAllSql)),
+    Q("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     Q("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     Q("q3_top_orders", q3TopOrders, Some(q3Sql)),
     Q("q5_region_volume", q5RegionVolume, Some(q5Sql)),
