@@ -638,6 +638,52 @@ object Relational {
       |SELECT 'only_95' AS tag, o_custkey FROM (FROM y95 EXCEPT FROM y96)
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** CHI-SQUARE independence test over a contingency table (returnflag ×
+    * linestatus) — the categorical-association screen behind feature
+    * selection and drift detection. Determinism recipe: observed counts and
+    * row/col/total margins are exact int64; each cell's (O·N − R·C) fits
+    * int64 (the square would overflow, so the per-cell term goes through
+    * ONE deterministic double division), is quantized to micro-units, and
+    * the Σ runs over INTEGERS — order-independent under any partitioning.
+    * One scan for the counts; margins are broadcast-size re-aggregations. */
+  def qChi2(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("o"))
+      .cache() // feeds the margins AND the scored cells
+    val rowT = obs.groupBy("l_returnflag").agg(sum("o").as("r"))
+    val colT = obs.groupBy("l_linestatus").agg(sum("o").as("c"))
+    val tot = obs.agg(sum("o").as("n"),
+      countDistinct(col("l_returnflag")).as("nr"),
+      countDistinct(col("l_linestatus")).as("nc"))
+    obs.join(rowT, "l_returnflag").join(colT, "l_linestatus")
+      .crossJoin(broadcast(tot))
+      .withColumn("term_micro",
+        round(pow(col("o") * col("n") - col("r") * col("c"), 2) /
+          (col("r") * col("c") * col("n")).cast("double") * 1000000).cast("long"))
+      .agg(sum("term_micro").as("chi2_micro"),
+        ((max("nr") - 1) * (max("nc") - 1)).as("dof"),
+        count(lit(1)).as("n_cells"),
+        max("n").as("n_rows"))
+  }
+
+  private val qChi2Sql =
+    """WITH obs AS (
+      |  SELECT l_returnflag, l_linestatus, count(*) AS o
+      |  FROM lineitem GROUP BY 1, 2
+      |), rt AS (SELECT l_returnflag, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+      |ct AS (SELECT l_linestatus, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+      |  count(DISTINCT l_returnflag) AS nr, count(DISTINCT l_linestatus) AS nc
+      |  FROM obs)
+      |SELECT CAST(sum(CAST(round(pow(o * n - r * c, 2) /
+      |    CAST(r * c * n AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS chi2_micro,
+      |  CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
+      |  count(*) AS n_cells, max(n) AS n_rows
+      |FROM obs
+      |JOIN rt USING (l_returnflag)
+      |JOIN ct USING (l_linestatus)
+      |CROSS JOIN tot""".stripMargin
+
   /** UNPIVOT (pandas melt — the reverse reshape of q_pivot, and the
     * spreadsheet-normalization idiom behind the reference's wide→long
     * cleanups): the per-flag aggregate's three measure columns melt into
@@ -1034,6 +1080,7 @@ object Relational {
     Q("q_set_ops", qSetOps, Some(qSetOpsSql)),
     Q("q_set_ops_all", qSetOpsAll, Some(qSetOpsAllSql)),
     Q("q_unpivot", qUnpivot, Some(qUnpivotSql)),
+    Q("q_chi2", qChi2, Some(qChi2Sql)),
     Q("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
     Q("q3_top_orders", q3TopOrders, Some(q3Sql)),
     Q("q5_region_volume", q5RegionVolume, Some(q5Sql)),
