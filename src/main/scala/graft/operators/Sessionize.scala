@@ -166,6 +166,36 @@ object Sessionize {
       |FROM rep GROUP BY win_ms, event_type
       |ORDER BY win_ms, event_type""".stripMargin
 
+  /** Cumulative distinct users per day (the growth curve): a windowed
+    * COUNT(DISTINCT) is unbounded state, so it's rewritten as first-touch
+    * cohorts — each user counts once on their first-activity day, and the
+    * running Σ of cohort sizes IS the cumulative distinct count. One
+    * user-grain aggregate + a days-sized window; the rewrite is the
+    * standard trick that makes "uniques to date" linear at 100 TB. */
+  def eventsCumulativeUsers(s: SparkSession, d: String): DataFrame = {
+    val dayMs = 86400000L
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val firstDay = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(min(((ms - pmod(ms, lit(dayMs))) / dayMs).cast("long")).as("day"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(w))
+      .orderBy("day")
+  }
+
+  private val eventsCumulativeUsersSql =
+    """WITH fd AS (
+      |  SELECT user_id, min(epoch_ms(ts) // 86400000) AS day
+      |  FROM events GROUP BY user_id
+      |), coh AS (
+      |  SELECT day, count(*) AS new_users FROM fd GROUP BY day
+      |)
+      |SELECT day, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS cum_users
+      |FROM coh ORDER BY day""".stripMargin
+
   /** Calendar-spine GAP FILLING: daily per-type activity re-gridded onto a
     * complete day spine (min..max day GENERATED with sequence+explode — a
     * dimension the data doesn't contain), missing days zero-filled via LEFT
@@ -511,6 +541,7 @@ object Sessionize {
     Q("q_incr_agg", qIncrAgg, Some(qIncrAggSql)),
     Q("q_moving_avg", eventsMovingAvg, Some(eventsMovingAvgSql)),
     Q("q_gap_fill", eventsGapFill, Some(eventsGapFillSql)),
+    Q("q_cumulative_users", eventsCumulativeUsers, Some(eventsCumulativeUsersSql)),
     Q("q_events_json_extract", eventsJsonExtract, Some(eventsJsonExtractSql))
   )
 }
