@@ -1294,7 +1294,41 @@ object TextAnalysis {
        |FROM ranked
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Lexical diversity (type-token ratio) per document: distinct tokens over
+    * total tokens in basis points, plus a hapax share (tokens occurring
+    * once) — the curation screen that separates natural prose from keyword
+    * stuffing and template spam (both depress TTR) at the opposite end from
+    * text_repetition's span rules. One token scan → one (doc, tok)
+    * aggregate → one per-doc rollup, all exact integers. */
+  def textTypeTokenRatio(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(normalizeText(col("text")), "\\s+")).as("tok"))
+    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_bp", expr("(10000 * n_types) div n_tokens"))
+      .withColumn("hapax_bp", expr("(10000 * n_hapax) div n_types"))
+      .orderBy("doc_id")
+  }
+
+  private val textTypeTokenRatioSql =
+    s"""WITH ${Dedup.toksCte}, tok AS (
+       |  SELECT doc_id, unnest(t) AS tok FROM toks
+       |), tf AS (
+       |  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2
+       |)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_types,
+       |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |  CAST((10000 * count(*)) // sum(c) AS BIGINT) AS ttr_bp,
+       |  CAST((10000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS hapax_bp
+       |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_type_token_ratio", textTypeTokenRatio, Some(textTypeTokenRatioSql)),
     Q("text_feature_hashing", textFeatureHashing, Some(textFeatureHashingSql)),
     Q("text_zipf_fit", textZipfFit, Some(textZipfFitSql)),
     Q("text_cms_freq", textCmsFreq, Some(textCmsFreqSql)),
