@@ -72,7 +72,39 @@ object Bench {
     // a faster-looking round)
     val total = results.collect { case (_, m, _, _) if m >= 0 => m }.sum
     val failures = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"runs":$nRuns,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    // Full per-query JSON goes to a FILE: with 125 queries the inline map
+    // blew past the driver's 2000-char tail capture every round (all five
+    // BENCH_r*.json came back "parsed": null). The stdout line stays compact
+    // and guaranteed parseable: totals + worst-vs-baseline + top-5 slowest.
+    val detailPath = new java.io.File("bench_full.json").getAbsolutePath
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"runs":$nRuns,"queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+    val w = new java.io.PrintWriter(detailPath); try w.println(fullJson) finally w.close()
+    // baseline medians from BASELINE.md's `| name | median | spread |` table
+    val baseline: Map[String, Double] = scala.util.Try {
+      val f = new java.io.File("BASELINE.md")
+      if (!f.isFile) Map.empty[String, Double]
+      else {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().flatMap { line =>
+          line.split("\\|").map(_.trim).filter(_.nonEmpty) match {
+            case Array(name, med, _*) if bench.contains(name) =>
+              scala.util.Try(med.toDouble).toOption.map(name -> _)
+            case _ => None
+          }
+        }.toMap
+        finally src.close()
+      }
+    }.getOrElse(Map.empty) // a baseline parse hiccup must never kill the bench
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
+    val ratios = results.collect {
+      case (k, m, _, _) if m >= 0 && baseline.get(k).exists(_ > 0) => (k, m / baseline(k))
+    }
+    val (worstQ, worstR) =
+      if (ratios.isEmpty) ("none", -1.0) else ratios.maxBy(_._2)
+    val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, m, _, _) => s"\"" + k + "\":" + r3(m) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failures":$failures,"runs":$nRuns,"n_queries":${results.size},"worst_ratio_vs_baseline":${r3(worstR)},"worst_query":"$worstQ","queries":$top5,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

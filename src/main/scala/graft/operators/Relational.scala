@@ -609,8 +609,8 @@ object Relational {
       |  FROM cents GROUP BY c_nationkey
       |)
       |SELECT c_custkey, c_acctbal, n_name,
-      |  (CASE WHEN sc >= 0 THEN (2 * sc + cnt) // (2 * cnt)
-      |        ELSE -((2 * (-sc) + cnt) // (2 * cnt)) END) * 1.0 / 100.0 AS nation_avg
+      |  CAST(CASE WHEN sc >= 0 THEN CAST((2 * sc + cnt) // (2 * cnt) AS BIGINT)
+      |        ELSE -CAST((2 * (-sc) + cnt) // (2 * cnt) AS BIGINT) END AS BIGINT) * 1.0 / 100.0 AS nation_avg
       |FROM cents
       |JOIN nat ON c_nationkey = nk
       |JOIN nation ON c_nationkey = n_nationkey

@@ -398,8 +398,8 @@ object Sessionize {
       |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2
       |)
       |SELECT from_type, to_type, n,
-      |  (2 * 10000 * n + sum(n) OVER (PARTITION BY from_type))
-      |    // (2 * sum(n) OVER (PARTITION BY from_type)) AS p_bp
+      |  CAST((2 * 10000 * n + sum(n) OVER (PARTITION BY from_type))
+      |    // (2 * sum(n) OVER (PARTITION BY from_type)) AS BIGINT) AS p_bp
       |FROM counts
       |ORDER BY from_type, to_type""".stripMargin
 

@@ -559,7 +559,7 @@ object Similarity {
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |  FROM embeddings
        |), params AS (
-       |  SELECT LEAST(1000, (1024 * 1000) // GREATEST(count(*), 1) + 1) AS kpm FROM v
+       |  SELECT LEAST(1000, CAST((1024 * 1000) // GREATEST(count(*), 1) AS BIGINT) + 1) AS kpm FROM v
        |), train AS (
        |  SELECT v.* FROM v, params WHERE ($hv) % 1000 < kpm
        |), cent0 AS (

@@ -112,9 +112,9 @@ object TextAnalysis {
       |), scored AS (
       |  SELECT doc_id, n_tokens,
       |    (CASE WHEN len_chars > 0 THEN
-      |       (20000 * (least(n_tokens, 100) * len_chars + 60 * n_alpha
+      |       CAST((20000 * (least(n_tokens, 100) * len_chars + 60 * n_alpha
       |                 + 40 * (len_chars - n_punct)) + 200 * len_chars)
-      |       // (2 * 200 * len_chars)
+      |       // (2 * 200 * len_chars) AS BIGINT)
       |     ELSE least(n_tokens, 100) * 50 + 2000 END) * 1.0 / 10000.0 AS quality_score
       |  FROM b
       |)

@@ -81,11 +81,12 @@ def main():
             n_fail += 1
             continue
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
-            dtype_diffs = [f"{c}: spark={a[c].dtype} oracle={b[c].dtype}"
-                           for c in a.columns if str(a[c].dtype) != str(b[c].dtype)]
-            flag = f"  [dtype diff: {'; '.join(dtype_diffs)}]" if dtype_diffs else ""
-            print(f"PASS  {name} ({len(a)} rows){flag}")
+            # dtype-EXACT: the driver's hash is dtype-sensitive (an int64
+            # column that round-trips as float64 hashes differently even
+            # when values match — round-5 q_event_transitions failure).
+            # A gate blinder than the driver lets red rows ship green.
+            pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
+            print(f"PASS  {name} ({len(a)} rows)")
             n_pass += 1
         except AssertionError as e:
             print(f"FAIL  {name}: value mismatch:\n{str(e)[:800]}")
