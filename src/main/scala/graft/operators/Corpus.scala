@@ -888,7 +888,242 @@ object Corpus {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** Tolerant multi-format date canonicalization — legiscan_normalizer.py:
+    * 172-216 `parse_date`: try 8 formats in order, assume 2000s for 2-digit
+    * years, empty string when nothing matches. The reference's per-row
+    * try/except loop over strptime formats becomes ONE codegen'd
+    * coalesce(try_to_timestamp(...)) chain — a single scan, no UDF, no
+    * shuffle; embarrassingly parallel at 100 TB.
+    *
+    * Fixture: each order's real date is RENDERED into the format selected by
+    * o_orderkey % 9 (8 = unparseable garbage), then recovered by the parse
+    * chain. The oracle recomputes both the rendered string (strftime) and
+    * the expected canonical date from first principles — identity for
+    * 4-digit formats, +100 years for the two 2-digit-year formats (Spark's
+    * `yy` maps 92 → 2092, exactly the reference's "assume 2000s" fix-up),
+    * '' for garbage — so the hash proves rendering AND parsing both ways. */
+  def corpusParseDates(s: SparkSession, d: String): DataFrame = {
+    val fmts = Seq("yyyy-MM-dd", "MM/dd/yyyy", "MM/dd/yy", "yyyy/MM/dd",
+      "MM-dd-yyyy", "MM-dd-yy", "MMMM d, yyyy", "MMM d, yyyy")
+    val fmtId = col("o_orderkey") % 9
+    val dateStr = fmts.zipWithIndex.foldLeft(when(fmtId === 8, lit("n/a"))) {
+      case (acc, (f, i)) => acc.when(fmtId === i, date_format(col("o_orderdate"), f))
+    }
+    val withStr = Tables.orders(s, d)
+      .select(col("o_orderkey").as("okey"), dateStr.as("date_str"))
+    val parsedRaw = coalesce(
+      fmts.map(f => expr(s"try_to_timestamp(date_str, '$f')").cast("date")): _*)
+    // the reference's 2-digit-year fix-up (year < 100 → +2000); Spark's `yy`
+    // pattern already resolves into 2000-2099 so this is the documented
+    // no-op guard, kept so the rule survives a future pattern change
+    val parsed = when(year(parsedRaw) < 100, add_months(parsedRaw, 24000))
+      .otherwise(parsedRaw)
+    withStr.select(
+        col("okey"), col("date_str"),
+        coalesce(date_format(parsed, "yyyy-MM-dd"), lit("")).as("parsed_date"),
+        parsed.isNotNull.as("parse_ok"))
+      .orderBy("okey")
+  }
+
+  private val corpusParseDatesSql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS okey, o_orderdate, o_orderkey % 9 AS fmt_id FROM orders
+      |)
+      |SELECT okey,
+      |  CASE fmt_id
+      |    WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+      |    WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+      |    WHEN 2 THEN strftime(o_orderdate, '%m/%d/%y')
+      |    WHEN 3 THEN strftime(o_orderdate, '%Y/%m/%d')
+      |    WHEN 4 THEN strftime(o_orderdate, '%m-%d-%Y')
+      |    WHEN 5 THEN strftime(o_orderdate, '%m-%d-%y')
+      |    WHEN 6 THEN strftime(o_orderdate, '%B %-d, %Y')
+      |    WHEN 7 THEN strftime(o_orderdate, '%b %-d, %Y')
+      |    ELSE 'n/a' END AS date_str,
+      |  CASE WHEN fmt_id = 8 THEN ''
+      |       WHEN fmt_id IN (2, 5) THEN strftime(make_date(
+      |         2000 + year(o_orderdate) % 100, month(o_orderdate), day(o_orderdate)), '%Y-%m-%d')
+      |       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS parsed_date,
+      |  fmt_id <> 8 AS parse_ok
+      |FROM base ORDER BY okey""".stripMargin
+
+  /** Duplicate-merge with FIELD-LEVEL fill — legiscan_normalizer.py:263-343
+    * `merge_duplicates`: within each dup group, order by (last-action date
+    * DESC, completeness DESC), keep the first row, then fill each of its
+    * missing fields from the best remaining row that has one. The
+    * reference's per-group Python loop becomes per-column
+    * first(col, ignoreNulls) over the priority-ordered window — the SAME
+    * single merge-key shuffle as plain keep-first dedup (corpus_merge_
+    * sources), no iteration, no extra pass per column.
+    *
+    * Fixture: doc_id % 200 dup groups with a pseudo action-day and
+    * deterministic per-field null masks (% 3 / % 4 / % 5), so groups
+    * genuinely conflict and the winner's gaps genuinely fill from losers;
+    * n_filled in the output proves the fill has teeth. */
+  def corpusMergeFill(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      (col("doc_id") % 200).as("merge_key"),
+      ((col("doc_id") * 37) % 1000).as("action_day"),
+      when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("title_"), col("doc_id"))).as("title"),
+      when(col("doc_id") % 4 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")).as("status"),
+      when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("url/"), col("source"))).as("url"))
+    val completeness =
+      when(col("title").isNotNull, 1L).otherwise(0L) +
+        when(col("status").isNotNull, 1L).otherwise(0L) +
+        when(col("url").isNotNull, 1L).otherwise(0L)
+    val ord = Window.partitionBy("merge_key")
+      .orderBy(col("action_day").desc, col("completeness").desc, col("doc_id").asc)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val grp = Window.partitionBy("merge_key")
+    def filled(c: String) = first(col(c), ignoreNulls = true).over(full)
+    base.withColumn("completeness", completeness)
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("n_dups", count(lit(1)).over(grp))
+      .withColumn("title_f", filled("title"))
+      .withColumn("status_f", filled("status"))
+      .withColumn("url_f", filled("url"))
+      .filter(col("rn") === 1)
+      .select(
+        col("merge_key"),
+        col("doc_id").as("keeper_id"),
+        col("n_dups"),
+        coalesce(col("title_f"), lit("")).as("title_filled"),
+        coalesce(col("status_f"), lit("")).as("status_filled"),
+        coalesce(col("url_f"), lit("")).as("url_filled"),
+        (when(col("title").isNull && col("title_f").isNotNull, 1L).otherwise(0L) +
+          when(col("status").isNull && col("status_f").isNotNull, 1L).otherwise(0L) +
+          when(col("url").isNull && col("url_f").isNotNull, 1L).otherwise(0L)).as("n_filled"))
+      .orderBy("merge_key")
+  }
+
+  private val corpusMergeFillSql =
+    """WITH base AS (
+      |  SELECT doc_id, doc_id % 200 AS merge_key, (doc_id * 37) % 1000 AS action_day,
+      |    CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'title_' || doc_id END AS title,
+      |    CASE WHEN doc_id % 4 = 0 THEN NULL ELSE lang END AS status,
+      |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE 'url/' || source END AS url
+      |  FROM documents
+      |), c AS (
+      |  SELECT *,
+      |    (CASE WHEN title IS NOT NULL THEN 1 ELSE 0 END
+      |     + CASE WHEN status IS NOT NULL THEN 1 ELSE 0 END
+      |     + CASE WHEN url IS NOT NULL THEN 1 ELSE 0 END) AS completeness
+      |  FROM base
+      |), win AS (
+      |  SELECT *,
+      |    row_number() OVER ord AS rn,
+      |    count(*) OVER (PARTITION BY merge_key) AS n_dups,
+      |    first_value(title IGNORE NULLS) OVER ordf AS title_f,
+      |    first_value(status IGNORE NULLS) OVER ordf AS status_f,
+      |    first_value(url IGNORE NULLS) OVER ordf AS url_f
+      |  FROM c
+      |  WINDOW
+      |    ord AS (PARTITION BY merge_key ORDER BY action_day DESC, completeness DESC, doc_id),
+      |    ordf AS (PARTITION BY merge_key ORDER BY action_day DESC, completeness DESC, doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT merge_key, doc_id AS keeper_id, n_dups,
+      |  coalesce(title_f, '') AS title_filled,
+      |  coalesce(status_f, '') AS status_filled,
+      |  coalesce(url_f, '') AS url_filled,
+      |  CAST(CASE WHEN title IS NULL AND title_f IS NOT NULL THEN 1 ELSE 0 END
+      |   + CASE WHEN status IS NULL AND status_f IS NOT NULL THEN 1 ELSE 0 END
+      |   + CASE WHEN url IS NULL AND url_f IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS n_filled
+      |FROM win WHERE rn = 1 ORDER BY merge_key""".stripMargin
+
+  /** Static-dim mapping with a coverage-gap report — build_master_corpus.py:
+    * 20-100 (STATE_ABBREV forward dim + the derived reverse dict) and
+    * :144-157 (the "missing states" anti-join summary), plus the :126-139
+    * both-sources provenance tag. The dim here is a language code↔name
+    * table with entries the corpus does NOT cover, so the gap rows are
+    * real. The manual slice (short sources) joins the dim forward
+    * (code→name); the API slice round-trips THROUGH the reverse lookup
+    * (code→name→code, the reference's abbrev_to_name dict) so a broken
+    * reverse map visibly changes the counts. Keys held by both slices are
+    * tagged Both (provenance), and dim entries with no docs report zeros —
+    * the coverage gap. Both joins broadcast: the dim is bounded metadata. */
+  def corpusDimCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(
+      "de" -> "German", "en" -> "English", "es" -> "Spanish",
+      "fr" -> "French", "zh" -> "Chinese",
+      "ja" -> "Japanese", "ko" -> "Korean", "pt" -> "Portuguese"
+    ).toDF("code", "name")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), (col("doc_id") % 125).as("bkt"))
+    val manual = docs.filter(length(col("source")) <= 4)
+      .select(col("lang").as("code"), col("bkt"))
+    // API slice goes code → name → code through the dim (reverse lookup)
+    val apiNamed = docs.filter(length(col("source")) > 4)
+      .join(broadcast(dim), docs("lang") === dim("code"))
+      .select(col("name"), col("bkt"))
+    val api = apiNamed
+      .join(broadcast(dim.select(col("name").as("r_name"), col("code"))),
+        apiNamed("name") === col("r_name"))
+      .select(col("code"), col("bkt"))
+    val keys = manual.select(col("code"), col("bkt"), lit(1L).as("m"), lit(0L).as("a"))
+      .unionAll(api.select(col("code"), col("bkt"), lit(0L).as("m"), lit(1L).as("a")))
+      .groupBy("code", "bkt")
+      .agg(max("m").as("has_m"), max("a").as("has_a"))
+    val perCode = keys.groupBy("code").agg(
+      count(lit(1)).as("n_keys"),
+      count(when(col("has_m") === 1 && col("has_a") === 0, 1)).as("n_manual_only"),
+      count(when(col("has_m") === 0 && col("has_a") === 1, 1)).as("n_api_only"),
+      count(when(col("has_m") === 1 && col("has_a") === 1, 1)).as("n_both"))
+    dim.join(perCode, Seq("code"), "left")
+      .select(
+        col("code"), col("name"),
+        coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+        coalesce(col("n_manual_only"), lit(0L)).as("n_manual_only"),
+        coalesce(col("n_api_only"), lit(0L)).as("n_api_only"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        col("n_keys").isNotNull.as("covered"))
+      .orderBy("code")
+  }
+
+  private val corpusDimCoverageSql =
+    """WITH dim(code, name) AS (VALUES
+      |  ('de','German'),('en','English'),('es','Spanish'),('fr','French'),
+      |  ('zh','Chinese'),('ja','Japanese'),('ko','Korean'),('pt','Portuguese')
+      |), docs AS (
+      |  SELECT doc_id, lang, source, doc_id % 125 AS bkt FROM documents
+      |), manual AS (
+      |  SELECT lang AS code, bkt FROM docs WHERE length(source) <= 4
+      |), api_named AS (
+      |  SELECT dim.name, bkt FROM docs JOIN dim ON docs.lang = dim.code
+      |  WHERE length(source) > 4
+      |), api AS (
+      |  SELECT dim.code, bkt FROM api_named JOIN dim ON api_named.name = dim.name
+      |), keys AS (
+      |  SELECT code, bkt, max(m) AS has_m, max(a) AS has_a FROM (
+      |    SELECT code, bkt, 1 AS m, 0 AS a FROM manual
+      |    UNION ALL SELECT code, bkt, 0 AS m, 1 AS a FROM api
+      |  ) GROUP BY code, bkt
+      |), per_code AS (
+      |  SELECT code,
+      |    count(*) AS n_keys,
+      |    count(*) FILTER (WHERE has_m = 1 AND has_a = 0) AS n_manual_only,
+      |    count(*) FILTER (WHERE has_m = 0 AND has_a = 1) AS n_api_only,
+      |    count(*) FILTER (WHERE has_m = 1 AND has_a = 1) AS n_both
+      |  FROM keys GROUP BY code
+      |)
+      |SELECT dim.code, dim.name,
+      |  coalesce(n_keys, 0) AS n_keys,
+      |  coalesce(n_manual_only, 0) AS n_manual_only,
+      |  coalesce(n_api_only, 0) AS n_api_only,
+      |  coalesce(n_both, 0) AS n_both,
+      |  n_keys IS NOT NULL AS covered
+      |FROM dim LEFT JOIN per_code ON dim.code = per_code.code
+      |ORDER BY dim.code""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("corpus_parse_dates", corpusParseDates, Some(corpusParseDatesSql)),
+    Q("corpus_merge_fill", corpusMergeFill, Some(corpusMergeFillSql)),
+    Q("corpus_dim_coverage", corpusDimCoverage, Some(corpusDimCoverageSql)),
     Q("corpus_partitioned_scan", corpusPartitionedScan, Some(corpusPartitionedScanSql)),
     Q("corpus_upsert_merge", corpusUpsertMerge, Some(corpusUpsertMergeSql)),
     Q("corpus_orc_roundtrip", corpusOrcRoundtrip, Some(corpusOrcRoundtripSql)),

@@ -29,6 +29,72 @@ class CorpusSpec extends SparkSpec {
     assert(df.filter(col("n_chars") <= 50).count() == 0)
   }
 
+  test("corpus_parse_dates recovers every rendered format; garbage arm stays empty") {
+    val df = corpusParseDates(spark, sf).cache()
+    try {
+      // every non-garbage row parses, every garbage row doesn't
+      assert(df.filter(col("date_str") =!= "n/a" && !col("parse_ok")).count() == 0)
+      assert(df.filter(col("date_str") === "n/a" &&
+        (col("parse_ok") || col("parsed_date") =!= "")).count() == 0)
+      // 2-digit-year formats (fmt 2 and 5 ⇒ okey % 9 in {2,5}) land in 2000-2099
+      val twoDigit = df.filter(col("okey") % 9 === 2 || col("okey") % 9 === 5)
+        .select(substring(col("parsed_date"), 1, 2).as("c"))
+      assert(twoDigit.count() > 0 && twoDigit.filter(col("c") =!= "20").count() == 0)
+      // 4-digit formats round-trip the original date exactly
+      val orig = Tables.orders(spark, sf)
+        .select(col("o_orderkey").as("okey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("expect"))
+      val fourDigit = df.filter(col("okey") % 9 =!= 2 && col("okey") % 9 =!= 5 &&
+          col("okey") % 9 =!= 8)
+        .join(orig, "okey")
+      assert(fourDigit.filter(col("parsed_date") =!= col("expect")).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("corpus_merge_fill: winner is the priority-max row and gaps genuinely fill") {
+    // sf0.001 has ~50 docs (singleton groups); use sf0.01 so groups conflict
+    val d01 = "/root/testdata/sf0.01"
+    val df = corpusMergeFill(spark, d01).cache()
+    try {
+      val rows = df.collect()
+      assert(rows.map(_.getAs[Long]("merge_key")).distinct.length == rows.length)
+      // fill has teeth: some winners had missing fields filled from losers
+      assert(rows.exists(_.getAs[Long]("n_filled") > 0))
+      // a filled field is never empty when ANY group member had a value
+      val anyTitle = Tables.documents(spark, d01)
+        .select((col("doc_id") % 200).as("mk"),
+          when(col("doc_id") % 3 =!= 0, 1L).otherwise(0L).as("has"))
+        .groupBy("mk").agg(max("has").as("any_title"))
+        .collect().map(r => r.getAs[Long]("mk") -> r.getAs[Long]("any_title")).toMap
+      rows.foreach { r =>
+        val mk = r.getAs[Long]("merge_key")
+        val filled = r.getAs[String]("title_filled")
+        if (anyTitle(mk) == 1L) assert(filled.nonEmpty, s"group $mk lost its title")
+        else assert(filled.isEmpty, s"group $mk invented a title")
+      }
+    } finally df.unpersist()
+  }
+
+  test("corpus_dim_coverage: uncovered dim entries report zeros; covered ones count") {
+    val rows = corpusDimCoverage(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 8) // one row per dim entry, gaps included
+    val byCode = rows.map(r => r.getAs[String]("code") -> r).toMap
+    Seq("ja", "ko", "pt").foreach { c =>
+      val r = byCode(c)
+      assert(!r.getAs[Boolean]("covered") && r.getAs[Long]("n_keys") == 0L,
+        s"$c should be an uncovered gap row")
+    }
+    Seq("en", "de", "es", "fr", "zh").foreach { c =>
+      val r = byCode(c)
+      assert(r.getAs[Boolean]("covered") && r.getAs[Long]("n_keys") > 0L)
+      // provenance split partitions the keys
+      assert(r.getAs[Long]("n_manual_only") + r.getAs[Long]("n_api_only") +
+        r.getAs[Long]("n_both") == r.getAs[Long]("n_keys"))
+    }
+    // both-sources tagging has teeth at this SF
+    assert(rows.map(_.getAs[Long]("n_both")).sum > 0)
+  }
+
   test("corpus_merge_sources keeps exactly one row per merge_key, preferring priority 1") {
     val df = corpusMergeSources(spark, sf).collect()
     assert(df.map(_.getAs[Long]("merge_key")).distinct.length == df.length)
