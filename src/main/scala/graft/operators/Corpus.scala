@@ -342,53 +342,85 @@ object Corpus {
 
   /** Extension-dispatched text extraction — text_processor.py:81-97
     * extract_text_from_bytes: '.html' → html_to_text, '.pdf' → pdf_to_text,
-    * else utf-8 decode. The reference's per-row if/elif dispatch becomes ONE
-    * codegen'd CASE over the extension — no UDF, no per-row interpreter.
+    * else utf-8 decode.
     *
     * Payloads are synthesized per arm (documents aren't stored as raw files
-    * here): an HTML envelope with a script block, a %PDF-1.4-framed body, or
-    * the plain text. The HTML and plain arms run the REAL extraction
-    * (tag/script strip + entity decode + whitespace collapse / utf-8
-    * decode). The PDF arm is a clearly-marked DETERMINISTIC STUB — PyPDF2's
-    * role (text_processor.py:65-79) needs a real PDF library this container
-    * doesn't have; the stub validates the %PDF magic and unframes the body,
-    * and a real extractor would replace `pdfTextStub` with a batched
-    * mapPartitions arm exactly like Multimodal.decodeStub. Because the stub
-    * is deterministic and SQL-expressible, ALL THREE arms are oracle-checked
-    * (stronger than the rows-only check a native stub would force). */
+    * here): an HTML envelope with a script block, a REAL one-page
+    * uncompressed PDF (catalog → pages → page → content stream with the
+    * text in an escaped BT..ET literal string, correct /Length), or the
+    * plain text. The HTML and plain arms stay fully declarative/codegen'd.
+    * The PDF arm runs functions/PdfText — a genuine pure-JVM PDF
+    * content-stream scanner (PyPDF2's role, text_processor.py:65-79):
+    * object/stream framing, BT..ET text objects, literal-string escapes
+    * incl. octal, hex strings, TJ arrays. Byte scanning is imperative, so
+    * that one arm rides a mapPartitions stage (the decode-rung exception to
+    * the no-UDF rule, same as Multimodal.decodeStub); the declarative arms
+    * are computed BEFORE the map so they keep whole-stage codegen.
+    *
+    * The shown string is prefixed with literal `()\` so every row forces
+    * the escape decoder; the oracle recomputes all three arms from first
+    * principles — for PDF that's the prefix + original text, so the hash
+    * match proves the synthesize→escape→frame→scan→unescape round trip is
+    * lossless on all 3 escape classes. Streams with /Filter fail closed to
+    * "" like the reference's except-branch (spec-tested). */
   def corpusDecodeDispatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val ext = when(col("source").isin("src0", "src1", "src2"), ".html")
       .when(col("source").isin("src3", "src4"), ".pdf")
       .otherwise(".txt")
-    // payload synthesis (string-typed; the binary roundtrip itself is
-    // corpus_decode_roundtrip's subject)
-    val payload = when(ext === ".html",
-        concat(lit("<html><body><p>"), col("text"),
-          lit("</p><script>var x=1;</script></body></html>")))
-      .when(ext === ".pdf", concat(lit("%PDF-1.4\n"), col("text"), lit("\n%%EOF")))
-      .otherwise(col("text"))
     def htmlToText(c: org.apache.spark.sql.Column) = {
       val noBlocks = regexp_replace(c, "<script>.*?</script>|<style>.*?</style>", "")
       val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
       val decoded = regexp_replace(regexp_replace(noTags, "&amp;", "&"), "&nbsp;", " ")
       wsTrim(regexp_replace(decoded, "\\s+", " "))
     }
-    def pdfTextStub(c: org.apache.spark.sql.Column) =
-      when(c.startsWith("%PDF"),
-        regexp_replace(regexp_replace(c, "^%PDF-[0-9.]+\\n", ""), "\\n%%EOF$", ""))
-        .otherwise(lit("")) // reference returns "" when PDF parsing fails
-    val extracted = when(ext === ".html", htmlToText(payload))
-      .when(ext === ".pdf", pdfTextStub(payload))
+    // PDF literal-string escaping: \ ( ) — then a literal `()\` prefix so
+    // the unescape path is exercised even when the text has none of them
+    val escaped = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "\\\\", "\\\\\\\\"), "\\(", "\\\\("), "\\)", "\\\\)")
+    val shown = concat(lit("\\(\\)\\\\"), escaped)
+    val content = concat(lit("BT /F1 12 Tf 72 720 Td ("), shown, lit(") Tj ET"))
+    val pdfPayload = concat(
+      lit("%PDF-1.4\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+        "4 0 obj\n<< /Length "),
+      octet_length(content).cast("string"),
+      lit(" >>\nstream\n"), content,
+      lit("\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF"))
+    val payload = when(ext === ".html",
+        concat(lit("<html><body><p>"), col("text"),
+          lit("</p><script>var x=1;</script></body></html>")))
+      .when(ext === ".pdf", pdfPayload)
+      .otherwise(col("text"))
+    // declarative arms extracted BEFORE the imperative stage (codegen'd)
+    val preExtracted = when(ext === ".html", htmlToText(payload))
+      .when(ext === ".pdf", lit(null).cast("string"))
       .otherwise(payload)
-    Tables.documents(s, d)
+    val staged = Tables.documents(s, d)
+      .select(col("doc_id"), ext.as("ext"), payload.as("payload"),
+        preExtracted.as("pre"))
+    val extractedDf = staged
+      .as[(Long, String, String, Option[String])]
+      .mapPartitions(_.map { case (id, e, pl, pre) =>
+        val t =
+          if (e == ".pdf")
+            graft.functions.PdfText.extractText(
+              pl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          else pre.getOrElse("")
+        (id, e, t)
+      })
+      .toDF("doc_id", "ext", "extracted_text")
+    extractedDf
       .select(
-        col("doc_id"),
-        ext.as("ext"),
-        when(ext === ".html", "html_strip").when(ext === ".pdf", "pdf_stub")
+        col("doc_id"), col("ext"),
+        when(col("ext") === ".html", "html_strip")
+          .when(col("ext") === ".pdf", "pdf_text")
           .otherwise("plain_decode").as("method"),
-        extracted.as("extracted_text"),
-        length(extracted).cast("long").as("extracted_chars"),
-        (length(extracted) > 0).as("extract_ok"))
+        col("extracted_text"),
+        length(col("extracted_text")).cast("long").as("extracted_chars"),
+        (length(col("extracted_text")) > 0).as("extract_ok"))
       .orderBy("doc_id")
   }
 
@@ -401,11 +433,10 @@ object Corpus {
       |    text
       |  FROM documents
       |), framed AS (
-      |  SELECT doc_id, ext,
+      |  SELECT doc_id, ext, text,
       |    CASE ext
       |      WHEN '.html' THEN '<html><body><p>' || text ||
       |        '</p><script>var x=1;</script></body></html>'
-      |      WHEN '.pdf' THEN '%PDF-1.4' || chr(10) || text || chr(10) || '%%EOF'
       |      ELSE text END AS payload
       |  FROM base
       |), ex AS (
@@ -417,14 +448,16 @@ object Corpus {
       |        '<[^>]+>', ' ', 'g'),
       |        '&amp;', '&', 'g'), '&nbsp;', ' ', 'g'),
       |        '\s+', ' ', 'g'), '^\s+|\s+$', '', 'g')
-      |      WHEN '.pdf' THEN CASE WHEN starts_with(payload, '%PDF')
-      |        THEN regexp_replace(regexp_replace(payload, '^%PDF-[0-9.]+\n', ''), '\n%%EOF$', '')
-      |        ELSE '' END
+      |      -- first-principles truth for the REAL PDF scanner: the payload
+      |      -- frames `()\` || text (escaped) inside a BT..ET literal string,
+      |      -- so a correct synthesize->scan->unescape round trip yields
+      |      -- exactly this, and the hash proves the extractor lossless
+      |      WHEN '.pdf' THEN '()' || chr(92) || text
       |      ELSE payload END AS extracted_text
       |  FROM framed
       |)
       |SELECT doc_id, ext,
-      |  CASE ext WHEN '.html' THEN 'html_strip' WHEN '.pdf' THEN 'pdf_stub'
+      |  CASE ext WHEN '.html' THEN 'html_strip' WHEN '.pdf' THEN 'pdf_text'
       |    ELSE 'plain_decode' END AS method,
       |  extracted_text,
       |  length(extracted_text) AS extracted_chars,
