@@ -377,18 +377,104 @@ object Relational {
       |  max(CASE WHEN q = 99 THEN est_cents END) AS p99_cents
       |FROM est GROUP BY status, n ORDER BY status""".stripMargin
 
-  /** Cardinality sketch: approx_count_distinct (HyperLogLog++) next to the
-    * exact count — the 100 TB substitute for countDistinct when a shuffle of
-    * raw keys is unaffordable. Rows-only check (sketch estimates are
-    * engine-specific); RelationalSpec bounds the relative error. */
-  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
-      .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+  /** HyperLogLog cardinality sketch — PORTABLE and fully oracled. The 100 TB
+    * substitute for countDistinct when a shuffle of raw keys is unaffordable:
+    * the register grid (m = 64 buckets × max leading-zero rank) is a plain
+    * groupBy(group, bucket) max() — partial grids merge by max, the same
+    * mergeable-sketch property as text_cms_freq's count grid, so the only
+    * data shuffle is 64 rows per group. Flajolet's estimator runs in exact
+    * integer arithmetic: Σ 2^-M[j] scaled by 2^50 is an integer shift-sum,
+    * α·m²/Σ decomposes into overflow-free integer div/mod steps, and the
+    * linear-counting small-range arm quantizes ln(m/V) to micro-nats
+    * (verified bit-identical JVM vs DuckDB over all 64 possible V). Every
+    * step deterministic ⇒ a hash-exact DuckDB oracle for an APPROXIMATE
+    * aggregate, with its true error recorded in err_bp. The engine-internal
+    * approx_count_distinct (HLL++ with private register layout) offers the
+    * same capability but can never be cross-engine-checked; this is the
+    * checkable equivalent, next to q_kmv_distinct's KMV rung.
+    * exact_orders (one countDistinct) is the comparison baseline only. */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val base = Tables.lineitem(s, d)
+      .select(year(col("l_shipdate")).cast("long").as("ship_year"), col("l_orderkey"))
+    val hv = base.select(col("ship_year"), h.as("h"))
+      .select(col("ship_year"), (col("h") % 64).as("bucket"), expr("h div 64").as("w"))
+      .select(col("ship_year"), col("bucket"),
+        when(col("w") === 0, 55L) // all 54 payload bits zero ⇒ rank 55
+          .otherwise(lit(55L) - length(bin(col("w")))).as("rho"))
+    val regs = hv.groupBy("ship_year", "bucket").agg(max("rho").as("m"))
+    val spine = base.select("ship_year").distinct()
+      .select(col("ship_year"), explode(sequence(lit(0L), lit(63L))).as("bucket"))
+    val full = spine.join(regs, Seq("ship_year", "bucket"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0L)))
+    val sums = full.groupBy("ship_year").agg(
+      sum(expr("shiftright(1125899906842624, cast(m as int))")).as("S"), // Σ 2^(50-M[j])
+      count(when(col("m") === 0, 1)).as("V"))
+    val exact = base.groupBy("ship_year")
+      .agg(countDistinct("l_orderkey").as("exact_orders"))
+    sums.join(exact, "ship_year")
+      // E = α·m²/Σ2^-M = α·2^62/S, α_64·1e6 = 709341; (t·α)//1e6 decomposed
+      // so no intermediate exceeds int64
+      .withColumn("t", expr("4611686018427387904 div greatest(S, 1)"))
+      .withColumn("raw",
+        expr("(t div 1000000) * 709341 + ((t % 1000000) * 709341) div 1000000"))
+      .withColumn("hll_orders",
+        when(col("V") > 0 && col("raw") <= 160, // linear counting below 2.5m
+          expr("(64 * cast(round(ln(64.0 / V) * 1000000) as bigint)) div 1000000"))
+          .otherwise(col("raw")))
+      .select(col("ship_year"), col("exact_orders"), col("hll_orders"),
+        expr("(abs(hll_orders - exact_orders) * 10000) div exact_orders").as("err_bp"))
       .orderBy("ship_year")
+  }
+
+  private val qApproxDistinctSql: String = {
+    val h = (0 until 15).map { j =>
+      s"(strpos('0123456789abcdef', substr(h0, ${j + 1}, 1)) - 1) * ${BigInt(16).pow(14 - j)}"
+    }.mkString(" + ")
+    s"""WITH hv AS (
+       |  SELECT ship_year, $h AS h
+       |  FROM (SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       |          md5(CAST(l_orderkey AS VARCHAR)) AS h0 FROM lineitem)
+       |), rh AS (
+       |  SELECT ship_year, h % 64 AS bucket,
+       |    CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+       |  FROM hv
+       |), regs AS (
+       |  SELECT ship_year, bucket, max(rho) AS m FROM rh GROUP BY 1, 2
+       |), spine AS (
+       |  SELECT ship_year, r.range AS bucket
+       |  FROM (SELECT DISTINCT ship_year FROM hv) CROSS JOIN range(0, 64) r
+       |), fullgrid AS (
+       |  SELECT spine.ship_year, coalesce(m, 0) AS m
+       |  FROM spine LEFT JOIN regs
+       |    ON spine.ship_year = regs.ship_year AND spine.bucket = regs.bucket
+       |), sums AS (
+       |  SELECT ship_year,
+       |    CAST(sum(1125899906842624 >> CAST(m AS INTEGER)) AS BIGINT) AS S,
+       |    count(*) FILTER (WHERE m = 0) AS V
+       |  FROM fullgrid GROUP BY ship_year
+       |), exact AS (
+       |  SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       |    count(DISTINCT l_orderkey) AS exact_orders
+       |  FROM lineitem GROUP BY 1
+       |), est AS (
+       |  SELECT sums.ship_year, exact_orders, V,
+       |    CAST(4611686018427387904 // greatest(S, 1) AS BIGINT) AS t
+       |  FROM sums JOIN exact ON sums.ship_year = exact.ship_year
+       |), fin AS (
+       |  SELECT ship_year, exact_orders,
+       |    CASE WHEN V > 0 AND raw <= 160
+       |      THEN CAST((64 * CAST(round(ln(64.0 / V) * 1000000) AS BIGINT))
+       |             // 1000000 AS BIGINT)
+       |      ELSE raw END AS hll_orders
+       |  FROM (SELECT *, CAST((t // 1000000) * 709341
+       |          + ((t % 1000000) * 709341) // 1000000 AS BIGINT) AS raw FROM est)
+       |)
+       |SELECT ship_year, exact_orders, hll_orders,
+       |  CAST((abs(hll_orders - exact_orders) * 10000) // exact_orders AS BIGINT) AS err_bp
+       |FROM fin ORDER BY ship_year""".stripMargin
+  }
 
   /** KMV cardinality sketch next to the exact count — same query shape as
     * q_approx_distinct but FULLY oracled: the k-minimum-values sketch
@@ -1096,7 +1182,7 @@ object Relational {
     Q("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
     Q("q_orders_enriched", qOrdersEnriched, Some(qOrdersEnrichedSql)),
     Q("q_percentiles", qPercentiles, Some(qPercentilesSql)),
-    Q("q_approx_distinct", qApproxDistinct, None),
+    Q("q_approx_distinct", qApproxDistinct, Some(qApproxDistinctSql)),
     Q("q_range_join_binned", qRangeJoinBinned, Some(qRangeJoinBinnedSql)),
     Q("q_window_time_range", qWindowTimeRange, Some(qWindowTimeRangeSql)),
     Q("q_cube", qCube, Some(qCubeSql))

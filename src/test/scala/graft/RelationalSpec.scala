@@ -41,12 +41,15 @@ class RelationalSpec extends SparkSpec {
     assert(noOrders + withOrders == Tables.customer(spark, sf).count())
   }
 
-  test("approx_count_distinct is within 10% of the exact count") {
+  test("portable HLL estimate is within the m=64 sketch error envelope") {
+    // standard error 1.04/sqrt(64) = 13%; allow 3 sigma for small groups
     qApproxDistinct(spark, sf).collect().foreach { r =>
       val exact = r.getAs[Long]("exact_orders").toDouble
-      val approx = r.getAs[Long]("approx_orders").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.10,
-        s"approx=$approx exact=$exact")
+      val est = r.getAs[Long]("hll_orders").toDouble
+      assert(est > 0 && math.abs(est - exact) / exact <= 0.39,
+        s"hll=$est exact=$exact")
+      assert(r.getAs[Long]("err_bp") ==
+        (math.abs(est - exact) * 10000 / exact).floor.toLong)
     }
   }
 
