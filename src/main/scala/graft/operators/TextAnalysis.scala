@@ -1183,27 +1183,39 @@ object TextAnalysis {
     * integers is order-independent — raw double Σ would be partition-order
     * dependent); the closed-form slope then divides two exact int64s (the
     * n·Σxy − Σx·Σy cross terms stay < 2^63 at centi-nat scale), rounded to
-    * 6 dp. One token scan, one tiny frequency aggregate. */
+    * 6 dp.
+    *
+    * Plan shape (r6): the regression only needs the top-1000 ranks, so the
+    * rank filter comes FIRST — Spark rewrites filter(rk ≤ 1000) over an
+    * unpartitioned row_number into TakeOrderedAndProject, the map-side
+    * partial top-k, and only 1000 rows ever reach the window. The totals
+    * (Σc, max c) come from a separate partial aggregate over the frequency
+    * relation. Before this split the WHOLE vocabulary sorted on a single
+    * partition (the rank was consumed inside aggregate CASEs, invisible to
+    * the rewrite) — the one genuine scale hazard the r5 plan audit found. */
   def textZipfFit(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(explode(split(normalizeText(col("text")), "\\s+")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val w = Window.orderBy(col("c").desc, col("tok").asc)
-    val ranked = freq
+    // regression over the top-1000 ranks only: the freq-1 tail is tie-noise
+    // (classic Zipf head-fit practice), and the cap bounds every int64 cross
+    // term at ANY corpus size; share/total still see everything
+    val top = freq
       .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 1000) // → TakeOrderedAndProject below the window
+      // (cap must stay <= spark.sql.optimizer.windowGroupLimitThreshold = 1000
+      //  or the rewrite silently degrades to the full single-partition sort)
       .withColumn("x", round(log(col("rk").cast("double")) * 100).cast("long"))
       .withColumn("y", round(log(col("c").cast("double")) * 100).cast("long"))
-    // regression over the top-10k ranks only: the freq-1 tail is tie-noise
-    // (classic Zipf practice), and the cap bounds every int64 cross term at
-    // ANY corpus size (n·Σxy ≤ 1e4·3e10); share/total still see everything
-    val fit = when(col("rk") <= 10000, lit(1L)).otherwise(lit(0L))
-    ranked.agg(
-        sum(fit).as("n"),
-        sum(col("x") * fit).as("sx"), sum(col("y") * fit).as("sy"),
-        sum(col("x") * col("y") * fit).as("sxy"),
-        sum(col("x") * col("x") * fit).as("sxx"),
-        max(when(col("rk") === 1, col("c"))).as("top_c"),
-        sum("c").as("total_c"))
+    val reg = top.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      max(when(col("rk") === 1, col("c"))).as("top_c"))
+    val totals = freq.agg(sum("c").as("total_c"))
+    reg.crossJoin(totals) // two 1-row aggregates
       .select(col("n"),
         round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
           (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
@@ -1223,11 +1235,11 @@ object TextAnalysis {
        |    CAST(round(ln(c * 1.0) * 100) AS BIGINT) AS y
        |  FROM freq
        |), sums AS (
-       |  SELECT CAST(sum(CASE WHEN rk <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n,
-       |    CAST(sum(CASE WHEN rk <= 10000 THEN x ELSE 0 END) AS BIGINT) AS sx,
-       |    CAST(sum(CASE WHEN rk <= 10000 THEN y ELSE 0 END) AS BIGINT) AS sy,
-       |    CAST(sum(CASE WHEN rk <= 10000 THEN x * y ELSE 0 END) AS BIGINT) AS sxy,
-       |    CAST(sum(CASE WHEN rk <= 10000 THEN x * x ELSE 0 END) AS BIGINT) AS sxx,
+       |  SELECT CAST(sum(CASE WHEN rk <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN rk <= 1000 THEN x ELSE 0 END) AS BIGINT) AS sx,
+       |    CAST(sum(CASE WHEN rk <= 1000 THEN y ELSE 0 END) AS BIGINT) AS sy,
+       |    CAST(sum(CASE WHEN rk <= 1000 THEN x * y ELSE 0 END) AS BIGINT) AS sxy,
+       |    CAST(sum(CASE WHEN rk <= 1000 THEN x * x ELSE 0 END) AS BIGINT) AS sxx,
        |    CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS top_c,
        |    CAST(sum(c) AS BIGINT) AS total_c
        |  FROM ranked

@@ -71,6 +71,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
   }
 
+  test("EVERY global top-k site plans a distributed top-k, never a full single-partition sort") {
+    // Each of these ranks over an UNPARTITIONED window and keeps rank <= k.
+    // Two plan shapes are scale-safe: TakeOrderedAndProject (Spark rewrites
+    // filter(rk <= k, Window(unpartitioned)) into the map-side partial
+    // top-k — each input partition forwards only its own k rows) or
+    // WindowGroupLimit (the per-group variant). A refactor that hides the
+    // rank bound from the optimizer — e.g. consuming the rank inside
+    // aggregate CASEs, the pre-r6 text_zipf_fit — silently sorts the WHOLE
+    // relation on one task: a 100 TB failure this test exists to catch.
+    val globalTopK: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "corpus_inverted_index" -> Corpus.corpusInvertedIndex(spark, sf),
+      "q_pagerank_copurchase" -> Graph.qPagerankCopurchase(spark, sf),
+      "q_triangle_count" -> Graph.qTriangleCount(spark, sf),
+      "text_bm25" -> TextAnalysis.textBm25(spark, sf),
+      "text_dsir_weight" -> TextAnalysis.textDsirWeight(spark, sf),
+      "text_pmi_collocations" -> TextAnalysis.textPmiCollocations(spark, sf),
+      "text_cooccurrence" -> TextAnalysis.textCooccurrence(spark, sf),
+      "text_cms_freq" -> TextAnalysis.textCmsFreq(spark, sf),
+      "text_zipf_fit" -> TextAnalysis.textZipfFit(spark, sf))
+    val missing = globalTopK.collect {
+      case (name, df) if {
+        val p = planOf(df)
+        !p.contains("TakeOrderedAndProject") && !p.contains("WindowGroupLimit")
+      } => name
+    }
+    assert(missing.isEmpty,
+      s"global top-k without a distributed top-k plan (full single-partition sort!): $missing")
+  }
+
   /** The low-cardinality qid window must NOT receive the full scored
     * relation: a PARTIAL WindowGroupLimit below the qid exchange caps what
     * the shuffle carries at k rows per (input partition, qid). With ~10
