@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness (like Explain): MEASURE the sf0.1 → sf1 scaling exponent of
+  * the bench's heaviest queries, instead of arguing their O() on paper.
+  *
+  * The driver ships no sf1 data, so sf1 is staged as 10 structure-preserving
+  * replicas of sf0.1 with DISJOINT key spaces — mirroring how TPC-H actually
+  * grows (new orders/parts/documents arrive; existing keys don't densify):
+  *
+  *  - lineitem: all three graph-relevant keys (orderkey, partkey, suppkey)
+  *    offset per replica, so the co-purchase graph gains 10× nodes and edges
+  *    at the SAME degree distribution — exactly sf1's growth mode.
+  *  - documents: doc_id offset, text ROTATED by r words per replica (almost
+  *    every 3-shingle changes, so replicas are not near-dups of each other
+  *    and the shingle-df distribution keeps its shape — new unique documents,
+  *    not 10 exact copies, which would be a duplication-rate change, not a
+  *    scale change).
+  *
+  * Usage: sbt "runMain graft.ScaleSmoke" — prints per-query seconds at both
+  * scales and the log10(t1/t0) exponent (1.0 = linear). Exponents land in
+  * BASELINE.md; anything ≳ 2 means a quadratic blow-up the small-SF gate
+  * can't see.
+  */
+object ScaleSmoke {
+
+  private def stage(spark: SparkSession, src: String, out: String): Unit = {
+    val reps = 10
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val maxO = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    val maxP = li.agg(max("l_partkey")).head.getLong(0) + 1
+    val maxS = li.agg(max("l_suppkey")).head.getLong(0) + 1
+    val liScaled = (0 until reps).map { r =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(r * maxO))
+        .withColumn("l_partkey", col("l_partkey") + lit(r * maxP))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(r * maxS))
+    }.reduce(_ unionAll _)
+    liScaled.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val doc = spark.read.parquet(s"$src/documents.parquet")
+    val maxD = doc.agg(max("doc_id")).head.getLong(0) + 1
+    val docScaled = (0 until reps).map { r =>
+      val words = split(col("text"), "\\s+")
+      val rotated =
+        if (r == 0) col("text")
+        else array_join(concat(
+          slice(words, r + 1, 1 << 24), slice(words, 1, r)), " ")
+      doc.select(
+        (col("doc_id") + lit(r * maxD)).as("doc_id"),
+        rotated.as("text"),
+        col("lang"), col("source"),
+        length(rotated).cast("long").as("n_chars"))
+    }.reduce(_ unionAll _)
+    docScaled.write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "96g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val small = "/root/testdata/sf0.1"
+    val big = new java.io.File("scale_sf1").getAbsolutePath
+    if (!new java.io.File(s"$big/documents.parquet").isDirectory) {
+      println(s"[scale] staging 10x replicas of $small -> $big")
+      stage(spark, small, big)
+    }
+
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q_pagerank_copurchase" -> operators.Graph.qPagerankCopurchase,
+      "q_triangle_count" -> operators.Graph.qTriangleCount,
+      "dedup_containment" -> operators.Dedup.dedupContainment,
+      "dedup_clusters" -> operators.Dedup.dedupClusters)
+
+    // warmup (JIT + codegen) on the small dir, untimed
+    queries.foreach { case (_, fn) =>
+      fn(spark, small).count(); spark.catalog.clearCache()
+    }
+
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      // best-of-2: the shared machine spikes; min is the honest capacity read
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.min
+    }
+
+    println(f"${"query"}%-24s ${"sf0.1 s"}%10s ${"sf1 s"}%10s ${"exponent"}%10s")
+    queries.foreach { case (name, fn) =>
+      val t0 = time(fn, small)
+      val t1 = time(fn, big)
+      val exp = math.log10(t1 / t0)
+      println(f"$name%-24s $t0%10.2f $t1%10.2f $exp%10.2f")
+    }
+    spark.stop()
+  }
+}
