@@ -1153,7 +1153,105 @@ object Corpus {
       |FROM dim LEFT JOIN per_code ON dim.code = per_code.code
       |ORDER BY dim.code""".stripMargin
 
+  /** URL canonicalization + same-URL dedup — the reference's normalize_url
+    * (legiscan_normalizer.py:218-222) grown to what a crawl pipeline needs
+    * before URL-level dedup (the step before any content dedup at 100 TB):
+    * lowercase scheme+host, strip default ports and www., drop fragments
+    * and utm_* tracking params, trim trailing '/' and dangling '?'. One
+    * codegen'd regex chain per row — single scan — then one canonical-URL
+    * window for the dup groups (uniform hash-like key ⇒ no skew).
+    *
+    * Fixture: five deterministic mess profiles (doc_id % 5) over the real
+    * source/doc_id values — uppercase host+scheme, :443/:80 ports, www.,
+    * utm params leading/trailing, fragments, trailing slashes — so every
+    * cleanup rule fires on 20% of rows and the oracle recomputes the same
+    * chain. Profiles 0/1 collapse to the SAME canonical URL (path+id
+    * match), so the dedup has real duplicate groups. */
+  def corpusUrlNormalize(s: SparkSession, d: String): DataFrame = {
+    // profiles 0 and 1 live on a shared CDN host with a div-5 path seed, so
+    // each (5k, 5k+1) pair canonicalizes to the SAME URL — real dup groups
+    val cdnPath = expr("doc_id div 5") % 97
+    val cdnQid = expr("doc_id div 5") % 13
+    val path = col("doc_id") % 97
+    val raw = when(col("doc_id") % 5 === 0,
+        concat(lit("HTTPS://WWW.CDN.Example.ORG:443/docs/"),
+          cdnPath, lit("/?utm_source=feed&utm_campaign=x&id="), cdnQid, lit("#section-2")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("https://www.cdn.example.org/docs/"),
+          cdnPath, lit("?id="), cdnQid))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("http://"), col("source"), lit(".example.org:80/docs/"), path, lit("/")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("https://"), col("source"), lit(".EXAMPLE.org/docs/"),
+          path, lit("?utm_medium=a")))
+      .otherwise(concat(lit("https://"), col("source"), lit(".example.org/docs/"), path))
+    // canonicalization chain (identical regexes both engines; no group refs
+    // in replacements — Spark uses $1, DuckDB \1, so none are used)
+    val noFrag = regexp_replace(raw, "#.*$", "")
+    val pre = regexp_extract(noFrag, "^[a-zA-Z]+://[^/?]+", 0)
+    val rest = substring(noFrag, length(pre) + 1, lit(1 << 24))
+    val preLc = regexp_replace(regexp_replace(lower(pre), ":(443|80)$", ""),
+      "://www\\.", "://")
+    val restClean = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(
+        rest, "utm_[a-z]+=[^&]*&", ""), // param followed by another (Spark
+      "[?&]utm_[a-z]+=[^&]*$", ""),     //  regexp_replace is global already)
+      "/+\\?", "?"),                    // slash(es) before the query string
+      "/+$", ""),                       // trailing slash(es)
+      "\\?$", "")                       // dangling ?
+    val canon = concat(preLc, restClean)
+    val host = regexp_extract(canon, "^[a-z]+://([^/:?]+)", 1)
+    val dupW = Window.partitionBy("url_canon")
+    Tables.documents(s, d)
+      .select(col("doc_id"), canon.as("url_canon"), host.as("host"),
+        regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"))
+      .withColumn("n_same_url", count(lit(1)).over(dupW))
+      .withColumn("is_keeper",
+        col("doc_id") === min("doc_id").over(dupW))
+      .orderBy("doc_id")
+  }
+
+  private val corpusUrlNormalizeSql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN 'HTTPS://WWW.CDN.Example.ORG:443/docs/'
+      |        || ((doc_id // 5) % 97) || '/?utm_source=feed&utm_campaign=x&id=' || ((doc_id // 5) % 13) || '#section-2'
+      |      WHEN 1 THEN 'https://www.cdn.example.org/docs/'
+      |        || ((doc_id // 5) % 97) || '?id=' || ((doc_id // 5) % 13)
+      |      WHEN 2 THEN 'http://' || source || '.example.org:80/docs/' || (doc_id % 97) || '/'
+      |      WHEN 3 THEN 'https://' || source || '.EXAMPLE.org/docs/' || (doc_id % 97) || '?utm_medium=a'
+      |      ELSE 'https://' || source || '.example.org/docs/' || (doc_id % 97)
+      |    END AS u
+      |  FROM documents
+      |), pieces AS (
+      |  SELECT doc_id,
+      |    regexp_extract(regexp_replace(u, '#.*$', ''), '^[a-zA-Z]+://[^/?]+', 0) AS pre,
+      |    regexp_replace(u, '#.*$', '') AS nofrag
+      |  FROM raw
+      |), canon AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(lower(pre), ':(443|80)$', ''), '://www\.', '://')
+      |    || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |       regexp_replace(
+      |         substr(nofrag, length(pre) + 1),
+      |         'utm_[a-z]+=[^&]*&', '', 'g'),
+      |         '[?&]utm_[a-z]+=[^&]*$', ''),
+      |         '/+\?', '?', 'g'),
+      |         '/+$', ''),
+      |         '\?$', '') AS url_canon
+      |  FROM pieces
+      |)
+      |SELECT doc_id, url_canon,
+      |  regexp_extract(url_canon, '^[a-z]+://([^/:?]+)', 1) AS host,
+      |  regexp_extract(regexp_extract(url_canon, '^[a-z]+://([^/:?]+)', 1),
+      |    '([^.]+\.[^.]+)$', 1) AS domain,
+      |  count(*) OVER (PARTITION BY url_canon) AS n_same_url,
+      |  doc_id = min(doc_id) OVER (PARTITION BY url_canon) AS is_keeper
+      |FROM canon ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("corpus_url_normalize", corpusUrlNormalize, Some(corpusUrlNormalizeSql)),
     Q("corpus_parse_dates", corpusParseDates, Some(corpusParseDatesSql)),
     Q("corpus_merge_fill", corpusMergeFill, Some(corpusMergeFillSql)),
     Q("corpus_dim_coverage", corpusDimCoverage, Some(corpusDimCoverageSql)),

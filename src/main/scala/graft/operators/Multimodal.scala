@@ -259,7 +259,7 @@ object Multimodal {
       |  FROM meta CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
       |), bits AS (
       |  SELECT doc_id, i,
-      |    CASE WHEN b >= sum(b) OVER (PARTITION BY doc_id) // 64
+      |    CASE WHEN b >= CAST(sum(b) OVER (PARTITION BY doc_id) // 64 AS BIGINT)
       |         THEN 1 ELSE 0 END AS bit
       |  FROM sampled
       |), nibbles AS (
@@ -277,7 +277,64 @@ object Multimodal {
       |FROM hashes
       |ORDER BY doc_id""".stripMargin
 
+  /** ViT-style PATCH EXTRACTION plumbing: cut each "image" into a grid of
+    * 8×8 tiles and emit a per-tile fingerprint + ink count — the patchify
+    * step every vision-transformer ingestion pipeline runs before encoding,
+    * at the (doc, tile) grain a 100 TB image corpus shards on. The grid
+    * enumeration is `explode(sequence)` twice (distributed — never a driver
+    * loop) and each tile gathers its 8 row-slices with codegen'd substring
+    * arithmetic over the row-major layout: tile(tx,ty) row r starts at
+    * (ty·8+r)·img_w + tx·8. The "image" is the document text as a 1
+    * char = 1 px grayscale stub (real decoders live behind the
+    * mapPartitions arm, mm_decode_stats) padded to img_w×img_h — so the
+    * whole pipeline is deterministic in (doc_id, text) and fully oracled:
+    * the hash proves every tile slices exactly the right pixels. */
+  def mmImageTile(s: SparkSession, d: String): DataFrame = {
+    val imgW = (col("doc_id") % 3) * 8 + 16          // 16/24/32 px wide
+    val imgH = (expr("doc_id div 3") % 3) * 8 + 16   // 16/24/32 px tall
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), imgW.as("img_w"), imgH.as("img_h"),
+        rpad(col("text"), 1024, ".").as("px")) // row-major pixel buffer
+      .select(col("*"), expr("img_w div 8").as("n_tx"), expr("img_h div 8").as("n_ty"))
+    val grid = base
+      .select(col("*"), explode(sequence(lit(0L), col("n_ty") - 1)).as("ty"))
+      .select(col("*"), explode(sequence(lit(0L), col("n_tx") - 1)).as("tx"))
+    val tile = concat((0 until 8).map { r =>
+      substring(col("px"),
+        ((col("ty") * 8 + r) * col("img_w") + col("tx") * 8 + 1).cast("int"),
+        lit(8))
+    }: _*)
+    grid
+      .select(col("doc_id"), col("tx"), col("ty"),
+        substring(md5(tile), 1, 8).as("tile_md5"),
+        (lit(64L) - length(regexp_replace(tile, "[^.]", ""))).as("ink_px"))
+      .orderBy("doc_id", "ty", "tx")
+  }
+
+  private val mmImageTileSql = {
+    val tile = (0 until 8).map { r =>
+      s"substr(px, CAST((ty * 8 + $r) * img_w + tx * 8 + 1 AS INT), 8)"
+    }.mkString(" || ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    (doc_id % 3) * 8 + 16 AS img_w,
+       |    ((doc_id // 3) % 3) * 8 + 16 AS img_h,
+       |    rpad(text, 1024, '.') AS px
+       |  FROM documents
+       |), rows_ty AS (
+       |  SELECT *, unnest(range(0, img_h // 8)) AS ty FROM base
+       |), grid AS (
+       |  SELECT *, unnest(range(0, img_w // 8)) AS tx FROM rows_ty
+       |)
+       |SELECT doc_id, tx, ty,
+       |  substr(md5($tile), 1, 8) AS tile_md5,
+       |  64 - length(regexp_replace($tile, '[^.]', '', 'g')) AS ink_px
+       |FROM grid
+       |ORDER BY doc_id, ty, tx""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("mm_image_tile", mmImageTile, Some(mmImageTileSql)),
     Q("mm_decode_stats", mmDecodeStats, Some(mmDecodeStatsSql)),
     Q("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
     Q("mm_audio_chunk", mmAudioChunk, Some(mmAudioChunkSql)),

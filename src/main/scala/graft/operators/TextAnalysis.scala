@@ -1339,7 +1339,47 @@ object TextAnalysis {
        |  CAST((10000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS hapax_bp
        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Sentence segmentation stats — the preprocessing grain between document
+    * and token that chunkers, context-window packers, and readability
+    * screens all key on. RE2-safe split on terminal-punctuation runs (no
+    * lookbehind — DuckDB's RE2 has none), whitespace-trimmed, empties
+    * dropped; per-doc sentence count, exact centichar mean length
+    * (2·100·Σ+n)/(2n), and max length. One scan, explode, one doc_id
+    * hash-aggregate with map-side partials — no shuffle beyond the group. */
+  def textSentenceSplit(s: SparkSession, d: String): DataFrame = {
+    val sent = wsTrim(col("raw_sent"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "[.!?]+")).as("raw_sent"))
+      .select(col("doc_id"), sent.as("sent"))
+      .filter(length(col("sent")) > 0)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        expr("(2 * 100 * sum(length(sent)) + count(1)) div (2 * count(1))")
+          .as("mean_len_centichars"),
+        max(length(col("sent"))).cast("long").as("max_len"))
+      .orderBy("doc_id")
+  }
+
+  private val textSentenceSplitSql =
+    """WITH sents AS (
+      |  SELECT doc_id,
+      |    regexp_replace(unnest(regexp_split_to_array(text, '[.!?]+')),
+      |      '^\s+|\s+$', '', 'g') AS sent
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  count(*) AS n_sentences,
+      |  CAST((2 * 100 * sum(length(sent)) + count(*)) // (2 * count(*)) AS BIGINT)
+      |    AS mean_len_centichars,
+      |  CAST(max(length(sent)) AS BIGINT) AS max_len
+      |FROM sents
+      |WHERE length(sent) > 0
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_sentence_split", textSentenceSplit, Some(textSentenceSplitSql)),
     Q("text_type_token_ratio", textTypeTokenRatio, Some(textTypeTokenRatioSql)),
     Q("text_feature_hashing", textFeatureHashing, Some(textFeatureHashingSql)),
     Q("text_zipf_fit", textZipfFit, Some(textZipfFitSql)),

@@ -75,22 +75,36 @@ class ContractSpec extends SparkSpec {
       false
     }
     def isIdent(c: Char) = c.isLetterOrDigit || c == '_' || c == '.'
-    // the text of the operand immediately left of the `//` at [start,end)
+    // the text of the operand immediately left of the `//` at [start,end);
+    // walks through window clauses: `sum(b) OVER (...)` is ONE operand
     def leftOperand(sql: String, start: Int): String = {
       var i = start - 1
       while (i >= 0 && sql(i).isWhitespace) i -= 1
       if (i < 0) return ""
       val end = i + 1
-      if (sql(i) == ')') {
-        var depth = 1; i -= 1
-        while (i >= 0 && depth > 0) {
-          sql(i) match { case ')' => depth += 1; case '(' => depth -= 1; case _ => }
-          i -= 1
+      var continue = true
+      while (continue) {
+        continue = false
+        if (i >= 0 && sql(i) == ')') {
+          var depth = 1; i -= 1
+          while (i >= 0 && depth > 0) {
+            sql(i) match { case ')' => depth += 1; case '(' => depth -= 1; case _ => }
+            i -= 1
+          }
+          // include a function name before the '(' (e.g. sum(...)); there
+          // may be whitespace between the name and the paren (OVER (...))
+          while (i >= 0 && sql(i).isWhitespace) i -= 1
+          val identEnd = i + 1
+          while (i >= 0 && isIdent(sql(i))) i -= 1
+          // `... ) OVER (...)`: the paren group was a window spec — keep
+          // walking left to pick up the aggregate call it modifies
+          if (sql.substring(i + 1, identEnd).equalsIgnoreCase("over")) {
+            while (i >= 0 && sql(i).isWhitespace) i -= 1
+            continue = true
+          }
+        } else {
+          while (i >= 0 && isIdent(sql(i))) i -= 1
         }
-        // include a function name directly before the '(' (e.g. sum(...))
-        while (i >= 0 && isIdent(sql(i))) i -= 1
-      } else {
-        while (i >= 0 && isIdent(sql(i))) i -= 1
       }
       sql.substring(i + 1, end)
     }

@@ -5,6 +5,33 @@ import graft.operators.Multimodal
 
 class MultimodalSpec extends SparkSpec {
 
+  test("image tiles: full grid per doc, hand-recomputed tile content matches") {
+    import operators.Multimodal
+    val rows = Multimodal.mmImageTile(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == texts.keySet)
+    byDoc.foreach { case (id, tiles) =>
+      val w = (id % 3) * 8 + 16
+      val h = (id / 3 % 3) * 8 + 16
+      assert(tiles.length == (w / 8) * (h / 8), s"doc $id tile count")
+      val px = texts(id).padTo(1024, '.').take(1024).mkString
+      tiles.foreach { t =>
+        val (tx, ty) = (t.getAs[Long]("tx"), t.getAs[Long]("ty"))
+        val content = (0 until 8).map { r =>
+          val start = ((ty * 8 + r) * w + tx * 8).toInt
+          px.substring(start, start + 8)
+        }.mkString
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(content.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        assert(t.getAs[String]("tile_md5") == md5, s"doc $id tile ($tx,$ty)")
+        assert(t.getAs[Long]("ink_px") == content.count(_ != '.'))
+      }
+    }
+  }
+
   test("every payload decodes and dims match the declared metadata") {
     val s = spark
     import s.implicits._

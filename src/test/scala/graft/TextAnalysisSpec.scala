@@ -292,4 +292,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(pmi - top.getAs[Long]("pmi_centi")) <= 1.0,
       s"hand PMI $pmi vs reported ${top.getAs[Long]("pmi_centi")}")
   }
+
+  test("sentence split: stats hand-recompute from a manual segmentation") {
+    val rows = textSentenceSplit(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val sents = texts(id).split("[.!?]+")
+        .map(_.replaceAll("^\\s+|\\s+$", "")).filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_sentences") == sents.length, s"doc $id count")
+      assert(r.getAs[Long]("max_len") == sents.map(_.length).max, s"doc $id max")
+      val total = sents.map(_.length.toLong).sum
+      val n = sents.length.toLong
+      assert(r.getAs[Long]("mean_len_centichars") == (200 * total + n) / (2 * n),
+        s"doc $id mean")
+    }
+    // every document with at least one sentence appears
+    assert(rows.length == texts.count(_._2.split("[.!?]+")
+      .exists(_.replaceAll("^\\s+|\\s+$", "").nonEmpty)))
+  }
 }
