@@ -333,7 +333,83 @@ object Multimodal {
        |ORDER BY doc_id, ty, tx""".stripMargin
   }
 
+  /** Shot-boundary detection over the sampled frame sequence — the video
+    * segmentation step (split on hard cuts before captioning/encoding) at
+    * the (doc, shot) grain a video corpus shards on. Composes the frame
+    * sampler's closed-form sampling with a lag() intensity delta: a
+    * boundary fires where consecutive sampled frames' intensity jumps more
+    * than the threshold. Intensity here is the frame's FIRST BYTE (the
+    * audio-chunk oracle trick — proves exact offset arithmetic, not just
+    * counts); a real detector would histogram the decoded frame behind the
+    * mapPartitions arm instead. One explode + one per-doc window on the
+    * already-sampled ≤8 rows + one aggregate; boundaries join to a csv
+    * string (driver compare needs scalar columns). */
+  def mmVideoShotBoundary(s: SparkSession, d: String): DataFrame = {
+    val frames = withPayload(s, d)
+      .select(col("doc_id"), col("payload"),
+        col("meta.declared_w").cast("long").as("n_frames"),
+        (length(col("payload")).cast("long") - 8L).as("body_len"))
+      .withColumn("stride", greatest(lit(1L), expr("n_frames div 8")))
+      .withColumn("frame_bytes", greatest(lit(1L), expr("body_len div n_frames")))
+      .select(col("*"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1, col("stride")))
+          .as(Seq("sample_idx", "frame_idx")))
+      .filter(col("sample_idx") < 8 &&
+        col("frame_idx") * col("frame_bytes") < col("body_len"))
+      .withColumn("intensity", ascii(expr(
+        "cast(substring(payload, cast(9 + frame_idx * frame_bytes as int), 1) as string)"))
+        .cast("long"))
+    val w = Window.partitionBy("doc_id").orderBy("sample_idx")
+    val deltas = frames
+      .withColumn("prev", lag("intensity", 1).over(w))
+      .withColumn("is_cut",
+        col("prev").isNotNull && abs(col("intensity") - col("prev")) > 16)
+    deltas.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+        (sum(when(col("is_cut"), 1L).otherwise(0L)) + 1L).as("n_shots"),
+        expr("array_join(transform(sort_array(collect_list(" +
+          "CASE WHEN is_cut THEN frame_idx END)), x -> cast(x as string)), ',')")
+          .as("cut_frames"))
+      .orderBy("doc_id")
+  }
+
+  private val mmVideoShotBoundarySql =
+    """WITH meta AS (
+      |  SELECT doc_id, text,
+      |    CAST(doc_id % 512 + 16 AS BIGINT) AS n_frames,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS body_len
+      |  FROM documents
+      |), m2 AS (
+      |  SELECT doc_id, text, n_frames, body_len,
+      |    GREATEST(1, n_frames // 8) AS stride,
+      |    GREATEST(1, body_len // n_frames) AS frame_bytes
+      |  FROM meta
+      |), fr AS (
+      |  SELECT doc_id, frame_idx, frame_idx // stride AS sample_idx,
+      |    ascii(substr(text, CAST(frame_idx * frame_bytes + 1 AS INT), 1)) AS intensity
+      |  FROM (SELECT *, unnest(generate_series(0, n_frames - 1, stride)) AS frame_idx
+      |        FROM m2)
+      |  WHERE frame_idx < 8 * stride AND frame_idx * frame_bytes < body_len
+      |), de AS (
+      |  SELECT doc_id, frame_idx,
+      |    lag(intensity) OVER (PARTITION BY doc_id ORDER BY sample_idx) AS prev,
+      |    intensity
+      |  FROM fr
+      |)
+      |SELECT doc_id, count(*) AS n_sampled,
+      |  CAST(sum(CASE WHEN prev IS NOT NULL AND abs(intensity - prev) > 16
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+      |  CAST(sum(CASE WHEN prev IS NOT NULL AND abs(intensity - prev) > 16
+      |    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_shots,
+      |  coalesce(string_agg(CAST(frame_idx AS VARCHAR), ',' ORDER BY frame_idx)
+      |    FILTER (WHERE prev IS NOT NULL AND abs(intensity - prev) > 16), '')
+      |    AS cut_frames
+      |FROM de GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("mm_video_shot_boundary", mmVideoShotBoundary, Some(mmVideoShotBoundarySql)),
     Q("mm_image_tile", mmImageTile, Some(mmImageTileSql)),
     Q("mm_decode_stats", mmDecodeStats, Some(mmDecodeStatsSql)),
     Q("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),

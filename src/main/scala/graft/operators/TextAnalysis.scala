@@ -1345,11 +1345,18 @@ object TextAnalysis {
     * lookbehind — DuckDB's RE2 has none), whitespace-trimmed, empties
     * dropped; per-doc sentence count, exact centichar mean length
     * (2·100·Σ+n)/(2n), and max length. One scan, explode, one doc_id
-    * hash-aggregate with map-side partials — no shuffle beyond the group. */
+    * hash-aggregate with map-side partials — no shuffle beyond the group.
+    *
+    * Fixture note: the generated corpus carries no punctuation at all, so
+    * boundaries are synthesized first — every ` the ` becomes `. ` via a
+    * LITERAL (non-regex) replace with identical left-to-right semantics in
+    * both engines. That gives real multi-sentence structure (the split,
+    * trim, and empty-drop paths all fire) while staying deterministic. */
   def textSentenceSplit(s: SparkSession, d: String): DataFrame = {
     val sent = wsTrim(col("raw_sent"))
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), "[.!?]+")).as("raw_sent"))
+      .select(col("doc_id"),
+        explode(split(expr("replace(text, ' the ', '. ')"), "[.!?]+")).as("raw_sent"))
       .select(col("doc_id"), sent.as("sent"))
       .filter(length(col("sent")) > 0)
       .groupBy("doc_id")
@@ -1364,7 +1371,8 @@ object TextAnalysis {
   private val textSentenceSplitSql =
     """WITH sents AS (
       |  SELECT doc_id,
-      |    regexp_replace(unnest(regexp_split_to_array(text, '[.!?]+')),
+      |    regexp_replace(
+      |      unnest(regexp_split_to_array(replace(text, ' the ', '. '), '[.!?]+')),
       |      '^\s+|\s+$', '', 'g') AS sent
       |  FROM documents
       |)

@@ -32,6 +32,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("shot boundaries hand-recompute from sampled first-byte intensities") {
+    import operators.Multimodal
+    val rows = Multimodal.mmVideoShotBoundary(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.nonEmpty && rows.exists(_.getAs[Long]("n_cuts") > 0))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val body = texts(id).getBytes("UTF-8")
+      val nFrames = id % 512 + 16
+      val stride = math.max(1L, nFrames / 8)
+      val fb = math.max(1L, body.length / nFrames)
+      val idxs = (0L until nFrames by stride).take(8)
+        .filter(_ * fb < body.length)
+      val intens = idxs.map(i => (body((i * fb).toInt) & 0xFF).toLong)
+      val cuts = idxs.zip(intens).sliding(2).collect {
+        case Seq((_, a), (i, b)) if math.abs(b - a) > 16 => i
+      }.toSeq
+      assert(r.getAs[Long]("n_sampled") == idxs.length, s"doc $id sampled")
+      assert(r.getAs[Long]("n_cuts") == cuts.length, s"doc $id cuts")
+      assert(r.getAs[Long]("n_shots") == cuts.length + 1, s"doc $id shots")
+      assert(r.getAs[String]("cut_frames") == cuts.sorted.mkString(","), s"doc $id csv")
+    }
+  }
+
   test("every payload decodes and dims match the declared metadata") {
     val s = spark
     import s.implicits._

@@ -297,10 +297,12 @@ class TextAnalysisSpec extends SparkSpec {
     val rows = textSentenceSplit(spark, sf).collect()
     val texts = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def segment(t: String): Seq[String] =
+      t.replace(" the ", ". ").split("[.!?]+").toSeq
+        .map(_.replaceAll("^\\s+|\\s+$", "")).filter(_.nonEmpty)
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
-      val sents = texts(id).split("[.!?]+")
-        .map(_.replaceAll("^\\s+|\\s+$", "")).filter(_.nonEmpty)
+      val sents = segment(texts(id))
       assert(r.getAs[Long]("n_sentences") == sents.length, s"doc $id count")
       assert(r.getAs[Long]("max_len") == sents.map(_.length).max, s"doc $id max")
       val total = sents.map(_.length.toLong).sum
@@ -308,8 +310,10 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Long]("mean_len_centichars") == (200 * total + n) / (2 * n),
         s"doc $id mean")
     }
-    // every document with at least one sentence appears
-    assert(rows.length == texts.count(_._2.split("[.!?]+")
-      .exists(_.replaceAll("^\\s+|\\s+$", "").nonEmpty)))
+    // every document with at least one sentence appears, and the fixture
+    // genuinely produces multi-sentence structure
+    assert(rows.length == texts.count(t => segment(t._2).nonEmpty))
+    assert(rows.count(_.getAs[Long]("n_sentences") > 1) > rows.length / 2,
+      "fixture should yield multi-sentence docs")
   }
 }
