@@ -34,7 +34,9 @@ object SparkEntry {
       Q("streaming_attribution", streaming.EventStream.streamingAttribution,
         Some(streaming.EventStream.streamingAttributionSql)) :+
       Q("streaming_hopping", streaming.EventStream.streamingHopping,
-        Some(streaming.EventStream.streamingHoppingSql))
+        Some(streaming.EventStream.streamingHoppingSql)) :+
+      Q("streaming_cdc_upsert", streaming.EventStream.streamingCdcUpsert,
+        Some(streaming.EventStream.streamingCdcUpsertSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -329,6 +329,120 @@ object EventStream {
     result
   }
 
+  case class CdcFeed(doc_id: Long, op: String, h2: String)
+  case class CdcSnap(h: String)
+  case class CdcEmit(doc_id: Long, action: String, h16: String)
+
+  /** CDC apply as a keyed state machine BOOTSTRAPPED FROM A SNAPSHOT — the
+    * production shape of "Kafka change feed onto an existing table": state
+    * is initialized from the base snapshot via flatMapGroupsWithState's
+    * initial-state overload (the one streaming API rung the other seven
+    * queries don't touch), then each arriving op mutates its key's state
+    * and emits the post-image (or a delete marker). Ghost guard: U/D on a
+    * key that neither the snapshot nor a prior I created is DROPPED, same
+    * as the batch MERGE's guard. Per-key this feed carries at most one op,
+    * so cross-batch arrival order cannot change the outcome. */
+  def cdcApply(feed: DataFrame,
+      initial: Dataset[(Long, CdcSnap)]): Dataset[CdcEmit] = {
+    val spark = feed.sparkSession
+    import spark.implicits._
+    val initState = initial.groupByKey(_._1).mapValues(_._2)
+    feed.as[CdcFeed]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[CdcSnap, CdcEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, initState) {
+        (id: Long, rows: Iterator[CdcFeed], state: GroupState[CdcSnap]) =>
+          val out = Seq.newBuilder[CdcEmit]
+          rows.foreach { r =>
+            r.op match {
+              case "D" if state.exists =>
+                state.remove(); out += CdcEmit(id, "delete", "")
+              case "U" if state.exists =>
+                state.update(CdcSnap(r.h2)); out += CdcEmit(id, "upsert", r.h2.take(16))
+              case "I" =>
+                state.update(CdcSnap(r.h2)); out += CdcEmit(id, "upsert", r.h2.take(16))
+              case _ => () // ghost U/D: dropped, like the batch MERGE guard
+            }
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Driver-contract entry: the corpus_upsert_merge CDC feed replayed as a
+    * real multi-batch stream (the feed is staged as 3 parquet files =
+    * 3 micro-batches) over snapshot-bootstrapped state, then assembled into
+    * the SAME post-merge table as the batch MERGE and oracled against the
+    * SAME SQL — streaming/batch parity on upsert semantics (8th oracled
+    * streaming query). Untouched base rows pass through with rev 0, exactly
+    * like a CDC sink. */
+  def streamingCdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, dir)
+    val base = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val v2hash = md5(when(col("doc_id") % 7 === 2, concat(col("text"), lit(" rev2")))
+      .otherwise(col("text")))
+    val feed = docs
+      .withColumn("op",
+        when(col("doc_id") % 13 === 5 && col("doc_id") % 17 =!= 3, lit("D"))
+          .when(col("doc_id") % 17 === 3 && col("doc_id") % 13 =!= 5, lit("I"))
+          .when(col("doc_id") % 7 === 2, lit("U")))
+      .filter(col("op").isNotNull)
+      .select(col("doc_id"), col("op"), v2hash.as("h2"))
+    val initial = base.as[(Long, String)].map { case (id, h) => (id, CdcSnap(h)) }
+    // stage the feed as 3 files → 3 genuine micro-batches
+    val staged = java.nio.file.Files.createTempDirectory("graft_cdc")
+    feed.repartition(3).write.mode("overwrite").parquet(staged.toString)
+    val src = s.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("op", StringType),
+        StructField("h2", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val queryName = s"stream_cdc_${System.nanoTime()}"
+    val q = cdcApply(src, initial).toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sink = s.table(queryName)
+    val emitted = s.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    s.catalog.dropTempView(queryName)
+    staged.toFile.listFiles().foreach(_.delete())
+    java.nio.file.Files.deleteIfExists(staged)
+    // CDC-sink assembly: emitted post-images override, deletes drop,
+    // untouched base rows pass through as rev 0
+    base.join(emitted, Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("action"), lit("")) =!= "delete")
+      .select(col("doc_id"),
+        when(col("action").isNotNull, 1L).otherwise(0L).as("rev"),
+        coalesce(col("h16"), substring(col("h"), 1, 16)).as("h16"))
+      .orderBy("doc_id")
+  }
+
+  /** Batch-equivalent oracle: identical to corpus_upsert_merge's MERGE. */
+  val streamingCdcUpsertSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 17 <> 3
+      |), feed AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 5 AND doc_id % 17 <> 3 THEN 'D'
+      |         WHEN doc_id % 17 = 3 AND doc_id % 13 <> 5 THEN 'I'
+      |         WHEN doc_id % 7 = 2 THEN 'U' END AS op,
+      |    md5(CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END) AS h2
+      |  FROM documents
+      |  WHERE doc_id % 13 = 5 OR doc_id % 17 = 3 OR doc_id % 7 = 2
+      |)
+      |SELECT coalesce(base.doc_id, feed.doc_id) AS doc_id,
+      |  CAST(CASE WHEN op IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS rev,
+      |  substr(coalesce(h2, h), 1, 16) AS h16
+      |FROM base FULL OUTER JOIN feed ON base.doc_id = feed.doc_id
+      |WHERE coalesce(op, '') <> 'D' AND (h IS NOT NULL OR op = 'I')
+      |ORDER BY doc_id""".stripMargin
+
   /** Streaming deduplication: collapse retriggered events — duplicates of
     * the same (user_id, event_type) within a minute — then count survivors
     * per event_type. `dropDuplicates` holds one state row per key; the

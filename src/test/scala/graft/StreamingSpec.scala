@@ -77,6 +77,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming CDC upsert over snapshot-bootstrapped state equals the batch MERGE") {
+    val streamed = streaming.EventStream.streamingCdcUpsert(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("rev"), r.getAs[String]("h16")))
+      .toMap
+    val batch = operators.Corpus.corpusUpsertMerge(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("rev"), r.getAs[String]("h16")))
+      .toMap
+    assert(streamed == batch)
+    // the feed has teeth at this SF: inserts/updates present, deletes dropped rows
+    assert(streamed.values.exists(_._1 == 1L))
+    val baseIds = Tables.documents(spark, sf).filter(col("doc_id") % 17 =!= 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(baseIds.exists(id => !streamed.contains(id)), "a delete should drop a row")
+  }
+
   test("streaming funnel state machine equals the batch funnel counts") {
     val streamed = streaming.EventStream.streamingFunnel(spark, sf)
       .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
