@@ -1250,7 +1250,88 @@ object Corpus {
       |  doc_id = min(doc_id) OVER (PARTITION BY url_canon) AS is_keeper
       |FROM canon ORDER BY doc_id""".stripMargin
 
+  /** The reference's WHOLE pipeline as ONE composed Catalyst DAG — the
+    * switchability statement: where the reference runs five separate pandas
+    * scripts materializing CSVs between stages (normalize_corpus →
+    * detect_amendment → build_corpus dedup/filter → tag_metadata →
+    * summary), here the stages are column expressions chained into a single
+    * lazy plan: one parquet scan, one md5-dedup shuffle, one lang
+    * aggregate. Catalyst pushes the build-stage filters below everything
+    * and fuses all per-row stages into one codegen'd pass — the
+    * between-stage materialization cost (the dominant cost of script
+    * pipelines at 100 TB) simply does not exist. Every stage reuses the
+    * exact operator semantics oracled individually above, and the composed
+    * oracle chains the same SQL fragments, so the hash match proves the
+    * COMPOSITION, not just the parts. */
+  def corpusPipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+    val built = Tables.documents(s, d)
+      .filter(col("n_chars") > 50 && length(col("lang")) === 2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val ntext = normalizeText(col("text"))
+    val isAmend = amendmentSignals
+      .map(sig => contains(lower(col("text")), lit(sig))).reduce(_ || _)
+    val nThemes = themeRules.map { case (_, pats) =>
+      when(pats.map(p => col("text").rlike("(?i)" + p)).reduce(_ || _), 1L)
+        .otherwise(0L)
+    }.reduce(_ + _)
+    built
+      .select(col("doc_id"), col("lang"), col("source"),
+        wordCount(col("text")).as("raw_wc"), wordCount(ntext).as("norm_wc"),
+        isAmend.as("is_amendment"), nThemes.as("n_themes"))
+      .withColumn("removed_bp",
+        when(col("raw_wc") > 0,
+          expr("(2 * 10000 * (raw_wc - norm_wc) + raw_wc) div (2 * raw_wc)"))
+          .otherwise(0L))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_amendment"), 1L).otherwise(0L)).as("n_amendments"),
+        countDistinct("source").as("n_sources"),
+        expr("(2 * sum(removed_bp) + count(1)) div (2 * count(1))")
+          .as("mean_removed_bp"),
+        sum(when(col("n_themes") > 0, 1L).otherwise(0L)).as("n_themed"),
+        sum("n_themes").as("total_themes"))
+      .orderBy("lang")
+  }
+
+  private val corpusPipelineE2eSql = {
+    val amend = amendmentSignals
+      .map(sig => s"contains(lower(text), '$sig')").mkString(" OR ")
+    val themes = themeRules.map { case (_, ps) =>
+      s"CASE WHEN regexp_matches(text, '${ps.mkString("|")}', 'i') THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM documents WHERE n_chars > 50 AND length(lang) = 2
+       |), built AS (
+       |  SELECT doc_id, lang, source, text, $normChainSql AS ntext
+       |  FROM ranked WHERE rn = 1
+       |), staged AS (
+       |  SELECT doc_id, lang, source,
+       |    ${wcSql("text")} AS raw_wc,
+       |    ${wcSql("ntext")} AS norm_wc,
+       |    ($amend) AS is_amendment,
+       |    ($themes) AS n_themes
+       |  FROM built
+       |), bp AS (
+       |  SELECT *, CASE WHEN raw_wc > 0
+       |    THEN CAST((2 * 10000 * (raw_wc - norm_wc) + raw_wc) // (2 * raw_wc) AS BIGINT)
+       |    ELSE 0 END AS removed_bp
+       |  FROM staged
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN is_amendment THEN 1 ELSE 0 END) AS BIGINT) AS n_amendments,
+       |  count(DISTINCT source) AS n_sources,
+       |  CAST((2 * sum(removed_bp) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_removed_bp,
+       |  CAST(sum(CASE WHEN n_themes > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_themed,
+       |  CAST(sum(n_themes) AS BIGINT) AS total_themes
+       |FROM bp GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("corpus_pipeline_e2e", corpusPipelineE2e, Some(corpusPipelineE2eSql)),
     Q("corpus_url_normalize", corpusUrlNormalize, Some(corpusUrlNormalizeSql)),
     Q("corpus_parse_dates", corpusParseDates, Some(corpusParseDatesSql)),
     Q("corpus_merge_fill", corpusMergeFill, Some(corpusMergeFillSql)),
