@@ -148,6 +148,10 @@ class PlanSpec extends SparkSpec {
     } yield (q, t)
     dimOk.toSet +
       (("corpus_build", "documents.parquet")) +
+      // the composed pipeline inherits corpus_build's full consumption:
+      // n_chars filter, doc_id dedup, lang group+filter, source distinct,
+      // text for normalize/flag/themes — all 5 columns genuinely used
+      (("corpus_pipeline_e2e", "documents.parquet")) +
       // MaxSim genuinely consumes all three embedding columns: the vector,
       // the label (doc grouping), and vec_id (per-query-vector max key)
       (("sim_maxsim", "embeddings.parquet"))
