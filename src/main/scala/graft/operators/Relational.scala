@@ -125,6 +125,67 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q2's shape — minimum-cost supplier per part via CORRELATED-MIN
+    * decorrelation: the per-part minimum is computed once as an aggregate
+    * and JOINED BACK on (part, cost = min) equality — the other classic
+    * argmin plan next to q_top_customer_per_nation's window row_number
+    * (the join-back keeps ties, the window picks one; both matter). Supply
+    * cost is the min observed line price in exact cents. Candidate costs
+    * aggregate lineitem ONCE (partial hash-agg), the supplier→nation→region
+    * dim chain broadcasts, and the min relation re-joins on the part key —
+    * two shuffles total on the same key, no correlated per-row subquery
+    * execution anywhere. */
+  def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val cand = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), cents.as("cost_cents"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("cost_cents").as("supply_cost"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val candR = cand.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    val minPerPart = candR.groupBy("l_partkey")
+      .agg(min("supply_cost").as("min_cost"))
+    candR
+      .join(minPerPart, "l_partkey")
+      .filter(col("supply_cost") === col("min_cost")) // keep ALL tied argmins
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_size") <= 10 && col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey").as("suppkey"),
+        col("n_name"), col("min_cost"))
+      .orderBy("p_partkey", "suppkey")
+  }
+
+  private val q2MinCostSupplierSql =
+    """WITH cand AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS supply_cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey
+      |), sup AS (
+      |  SELECT s_suppkey, n_name
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'
+      |), cand_r AS (
+      |  SELECT l_partkey, l_suppkey, supply_cost, n_name
+      |  FROM cand JOIN sup ON l_suppkey = s_suppkey
+      |), min_pp AS (
+      |  SELECT l_partkey, min(supply_cost) AS min_cost
+      |  FROM cand_r GROUP BY l_partkey
+      |)
+      |SELECT p_partkey, p_name, l_suppkey AS suppkey, n_name,
+      |  CAST(min_cost AS BIGINT) AS min_cost
+      |FROM cand_r
+      |JOIN min_pp USING (l_partkey)
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE supply_cost = min_cost AND p_size <= 10 AND p_type = 'ECONOMY'
+      |ORDER BY p_partkey, suppkey""".stripMargin
+
   /** Conditional aggregation: per-year revenue share of one region
     * (CASE inside sum — build_master_corpus.py:51 normalize_status is the
     * same contains/CASE idiom, here over a ratio).
@@ -1168,6 +1229,7 @@ object Relational {
     Q("q_unpivot", qUnpivot, Some(qUnpivotSql)),
     Q("q_chi2", qChi2, Some(qChi2Sql)),
     Q("q1_pricing_summary", q1PricingSummary, Some(q1Sql)),
+    Q("q2_min_cost_supplier", q2MinCostSupplier, Some(q2MinCostSupplierSql)),
     Q("q3_top_orders", q3TopOrders, Some(q3Sql)),
     Q("q5_region_volume", q5RegionVolume, Some(q5Sql)),
     Q("q_market_share", qMarketShare, Some(qMarketShareSql)),

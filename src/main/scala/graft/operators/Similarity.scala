@@ -599,7 +599,67 @@ object Similarity {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  /** ANN quality EVALUATION as a first-class query: recall@3 of BOTH
+    * indexes (LSH, IVF) against the exact brute-force ground truth, per
+    * (method, query) in integer basis points — the measure-don't-guess
+    * harness every ANN deployment wires into its pipeline (index drift,
+    * bucket-width regressions, plane/centroid changes all show up here
+    * before they hit production retrieval). Composes three already-oracled
+    * queries; the oracle nests all three SQL chains, so the hash match
+    * re-proves ground truth, both indexes, AND the recall arithmetic in
+    * one statement. The result itself is informative: on this corpus
+    * IVF(nprobe) recalls real neighbors while exact-8-bit-signature LSH
+    * measures ≈ 0 — precisely the finding an eval harness exists to
+    * surface (and why sim_ann_lsh banded variants exist). */
+  def simRecallEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val brute = simTopkBruteforce(s, d).filter(col("rk") <= 3)
+      .select(col("qid"), col("cand_id"))
+    val ann = simAnnLsh(s, d)
+      .select(lit("lsh").as("method"), col("qid").as("a_qid"), col("cand_id").as("a_cand"))
+      .unionAll(simAnnIvf(s, d)
+        .select(lit("ivf").as("method"), col("qid").as("a_qid"), col("cand_id").as("a_cand")))
+    val hits = brute
+      .join(ann, col("qid") === col("a_qid") && col("cand_id") === col("a_cand"))
+      .groupBy("method", "qid").agg(count(lit(1)).as("n_hits"))
+    brute.select("qid").distinct()
+      .crossJoin(Seq("lsh", "ivf").toDF("method"))
+      .join(hits, Seq("method", "qid"), "left")
+      .select(col("method"), col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("(coalesce(n_hits, 0) * 10000) div 3").as("recall_bp"))
+      .orderBy("method", "qid")
+  }
+
+  private val simRecallEvalSql =
+    s"""WITH brute AS (
+       |${simTopkBruteforceSql}
+       |), ann_lsh AS (
+       |${simAnnLshSql}
+       |), ann_ivf AS (
+       |${simAnnIvfSql}
+       |), ann AS (
+       |  SELECT 'lsh' AS method, qid, cand_id FROM ann_lsh
+       |  UNION ALL SELECT 'ivf', qid, cand_id FROM ann_ivf
+       |), b3 AS (
+       |  SELECT qid, cand_id FROM brute WHERE rk <= 3
+       |), hits AS (
+       |  SELECT ann.method, b3.qid, count(*) AS n_hits
+       |  FROM b3 JOIN ann ON ann.qid = b3.qid AND ann.cand_id = b3.cand_id
+       |  GROUP BY ann.method, b3.qid
+       |), spine AS (
+       |  SELECT m.method, q.qid
+       |  FROM (SELECT DISTINCT qid FROM b3) q
+       |  CROSS JOIN (VALUES ('lsh'), ('ivf')) m(method)
+       |)
+       |SELECT spine.method, spine.qid, coalesce(n_hits, 0) AS n_hits,
+       |  CAST((coalesce(n_hits, 0) * 10000) // 3 AS BIGINT) AS recall_bp
+       |FROM spine
+       |LEFT JOIN hits ON spine.method = hits.method AND spine.qid = hits.qid
+       |ORDER BY spine.method, spine.qid""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("sim_recall_eval", simRecallEval, Some(simRecallEvalSql)),
     Q("sim_maxsim", simMaxsim, Some(simMaxsimSql)),
     Q("sim_ann_pq", simAnnPq, Some(simAnnPqSql)),
     Q("sim_doc_embedding_join", simDocEmbeddingJoin, Some(simDocEmbeddingJoinSql)),

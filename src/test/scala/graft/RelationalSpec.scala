@@ -41,6 +41,31 @@ class RelationalSpec extends SparkSpec {
     assert(noOrders + withOrders == Tables.customer(spark, sf).count())
   }
 
+  test("q2: every kept row is a true per-part minimum; ties all kept") {
+    val rows = qMinCostRows()
+    assert(rows.nonEmpty)
+    // hand-recompute each part's regional min from raw lineitem
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val sup = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    val trueMin = Tables.lineitem(spark, sf)
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey").agg(min(cents).as("m"))
+      .collect().map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("m")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_cost") == trueMin(r.getAs[Long]("p_partkey")))
+    }
+    // join-back keeps ties: row count per part >= 1 and all rows share min
+    val perPart = rows.groupBy(_.getAs[Long]("p_partkey"))
+    perPart.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("min_cost")).distinct.length == 1)
+    }
+  }
+  private def qMinCostRows() = q2MinCostSupplier(spark, sf).collect()
+
   test("portable HLL estimate is within the m=64 sketch error envelope") {
     // standard error 1.04/sqrt(64) = 13%; allow 3 sigma for small groups
     qApproxDistinct(spark, sf).collect().foreach { r =>

@@ -5,6 +5,32 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   import operators.Similarity._
 
+  test("recall eval hand-recomputes from the composed queries; IVF has teeth") {
+    import operators.Similarity
+    val rows = Similarity.simRecallEval(spark, sf).collect()
+    val brute3 = Similarity.simTopkBruteforce(spark, sf)
+      .filter(col("rk") <= 3).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    val annBy = Map(
+      "lsh" -> Similarity.simAnnLsh(spark, sf).collect(),
+      "ivf" -> Similarity.simAnnIvf(spark, sf).collect())
+      .view.mapValues(_.groupBy(_.getAs[Long]("qid"))
+        .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap).toMap
+    assert(rows.map(_.getAs[Long]("qid")).toSet == brute3.keySet)
+    rows.foreach { r =>
+      val (m, qid) = (r.getAs[String]("method"), r.getAs[Long]("qid"))
+      val expect = brute3(qid)
+        .intersect(annBy(m).getOrElse(qid, Set.empty)).size.toLong
+      assert(r.getAs[Long]("n_hits") == expect, s"$m qid $qid")
+      assert(r.getAs[Long]("recall_bp") == expect * 10000 / 3, s"$m qid $qid bp")
+    }
+    // teeth: IVF (nprobe cells) genuinely recalls neighbors at this SF;
+    // exact-8-bit-signature LSH measuring ~0 here is the honest finding
+    assert(rows.filter(_.getAs[String]("method") == "ivf")
+      .map(_.getAs[Long]("recall_bp")).sum > 0)
+  }
+
   test("brute-force top-k: 5 neighbors per query, cosine non-increasing") {
     val rows = simTopkBruteforce(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
