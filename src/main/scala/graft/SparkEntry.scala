@@ -11,6 +11,7 @@ object SparkEntry {
   /** All implemented operators, one Q per SURVEY.md §2 line. */
   def allQueries: Seq[Q] =
     operators.Relational.all ++
+      operators.TpchClassics.all ++
       operators.Corpus.all ++
       operators.TextAnalysis.all ++
       operators.Sessionize.all ++

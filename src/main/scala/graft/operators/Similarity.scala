@@ -658,7 +658,67 @@ object Similarity {
        |LEFT JOIN hits ON spine.method = hits.method AND spine.qid = hits.qid
        |ORDER BY spine.method, spine.qid""".stripMargin
 
+  /** RANGE search (all neighbors with cosine ≥ τ, not top-k) via MULTIPROBE
+    * LSH: each query probes its exact signature bucket PLUS the 8 Hamming-1
+    * neighbor buckets (flip one sign bit). Multiprobe is the standard
+    * recall/cost dial for signature LSH — 9 probes ≈ 9/256 of the corpus
+    * per query instead of a full scan, and because every corpus vector
+    * lives in exactly ONE bucket the probe union is duplicate-free by
+    * construction (no distinct needed). The probe fan-out explodes on the
+    * tiny broadcast query side, never on the corpus. The oracle replicates
+    * the probe semantics bit-exactly (planes inlined as round-trip decimal
+    * literals, index-order dot reduction); recall vs the brute-force
+    * threshold scan is asserted in SimilaritySpec. */
+  def simRangeSearch(s: SparkSession, d: String): DataFrame = {
+    val emb = sigRelation(s, d)
+    def shl(v: Column, n: Column) = call_function("shiftleft", v, n)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("sig").as("qsig"))
+      .withColumn("p", explode(sequence(lit(-1), lit(planes.size - 1))))
+      .withColumn("probe_sig", when(col("p") === -1, col("qsig"))
+        .otherwise(col("qsig").bitwiseXOR(shl(lit(1L), col("p")))))
+    emb.join(broadcast(probes),
+        col("sig") === col("probe_sig") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        round(vecDot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("cosine"))
+      .filter(col("cosine") >= 0.2)
+      .orderBy("qid", "cand_id")
+  }
+
+  private val simRangeSearchSql = {
+    val planeRows = planes.zipWithIndex
+      .map { case (pl, i) => s"($i, [${pl.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), planes(p, pl) AS (
+       |  VALUES $planeRows
+       |), sig AS (
+       |  SELECT v.vec_id,
+       |    CAST(sum(CASE WHEN list_dot_product(v.e, planes.pl) >= 0
+       |      THEN 1 << planes.p ELSE 0 END) AS BIGINT) AS sig
+       |  FROM v CROSS JOIN planes GROUP BY v.vec_id
+       |), q AS (
+       |  SELECT v.vec_id AS qid, v.e AS qv, v.nrm AS qnrm, s.sig AS qsig
+       |  FROM v JOIN sig s ON s.vec_id = v.vec_id WHERE v.vec_id < 10
+       |), probes AS (
+       |  SELECT qid, qv, qnrm,
+       |    CASE WHEN pr.p = -1 THEN qsig ELSE xor(qsig, CAST(1 << pr.p AS BIGINT)) END AS probe_sig
+       |  FROM q CROSS JOIN (SELECT unnest(generate_series(-1, 7)) AS p) pr
+       |)
+       |SELECT pb.qid, v.vec_id AS cand_id,
+       |  round(list_dot_product(pb.qv, v.e) / (pb.qnrm * v.nrm), 4) AS cosine
+       |FROM v JOIN sig s ON s.vec_id = v.vec_id
+       |JOIN probes pb ON s.sig = pb.probe_sig AND v.vec_id <> pb.qid
+       |WHERE round(list_dot_product(pb.qv, v.e) / (pb.qnrm * v.nrm), 4) >= 0.2
+       |ORDER BY qid, cand_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("sim_range_search", simRangeSearch, Some(simRangeSearchSql)),
     Q("sim_recall_eval", simRecallEval, Some(simRecallEvalSql)),
     Q("sim_maxsim", simMaxsim, Some(simMaxsimSql)),
     Q("sim_ann_pq", simAnnPq, Some(simAnnPqSql)),

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic teeth for the TPC-H-classic shapes: each test hand-recomputes
+  * the query's defining invariant from the raw tables (the DuckDB oracle
+  * proves cross-engine parity; these prove the SEMANTICS are the intended
+  * ones, independent of the SQL restatement). */
+class TpchClassicsSpec extends SparkSpec {
+  import operators.TpchClassics._
+
+  test("q4: counts sum to exactly the distinct late-order count") {
+    val rows = q4OrderPriority(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("order_count")).sum
+    // hand recompute: distinct 1997 orders having a >30-day-late line
+    val o = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val expected = Tables.lineitem(spark, sf)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .select("o_orderkey").distinct().count()
+    assert(total == expected)
+  }
+
+  test("q11: every kept part clears the threshold; every dropped part does not") {
+    val kept = q11ImportantParts(spark, sf).collect()
+      .map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("value_cents")).toMap
+    // rebuild the full per-part relation (kept ∪ dropped) and the total
+    val perPart = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf)
+          .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.region(spark, sf).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey"),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")).as("v"))
+      .collect().map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("v")).toMap
+    val total = perPart.values.sum
+    perPart.foreach { case (pk, v) =>
+      assert((v * 1000 > total) == kept.contains(pk),
+        s"part $pk: value $v vs total $total, kept=${kept.contains(pk)}")
+    }
+    kept.foreach { case (pk, v) => assert(perPart(pk) == v) }
+  }
+
+  test("q13: distribution covers every customer exactly once, zero bucket real") {
+    val rows = q13CountDistribution(spark, sf).collect()
+    val totalCustomers = rows.map(_.getAs[Long]("custdist")).sum
+    assert(totalCustomers == Tables.customer(spark, sf).count())
+    // weighted count-sum equals the number of non-urgent orders
+    val weighted = rows.map(r =>
+      r.getAs[Long]("c_count") * r.getAs[Long]("custdist")).sum
+    val nonUrgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT").count()
+    assert(weighted == nonUrgent)
+  }
+
+  test("q14: promo share in [0,10000] bp and components reconcile") {
+    val r = q14PromoRevenue(spark, sf).collect().head
+    val promo = r.getAs[Long]("promo_cents")
+    val totalC = r.getAs[Long]("total_cents")
+    val bp = r.getAs[Long]("promo_bp")
+    assert(promo >= 0 && promo <= totalC)
+    assert(bp == promo * 10000 / totalC)
+  }
+
+  test("q16: denylisted suppliers never counted") {
+    val denied = Tables.supplier(spark, sf)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+      .collect().map(_.getLong(0)).toSet
+    // max possible distinct suppliers per bucket excludes the denylist
+    val maxCnt = q16SupplierCnt(spark, sf).collect()
+      .map(_.getAs[Long]("supplier_cnt")).max
+    val supTotal = Tables.supplier(spark, sf).count()
+    assert(maxCnt <= supTotal - denied.size)
+  }
+
+  test("q18: exactly the orders whose hand-summed quantity exceeds 250") {
+    val got = q18LargeOrders(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("sum_qty")).toMap
+    val expected = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity")).cast("long").as("q"))
+      .filter(col("q") > 250)
+      .collect().map(r => r.getAs[Long]("l_orderkey") -> r.getAs[Long]("q")).toMap
+    assert(got == expected)
+  }
+
+  test("q19: revenue equals the brute-force disjunction sum") {
+    val r = q19Disjunctive(spark, sf).collect().head
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(20, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(coalesce(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")), lit(0L)), count(lit(1)))
+      .collect().head
+    assert(r.getAs[Long]("revenue_cents") == expected.getLong(0))
+    assert(r.getAs[Long]("matched_lines") == expected.getLong(1))
+  }
+
+  test("q21: a flagged supplier is the unique late supplier of each counted order") {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    val lo = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), late.as("is_late"))
+      .collect()
+    val byOrder = lo.groupBy(_.getLong(0))
+    val expected = byOrder.toSeq.flatMap { case (_, ls) =>
+      val supps = ls.map(_.getLong(1)).toSet
+      val lateSupps = ls.filter(_.getBoolean(2)).map(_.getLong(1)).toSet
+      if (supps.size >= 2 && lateSupps.size == 1) Some(lateSupps.head) else None
+    }.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val supName = Tables.supplier(spark, sf).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[String]("s_name")).toMap
+    val got = q21WaitingSupplier(spark, sf).collect()
+      .map(r => r.getAs[String]("s_name") -> r.getAs[Long]("numwait")).toMap
+    assert(got == expected.map { case (k, v) => supName(k) -> v })
+    assert(got.nonEmpty)
+  }
+
+  test("q22: every counted customer is above-average balance with no recent order") {
+    val rows = q22DormantProspects(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cust = Tables.customer(spark, sf).collect()
+    val pos = cust.filter(_.getAs[Double]("c_acctbal") > 0)
+      .map(r => math.round(r.getAs[Double]("c_acctbal") * 100))
+    val (sumC, cnt) = (pos.sum, pos.length.toLong)
+    val recent = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1999-01-01"))
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val nationName = Tables.nation(spark, sf).collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val expected = cust.filter { r =>
+      val bal = math.round(r.getAs[Double]("c_acctbal") * 100)
+      bal * cnt > sumC && !recent.contains(r.getAs[Long]("c_custkey"))
+    }.groupBy(r => nationName(r.getAs[Int]("c_nationkey")))
+      .map { case (n, g) => n -> g.length.toLong }
+    val got = rows.map(r => r.getAs[String]("n_name") -> r.getAs[Long]("numcust")).toMap
+    assert(got == expected)
+  }
+}
