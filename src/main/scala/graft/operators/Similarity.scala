@@ -83,18 +83,21 @@ object Similarity {
   /** (vec_id, v, nrm, sig): every embedding with its 8-bit hyperplane sign
     * signature — the shared bucketing relation for LSH ANN and the kNN
     * graph. The signature folds 8 codegen'd dot products into one long. */
-  private def sigRelation(s: SparkSession, d: String): DataFrame = {
-    val planesCol = typedlit(planes)
-    def shl(v: Column, n: Column) = call_function("shiftleft", v, n)
+  /** The 8-bit hyperplane sign signature of vector column `v`. The lambda
+    * must reference the column by its FINAL name: an alias applied after
+    * this expression is built can leave the lambda's inner attribute
+    * dangling once a Generate/projection collapse rewrites the plan
+    * (observed as INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in sim_range_search). */
+  private def sigExpr(v: Column): Column =
+    planes.zipWithIndex.map { case (pl, p) =>
+      when(vecDot(typedlit(pl), v) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def sigRelation(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
-      .withColumn("sig",
-        aggregate(sequence(lit(0), lit(planes.size - 1)), lit(0L),
-          (acc, p) => acc.bitwiseOR(
-            shl(when(vecDot(element_at(planesCol, p + 1), col("v")) >= 0, lit(1L))
-              .otherwise(lit(0L)), p))))
-  }
+      .withColumn("sig", sigExpr(col("v")))
 
   def simAnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = sigRelation(s, d)
@@ -672,16 +675,19 @@ object Similarity {
   def simRangeSearch(s: SparkSession, d: String): DataFrame = {
     val emb = sigRelation(s, d)
     def shl(v: Column, n: Column) = call_function("shiftleft", v, n)
-    val probes = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("sig").as("qsig"))
+    val probes = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qnrm", vecNorm(col("qv")))
+      .withColumn("qsig", sigExpr(col("qv")))
       .withColumn("p", explode(sequence(lit(-1), lit(planes.size - 1))))
       .withColumn("probe_sig", when(col("p") === -1, col("qsig"))
         .otherwise(col("qsig").bitwiseXOR(shl(lit(1L), col("p")))))
-    emb.join(broadcast(probes),
-        col("sig") === col("probe_sig") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cand_id"),
-        round(vecDot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("cosine"))
+    emb.alias("e").join(broadcast(probes.alias("pr")),
+        col("e.sig") === col("pr.probe_sig") && col("e.vec_id") =!= col("pr.qid"))
+      .select(col("pr.qid").as("qid"), col("e.vec_id").as("cand_id"),
+        round(vecDot(col("pr.qv"), col("e.v")) / (col("pr.qnrm") * col("e.nrm")), 4)
+          .as("cosine"))
       .filter(col("cosine") >= 0.2)
       .orderBy("qid", "cand_id")
   }

@@ -124,6 +124,39 @@ class SimilaritySpec extends SparkSpec {
       Tables.embeddings(spark, sf).count())
   }
 
+  test("range search: every hit is a true ≥τ neighbor; multiprobe ⊇ single-probe") {
+    // precision proof at sf0.01 (sf0.001's 50 vectors rarely share buckets):
+    // every returned pair must clear the threshold under brute-force
+    // recompute, and the Hamming-1 probe set must cover the exact bucket
+    val big = "/root/testdata/sf0.01"
+    val hits = simRangeSearch(spark, big).collect()
+    assert(hits.nonEmpty)
+    // brute-force ground truth of all ≥τ pairs for the query set
+    val emb = Tables.embeddings(spark, big).collect()
+      .map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+        r.getAs[Long]("vec_id") -> v
+      }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.rint(d / (math.sqrt(na) * math.sqrt(nb)) * 1e4) / 1e4
+    }
+    hits.foreach { r =>
+      val c = cos(emb(r.getAs[Long]("qid")), emb(r.getAs[Long]("cand_id")))
+      assert(c >= 0.2, s"returned pair below threshold: $r vs brute $c")
+      assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9)
+    }
+    // multiprobe must include everything the single-bucket LSH query can
+    // see: any exact-signature bucket-mate above τ appears in the hits
+    val hitSet = hits.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand_id"))).toSet
+    val lsh = simAnnLsh(spark, big).collect()
+    lsh.filter(_.getAs[Double]("cosine") >= 0.2).foreach { r =>
+      assert(hitSet.contains((r.getAs[Long]("qid"), r.getAs[Long]("cand_id"))),
+        s"exact-bucket neighbor missing from multiprobe range result: $r")
+    }
+  }
+
   test("maxsim: self-retrieval is perfect and strictly beats every other doc") {
     val rows = simMaxsim(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Int]("qlabel"))
