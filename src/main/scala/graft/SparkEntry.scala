@@ -37,7 +37,9 @@ object SparkEntry {
       Q("streaming_hopping", streaming.EventStream.streamingHopping,
         Some(streaming.EventStream.streamingHoppingSql)) :+
       Q("streaming_cdc_upsert", streaming.EventStream.streamingCdcUpsert,
-        Some(streaming.EventStream.streamingCdcUpsertSql))
+        Some(streaming.EventStream.streamingCdcUpsertSql)) :+
+      Q("streaming_late_drop", streaming.EventStream.streamingLateDrop,
+        Some(streaming.EventStream.streamingLateDropSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -65,7 +65,10 @@ object TextAnalysis {
     * bucket label, the filter a pretraining pipeline applies before training.
     * The bucket is derived from the ROUNDED score so both engines agree at
     * threshold boundaries. */
-  def textQuality(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, n_tokens, bp): the integer-basis-point quality score shared by
+    * textQuality (fixed thresholds) and textQualityTercile (data-driven
+    * cutpoints). */
+  private def qualityBp(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
     val base = doc.select(
       col("doc_id"),
@@ -91,6 +94,11 @@ object TextAnalysis {
       // and can mis-floor at integer boundaries)
       .withColumn("bp", when(len > 0, expr("(20000 * qn + qd) div (2 * qd)"))
         .otherwise(minT * 50L + 2000L))
+      .select("doc_id", "n_tokens", "bp")
+  }
+
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    qualityBp(s, d)
       .withColumn("quality_score", col("bp").cast("double") / 10000.0)
       .withColumn("quality_bucket",
         when(col("quality_score") >= 0.8, "high")
@@ -99,6 +107,72 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "quality_score", "quality_bucket")
       .orderBy("doc_id")
   }
+
+  /** DATA-DRIVEN quality terciles — "keep the top third by quality", the
+    * percentile-threshold filter real pretraining pipelines apply, as
+    * opposed to textQuality's fixed thresholds. The tercile cutpoints are
+    * EXACT discrete quantiles (smallest score with cume_count ≥ ⌈k·n/3⌉)
+    * computed from the VALUE DISTRIBUTION, not the data: scores are
+    * integer basis points (≤ 10001 distinct values), so the running-count
+    * window runs over a bounded aggregate — never a global sort of the
+    * corpus. (The global-NTILE formulation would single-partition-sort all
+    * of it — the 100 TB anti-pattern this query exists to avoid.) The
+    * ceil compare is the multiply form (3·cum ≥ k·n), exact integers on
+    * both engines; ties share a bucket, so bucket sizes are only
+    * approximately n/3 — the honest discrete-quantile semantics. */
+  def textQualityTercile(s: SparkSession, d: String): DataFrame = {
+    val base = qualityBp(s, d)
+    val dist = base.groupBy("bp").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("bp")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dist
+      .withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(dist.agg(sum("cnt").as("n_total"))))
+    val cuts = cum.agg(
+      min(when(col("cum") * 3 >= col("n_total"), col("bp"))).as("cut1"),
+      min(when(col("cum") * 3 >= col("n_total") * 2, col("bp"))).as("cut2"))
+    base.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("bp").as("quality_bp"),
+        when(col("bp") <= col("cut1"), "t1")
+          .when(col("bp") <= col("cut2"), "t2")
+          .otherwise("t3").as("tercile"))
+      .orderBy("doc_id")
+  }
+
+  private val textQualityTercileSql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+      |         ELSE array_length(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
+      |    length(text) AS len_chars,
+      |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+      |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+      |  FROM documents
+      |), scored AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len_chars > 0 THEN
+      |      CAST((20000 * (least(n_tokens, 100) * len_chars + 60 * n_alpha
+      |                + 40 * (len_chars - n_punct)) + 200 * len_chars)
+      |      // (2 * 200 * len_chars) AS BIGINT)
+      |    ELSE least(n_tokens, 100) * 50 + 2000 END AS bp
+      |  FROM b
+      |), dist AS (
+      |  SELECT bp, count(*) AS cnt FROM scored GROUP BY bp
+      |), cum AS (
+      |  SELECT bp, sum(cnt) OVER (ORDER BY bp ROWS UNBOUNDED PRECEDING) AS cum,
+      |    (SELECT sum(cnt) FROM dist) AS n_total
+      |  FROM dist
+      |), cuts AS (
+      |  SELECT min(CASE WHEN cum * 3 >= n_total THEN bp END) AS cut1,
+      |    min(CASE WHEN cum * 3 >= n_total * 2 THEN bp END) AS cut2
+      |  FROM cum
+      |)
+      |SELECT doc_id, bp AS quality_bp,
+      |  CASE WHEN bp <= cut1 THEN 't1'
+      |       WHEN bp <= cut2 THEN 't2'
+      |       ELSE 't3' END AS tercile
+      |FROM scored CROSS JOIN cuts
+      |ORDER BY doc_id""".stripMargin
 
   private val textQualitySql =
     """WITH b AS (
@@ -1405,6 +1479,7 @@ object TextAnalysis {
     Q("text_fuzzy_match", textFuzzyMatch, Some(textFuzzyMatchSql)),
     Q("text_token_stats", textTokenStats, Some(textTokenStatsSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
+    Q("text_quality_tercile", textQualityTercile, Some(textQualityTercileSql)),
     Q("text_langid", textLangid, Some(textLangidSql)),
     Q("text_fingerprint", textFingerprint, Some(textFingerprintSql)),
     Q("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),

@@ -580,4 +580,93 @@ object EventStream {
       |  count(*) AS n_events, round(sum(value), 2) AS total_value
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, start_ms""".stripMargin
+
+  /** Tumbling 15-min aggregate with a 1-hour watermark in APPEND mode — the
+    * building block for streamingLateDrop. */
+  private def lateDropAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ets", timestamp_millis(graft.functions.TimeFunctions.nsToMs("ts")))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("val_cents"))
+      .select(unix_millis(col("window.start")).as("win_ms"), col("event_type"),
+        col("n"), col("val_cents"))
+
+  /** WATERMARK LATE-DATA SEMANTICS — the one core streaming behavior the
+    * other eight queries don't isolate: rows arriving after the watermark
+    * passed their window are DROPPED, not merged. Two explicitly ordered
+    * micro-batches (file written → processAllAvailable → next file):
+    * batch 1 carries every event within 2 h of the global max M, advancing
+    * the watermark to M−1h at its end; batch 2 replays everything older
+    * than M−2h — all of it beyond the watermark horizon, so the state
+    * store must discard every row. The append-mode output therefore holds
+    * ONLY batch-1 windows finalized below the watermark; if late rows
+    * leaked in they would CREATE already-expired old windows and emit them
+    * immediately, so any leak is visible as extra output rows. The oracle
+    * recomputes exactly "batch-1 rows, windows closed at or below M−1h" in
+    * SQL — batch/stream parity on the drop rule itself. At scale this is
+    * the knob that bounds state: without the watermark the 100 TB stream's
+    * window state grows forever. */
+  def streamingLateDrop(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nsMs = graft.functions.TimeFunctions.nsToMs("ts")
+    val ev = graft.Tables.events(s, dir)
+    val msMax = ev.agg(max(nsMs)).head().getLong(0) // bounded driver scalar
+    val cut = msMax - 2L * 3600000L
+    val staged = java.nio.file.Files.createTempDirectory("graft_late")
+    val b1Dir = staged.resolve("b1").toString
+    val b2Dir = staged.resolve("b2").toString
+    ev.filter(nsMs >= cut).coalesce(1).write.parquet(b1Dir)
+    ev.filter(nsMs < cut).coalesce(1).write.parquet(b2Dir)
+    def firstPart(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    // phase 1: only batch 1 is visible when the stream starts
+    java.nio.file.Files.move(firstPart(b1Dir), staged.resolve("events_b1.parquet"))
+    val src = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val queryName = s"stream_late_${System.nanoTime()}"
+    val q = lateDropAgg(src).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable() // batch 1 fully processed; watermark = M−1h
+      // phase 2: the late file arrives AFTER the watermark advanced
+      java.nio.file.Files.move(firstPart(b2Dir), staged.resolve("events_b2.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val sink = s.table(queryName)
+    val result = s.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    s.catalog.dropTempView(queryName)
+    new java.io.File(staged.toString).listFiles().filter(_.isFile).foreach(_.delete())
+    Seq(b1Dir, b2Dir).foreach { d =>
+      val f = new java.io.File(d)
+      if (f.exists()) { f.listFiles().foreach(_.delete()); f.delete() }
+    }
+    java.nio.file.Files.deleteIfExists(staged)
+    result.orderBy("win_ms", "event_type")
+  }
+
+  /** Batch restatement of the drop rule: batch-1 rows only (within 2 h of
+    * the max), windows whose end is at or below the final watermark M−1h. */
+  val streamingLateDropSql: String =
+    """WITH m AS (SELECT max(epoch_ms(ts)) AS mx FROM events),
+      |b1 AS (
+      |  SELECT epoch_ms(ts) AS ms, event_type, value FROM events, m
+      |  WHERE epoch_ms(ts) >= mx - 7200000
+      |), agg AS (
+      |  SELECT (ms - ms % 900000) AS win_ms, event_type,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+      |  FROM b1 GROUP BY 1, 2
+      |)
+      |SELECT win_ms, event_type, n, val_cents FROM agg, m
+      |WHERE win_ms + 900000 <= mx - 3600000
+      |ORDER BY win_ms, event_type""".stripMargin
 }

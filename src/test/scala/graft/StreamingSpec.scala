@@ -126,4 +126,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       "one carried (touch_ms, touch_type) per user must reproduce the full-window result")
   }
+
+  test("watermark drops late micro-batch: output is batch-1-only finalized windows") {
+    import org.apache.spark.sql.functions._
+    val got = streaming.EventStream.streamingLateDrop(spark, sf).collect()
+      .map(r => (r.getAs[Long]("win_ms"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("val_cents"))).toMap
+    assert(got.nonEmpty)
+    // hand recompute the drop rule from the raw table
+    val nsMs = graft.functions.TimeFunctions.nsToMs("ts")
+    val ev = Tables.events(spark, sf).select(nsMs.as("ms"),
+      col("event_type"), round(col("value") * 100).cast("long").as("cents")).collect()
+    val mx = ev.map(_.getAs[Long]("ms")).max
+    val expected = ev
+      .filter(_.getAs[Long]("ms") >= mx - 7200000L) // batch-1 membership
+      .groupBy(r => (r.getAs[Long]("ms") - r.getAs[Long]("ms") % 900000L,
+        r.getAs[String]("event_type")))
+      .collect { case (k @ (winMs, _), rs) if winMs + 900000L <= mx - 3600000L =>
+        k -> (rs.size.toLong, rs.map(_.getAs[Long]("cents")).sum)
+      }.toMap
+    assert(got == expected, "streamed late-drop result must equal the batch drop rule")
+    // teeth: the late batch REALLY carried rows for already-expired windows —
+    // if the watermark leaked them, those old windows would appear in `got`
+    val lateWindows = ev.filter(_.getAs[Long]("ms") < mx - 7200000L)
+      .map(r => r.getAs[Long]("ms") - r.getAs[Long]("ms") % 900000L).toSet
+    assert(lateWindows.nonEmpty, "fixture must actually have late data")
+    assert(lateWindows.forall(w => !got.keys.exists(_._1 == w) ||
+      expected.keys.exists(_._1 == w)),
+      "an old window appears in output without batch-1 support — watermark leak")
+  }
 }

@@ -316,4 +316,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.count(_.getAs[Long]("n_sentences") > 1) > rows.length / 2,
       "fixture should yield multi-sentence docs")
   }
+
+  test("quality terciles: monotone cutpoints, exact ceil-rank semantics") {
+    val rows = textQualityTercile(spark, sf).collect()
+    val n = rows.length
+    assert(n == Tables.documents(spark, sf).count())
+    val by = rows.groupBy(_.getAs[String]("tercile"))
+      .view.mapValues(_.map(_.getAs[Long]("quality_bp")).sorted).toMap
+    // buckets are value-monotone: max(t1) < min(t2) (cutpoints separate) and
+    // max(t2) < min(t3); ties never straddle buckets by construction
+    for ((lo, hi) <- Seq(("t1", "t2"), ("t2", "t3"))
+         if by.contains(lo) && by.contains(hi))
+      assert(by(lo).last < by(hi).head, s"$lo/$hi overlap")
+    // exact discrete-quantile rank semantics: |t1| is the smallest
+    // cumulative count >= ceil(n/3) reachable on a value boundary, and
+    // |t1|+|t2| likewise for 2n/3 -- verify against a hand scan
+    val sortedBp = rows.map(_.getAs[Long]("quality_bp")).sorted
+    def cumAtCut(k: Long): Int = {
+      // count of elements <= the smallest value whose cume count >= k
+      var i = 0
+      while (i < n && i + 1 < k) i += 1
+      val cut = sortedBp(i) // value at rank ceil position
+      sortedBp.count(_ <= cut)
+    }
+    val k1 = (n + 2) / 3
+    val k2 = (2 * n + 2) / 3
+    assert(by.get("t1").map(_.size).getOrElse(0) == cumAtCut(k1))
+    assert(by.get("t1").map(_.size).getOrElse(0) + by.get("t2").map(_.size).getOrElse(0) == cumAtCut(k2))
+  }
 }
