@@ -54,6 +54,29 @@ object ScaleSmoke {
         length(rotated).cast("long").as("n_chars"))
     }.reduce(_ unionAll _)
     docScaled.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    stageEmbeddings(spark, src, out)
+  }
+
+  /** embeddings: vec_id offset per replica, the 64-dim vector ROTATED by r
+    * positions — norm and coordinate distribution preserved (same cosine
+    * geometry statistics) while the hyperplane sign signatures change, so
+    * replicas spread over fresh LSH buckets / IVF cells instead of piling
+    * 10 copies into the originals' buckets (which would measure a
+    * duplication-rate change, not a scale change). */
+  private[graft] def stageEmbeddings(spark: SparkSession, src: String, out: String): Unit = {
+    val reps = 10
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxV = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val dim = 64
+    val embScaled = (0 until reps).map { r =>
+      val rotated =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r))
+      emb.select((col("vec_id") + lit(r * maxV)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+    embScaled.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -72,13 +95,20 @@ object ScaleSmoke {
     if (!new java.io.File(s"$big/documents.parquet").isDirectory) {
       println(s"[scale] staging 10x replicas of $small -> $big")
       stage(spark, small, big)
+    } else if (!new java.io.File(s"$big/embeddings.parquet").isDirectory) {
+      println(s"[scale] staging 10x embeddings -> $big")
+      stageEmbeddings(spark, small, big)
     }
 
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q_pagerank_copurchase" -> operators.Graph.qPagerankCopurchase,
       "q_triangle_count" -> operators.Graph.qTriangleCount,
       "dedup_containment" -> operators.Dedup.dedupContainment,
-      "dedup_clusters" -> operators.Dedup.dedupClusters)
+      "dedup_clusters" -> operators.Dedup.dedupClusters,
+      "dedup_semantic_clusters" -> operators.Dedup.dedupSemanticClusters,
+      "dedup_ngram_jaccard" -> operators.Dedup.dedupNgramJaccard,
+      "dedup_minhash_lsh" -> operators.Dedup.dedupMinhashLsh,
+      "sim_knn_graph" -> operators.Similarity.simKnnGraph)
 
     // warmup (JIT + codegen) on the small dir, untimed
     queries.foreach { case (_, fn) =>

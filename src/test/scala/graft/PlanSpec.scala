@@ -219,6 +219,35 @@ class PlanSpec extends SparkSpec {
       s"per-group range stats not broadcast back:\n$plan")
   }
 
+  test("tpch classics: the decorrelations hold in the physical plan") {
+    // q4: EXISTS becomes a LEFT SEMI join — never inner-join + distinct
+    val p4 = planOf(TpchClassics.q4OrderPriority(spark, sf))
+    assert(p4.contains("LeftSemi"), s"q4 lost its semi join:\n$p4")
+    // q19: the OR-of-ANDs reaches BOTH parquet scans as pushed filters
+    val p19 = planOf(TpchClassics.q19Disjunctive(spark, sf))
+    assert(p19.contains("In(p_brand, [Brand#12,Brand#23,Brand#34])"),
+      s"q19 brand IN-list not pushed to the part scan:\n$p19")
+    assert(p19.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"q19 quantity envelope not pushed to the lineitem scan:\n$p19")
+    // q21: the aggregate-rewrite scans lineitem exactly ONCE — the textbook
+    // EXISTS/NOT-EXISTS plan reads it three times (self semi + anti joins)
+    val p21 = planOf(TpchClassics.q21WaitingSupplier(spark, sf))
+    assert("lineitem\\.parquet".r.findAllIn(p21).length <= 1,
+      s"q21 decorrelation regressed to a lineitem self-join:\n$p21")
+    // q18: the quantity HAVING runs on the FIRST aggregate, so the filter
+    // sits below both join operators in the plan tree
+    import org.apache.spark.sql.execution.FilterExec
+    val q18 = TpchClassics.q18LargeOrders(spark, sf)
+    val havingBelowJoins = q18.queryExecution.sparkPlan.collect {
+      case j if j.nodeName.contains("Join") =>
+        j.children.exists(_.collect {
+          case f: FilterExec if f.condition.toString.contains("sum_qty") => f
+        }.nonEmpty)
+    }
+    assert(havingBelowJoins.exists(identity),
+      "q18's HAVING must filter before the orders/customer joins")
+  }
+
   test("no query plans an unpartitioned CartesianProduct") {
     // BroadcastNestedLoopJoin over a broadcast-small side is an intentional
     // pattern (query-set scoring, anchor assignment); a CartesianProduct
