@@ -39,7 +39,9 @@ object SparkEntry {
       Q("streaming_cdc_upsert", streaming.EventStream.streamingCdcUpsert,
         Some(streaming.EventStream.streamingCdcUpsertSql)) :+
       Q("streaming_late_drop", streaming.EventStream.streamingLateDrop,
-        Some(streaming.EventStream.streamingLateDropSql))
+        Some(streaming.EventStream.streamingLateDropSql)) :+
+      Q("streaming_enrich", streaming.EventStream.streamingEnrich,
+        Some(streaming.EventStream.streamingEnrichSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

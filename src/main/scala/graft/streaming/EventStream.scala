@@ -581,6 +581,50 @@ object EventStream {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, start_ms""".stripMargin
 
+  /** STREAM-STATIC enrichment join — the most common production streaming
+    * join and the one join rung the others don't cover: each arriving event
+    * joins a STATIC dimension (per-user value tier precomputed from the
+    * batch table). Stateless by construction — no watermark, no join state,
+    * the static side broadcast to every micro-batch — which is exactly why
+    * it scales where stream-stream joins need state GC: at 100 TB the
+    * stream side never buffers, and the dim refreshes by swapping the
+    * broadcast. Aggregated per (tier, event_type) in Complete mode. */
+  def streamingEnrich(s: SparkSession, dir: String): DataFrame = {
+    val tsMs = graft.functions.TimeFunctions.nsToMs("ts")
+    val dim = graft.Tables.events(s, dir)
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(sum("cents").as("total_cents"))
+      .select(col("user_id").as("dim_user"),
+        when(col("total_cents") >= 350000L, "gold")
+          .when(col("total_cents") >= 310000L, "silver")
+          .otherwise("bronze").as("tier"))
+    runOnBatch(s, dir, src =>
+      src.join(org.apache.spark.sql.functions.broadcast(dim),
+          src("user_id") === dim("dim_user"))
+        .groupBy("tier", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("val_cents")),
+      s"stream_enrich_${System.nanoTime()}",
+      OutputMode.Complete)
+      .orderBy("tier", "event_type")
+  }
+
+  /** Batch restatement: the same dim join and aggregate over the table. */
+  val streamingEnrichSql: String =
+    """WITH dim AS (
+      |  SELECT user_id,
+      |    CASE WHEN sum(CAST(round(value * 100) AS BIGINT)) >= 350000 THEN 'gold'
+      |         WHEN sum(CAST(round(value * 100) AS BIGINT)) >= 310000 THEN 'silver'
+      |         ELSE 'bronze' END AS tier
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT tier, event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS val_cents
+      |FROM events JOIN dim USING (user_id)
+      |GROUP BY tier, event_type
+      |ORDER BY tier, event_type""".stripMargin
+
   /** Tumbling 15-min aggregate with a 1-hour watermark in APPEND mode — the
     * building block for streamingLateDrop. */
   private def lateDropAgg(events: DataFrame): DataFrame =

@@ -127,6 +127,27 @@ class StreamingSpec extends SparkSpec {
       "one carried (touch_ms, touch_type) per user must reproduce the full-window result")
   }
 
+  test("stream-static enrich equals the batch dim-join aggregation") {
+    import org.apache.spark.sql.functions._
+    val streamed = streaming.EventStream.streamingEnrich(spark, sf).collect()
+      .map(r => (r.getAs[String]("tier"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("val_cents"))).toMap
+    // batch restatement from the raw table
+    val ev = Tables.events(spark, sf).select(col("user_id"),
+      col("event_type"), round(col("value") * 100).cast("long").as("cents")).collect()
+    val tier = ev.groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues { rs =>
+        val t = rs.map(_.getAs[Long]("cents")).sum
+        if (t >= 350000L) "gold" else if (t >= 310000L) "silver" else "bronze"
+      }.toMap
+    val expected = ev.groupBy(r =>
+        (tier(r.getAs[Long]("user_id")), r.getAs[String]("event_type")))
+      .view.mapValues(rs => (rs.size.toLong, rs.map(_.getAs[Long]("cents")).sum)).toMap
+    assert(streamed == expected)
+    // the dim genuinely splits users: more than one tier must appear
+    assert(streamed.keys.map(_._1).toSet.size > 1, "tier thresholds degenerate")
+  }
+
   test("watermark drops late micro-batch: output is batch-1-only finalized windows") {
     import org.apache.spark.sql.functions._
     val got = streaming.EventStream.streamingLateDrop(spark, sf).collect()
