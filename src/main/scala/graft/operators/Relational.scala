@@ -1215,7 +1215,96 @@ object Relational {
       |  RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, ts_ms, event_id""".stripMargin
 
+  /** Arbitrary (non-hierarchical) GROUPING SETS — the lattice rollup and
+    * cube can't express: {(nation, year), (nation), (year, priority), ()}.
+    * Same union-of-levels plan as rollup/cube: ONE base aggregate on the
+    * union of keys (cached — at 100 TB you checkpoint it), each set a
+    * re-aggregation of base-agg rows, never a second fact scan. grp_id
+    * carries the standard grouping bitmask (bit set = column aggregated
+    * away) so consumers — and the hash compare — never confuse a grouping
+    * null with a data null. Oracle is DuckDB's native GROUP BY GROUPING
+    * SETS with GROUPING(). */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val base = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderpriority").as("prio"), cents.as("cents"))
+      .groupBy("n_name", "yr", "prio")
+      .agg(count(lit(1)).as("c"), sum("cents").as("b"))
+      .cache()
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
+    val ny = base.groupBy("n_name", "yr")
+      .agg(sum("c").as("c"), sum("b").as("b"))
+      .select(col("n_name"), col("yr"), nullS.as("prio"), lit(1L).as("grp_id"),
+        col("c"), col("b"))
+    val n = base.groupBy("n_name")
+      .agg(sum("c").as("c"), sum("b").as("b"))
+      .select(col("n_name"), nullL.as("yr"), nullS.as("prio"), lit(3L).as("grp_id"),
+        col("c"), col("b"))
+    val yp = base.groupBy("yr", "prio")
+      .agg(sum("c").as("c"), sum("b").as("b"))
+      .select(nullS.as("n_name"), col("yr"), col("prio"), lit(4L).as("grp_id"),
+        col("c"), col("b"))
+    val g = base.agg(sum("c").as("c"), sum("b").as("b"))
+      .select(nullS.as("n_name"), nullL.as("yr"), nullS.as("prio"), lit(7L).as("grp_id"),
+        col("c"), col("b"))
+    ny.unionByName(n).unionByName(yp).unionByName(g)
+      .select(col("n_name"), col("yr"), col("prio"), col("grp_id"),
+        col("c").as("n_orders"), col("b").as("total_cents"))
+      .orderBy(col("grp_id").asc, col("n_name").asc_nulls_first,
+        col("yr").asc_nulls_first, col("prio").asc_nulls_first)
+  }
+
+  private val qGroupingSetsSql =
+    """SELECT n_name, yr, prio,
+      |  CAST(GROUPING(n_name, yr, prio) AS BIGINT) AS grp_id,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM (
+      |  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    o_orderpriority AS prio,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |) t
+      |GROUP BY GROUPING SETS ((n_name, yr), (n_name), (yr, prio), ())
+      |ORDER BY grp_id, n_name NULLS FIRST, yr NULLS FIRST, prio NULLS FIRST""".stripMargin
+
+  /** The window DISTRIBUTION-function family (percent_rank, cume_dist) —
+    * the rank-normalizing complement of q_window_running's
+    * row_number/ntile/lag: each customer's balance position within its
+    * market segment as exact basis points. The ordering key carries a
+    * custkey tie-break so ranks are total and both engines compute the
+    * IDENTICAL rational (rank−1)/(n−1) — one correctly-rounded IEEE
+    * division each, so the ×10000 quantization matches bit-exactly. */
+  def qWindowDistribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("bal_cents").asc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      .withColumn("pr_bp", round(percent_rank().over(w) * 10000).cast("long"))
+      .withColumn("cd_bp", round(cume_dist().over(w) * 10000).cast("long"))
+      .orderBy("c_mktsegment", "bal_cents", "c_custkey")
+  }
+
+  private val qWindowDistributionSql =
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+      |  CAST(round(percent_rank() OVER w * 10000) AS BIGINT) AS pr_bp,
+      |  CAST(round(cume_dist() OVER w * 10000) AS BIGINT) AS cd_bp
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |  ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey)
+      |ORDER BY c_mktsegment, bal_cents, c_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
+    Q("q_window_distribution", qWindowDistribution, Some(qWindowDistributionSql)),
     Q("q_histogram_quantiles", qHistogramQuantiles, Some(qHistogramQuantilesSql)),
     Q("q_kmv_distinct", qKmvDistinct, Some(qKmvDistinctSql)),
     Q("q_robust_stats", qRobustStats, Some(qRobustStatsSql)),

@@ -179,4 +179,43 @@ class RelationalSpec extends SparkSpec {
       assert(r.getAs[Long]("p90_cents") <= r.getAs[Long]("p99_cents"))
     }
   }
+
+  test("grouping sets: every level re-aggregates consistently to the grand total") {
+    val rows = qGroupingSets(spark, sf).collect()
+    def level(id: Long) = rows.filter(_.getAs[Long]("grp_id") == id)
+    val grand = level(7L)
+    assert(grand.length == 1)
+    val total = grand.head.getAs[Long]("n_orders")
+    assert(total == Tables.orders(spark, sf).count())
+    // each level partitions the same orders: counts sum to the grand total
+    for (id <- Seq(1L, 3L, 4L)) {
+      assert(level(id).map(_.getAs[Long]("n_orders")).sum == total, s"level $id")
+      assert(level(id).map(_.getAs[Long]("total_cents")).sum ==
+        grand.head.getAs[Long]("total_cents"), s"level $id cents")
+    }
+    // (nation, year) refines (nation): per-nation sums agree across levels
+    val byNation = level(1L).groupBy(_.getAs[String]("n_name"))
+      .view.mapValues(_.map(_.getAs[Long]("n_orders")).sum).toMap
+    level(3L).foreach { r =>
+      assert(byNation(r.getAs[String]("n_name")) == r.getAs[Long]("n_orders"))
+    }
+  }
+
+  test("window distribution: pr/cd endpoints and monotonicity per segment") {
+    val rows = qWindowDistribution(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (seg, rs) =>
+      val sorted = rs.sortBy(r => (r.getAs[Long]("bal_cents"), r.getAs[Long]("c_custkey")))
+      assert(sorted.head.getAs[Long]("pr_bp") == 0L, s"$seg first pr")
+      assert(sorted.last.getAs[Long]("pr_bp") == 10000L, s"$seg last pr")
+      assert(sorted.last.getAs[Long]("cd_bp") == 10000L, s"$seg last cd")
+      val prs = sorted.map(_.getAs[Long]("pr_bp"))
+      assert(prs.zip(prs.tail).forall { case (a, b) => a < b }, s"$seg pr not strict")
+      val n = sorted.length
+      // cume_dist of the k-th row (unique ordering) is exactly k/n
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("cd_bp") ==
+          math.round((i + 1).toDouble / n * 10000), s"$seg row $i cd")
+      }
+    }
+  }
 }
