@@ -387,8 +387,132 @@ object TpchClassics {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q6_forecast_revenue — TPC-H Q6: the predicate-pushdown microbenchmark.
+  // No join at all — one scan whose THREE range predicates (date year,
+  // discount band, quantity cap) all reach the parquet reader as pushed
+  // filters, then a single global sum. The plan IS the point: scan →
+  // partial agg → final agg, nothing else.
+  // ---------------------------------------------------------------------
+
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(sum(round(col("l_extendedprice") * col("l_discount") * 100)
+          .cast("long")), lit(0L)).as("revenue_cents"))
+
+  private val q6Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |  COALESCE(CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT), 0)
+      |    AS revenue_cents
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q7_nation_volume — TPC-H Q7: shipping volume BETWEEN two nations with
+  // the symmetric OR condition ((supp=A and cust=B) or (supp=B and
+  // cust=A)) — the pattern that defeats naive single-key pruning. Both
+  // nation filters are applied on the DIM sides before broadcast (each
+  // side prunes to the 2-nation subset), so the fact scan joins two tiny
+  // broadcasts and the OR evaluates as the join residual.
+  // ---------------------------------------------------------------------
+
+  def q7NationVolume(s: SparkSession, d: String): DataFrame = {
+    val nat = broadcast(Tables.nation(s, d)
+      .filter(col("n_name").isin("NATION_3", "NATION_7")))
+    val sup = Tables.supplier(s, d)
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).cast("long").as("l_year"))
+      .agg(sum(netCents).as("revenue_cents"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val q7Sql =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(o_orderdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+      |  AND cn.n_name IN ('NATION_3', 'NATION_7')
+      |  AND sn.n_name <> cn.n_name
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q10_returned_items — TPC-H Q10: top-20 customers by revenue lost to
+  // RETURNED items in one quarter. Aggregate-before-enrich: the revenue
+  // ranking aggregates (custkey) FIRST, the top-20 cut runs via
+  // TakeOrderedAndProject (distributed partial top-k, no global sort), and
+  // only the 20 survivors join the customer/nation dims.
+  // ---------------------------------------------------------------------
+
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-07-01") &&
+            col("o_orderdate") < lit("1997-10-01"))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(netCents).as("lost_cents"))
+      .orderBy(col("lost_cents").desc, col("o_custkey").asc)
+      .limit(20)
+    rev.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("lost_cents"))
+      .orderBy(col("lost_cents").desc, col("c_custkey").asc)
+  }
+
+  private val q10Sql =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+      |      AS lost_cents
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      |  GROUP BY o_custkey
+      |  ORDER BY lost_cents DESC, o_custkey
+      |  LIMIT 20
+      |)
+      |SELECT c_custkey, c_name, n_name, lost_cents
+      |FROM rev
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |ORDER BY lost_cents DESC, c_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q4_order_priority", q4OrderPriority, Some(q4Sql)),
+    Q("q6_forecast_revenue", q6ForecastRevenue, Some(q6Sql)),
+    Q("q7_nation_volume", q7NationVolume, Some(q7Sql)),
+    Q("q10_returned_items", q10ReturnedItems, Some(q10Sql)),
     Q("q11_important_parts", q11ImportantParts, Some(q11Sql)),
     Q("q13_count_distribution", q13CountDistribution, Some(q13Sql)),
     Q("q14_promo_revenue", q14PromoRevenue, Some(q14Sql)),

@@ -246,6 +246,22 @@ class PlanSpec extends SparkSpec {
     }
     assert(havingBelowJoins.exists(identity),
       "q18's HAVING must filter before the orders/customer joins")
+    // q6: all three range predicates reach the parquet reader (the plan
+    // string truncates PushedFilters, so inspect the scan node directly);
+    // the plan is scan → partial agg → final agg with no join
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val q6 = TpchClassics.q6ForecastRevenue(spark, sf)
+    val scan6 = q6.queryExecution.sparkPlan.collect {
+      case sc: FileSourceScanExec => sc
+    }.head
+    val data6 = scan6.dataFilters.map(_.toString).mkString("; ")
+    for (tok <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(data6.contains(tok), s"q6 scan lacks a $tok filter: $data6")
+    assert(!planOf(q6).contains("Join"), s"q6 must be join-free")
+    // q10: the top-20 cut is a distributed TakeOrderedAndProject, and it
+    // runs BEFORE the customer/nation enrichment joins
+    val p10 = planOf(TpchClassics.q10ReturnedItems(spark, sf))
+    assert(p10.contains("TakeOrderedAndProject"), s"q10 top-20 not distributed:\n$p10")
   }
 
   test("no query plans an unpartitioned CartesianProduct") {

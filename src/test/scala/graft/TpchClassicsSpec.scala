@@ -128,6 +128,48 @@ class TpchClassicsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q6: revenue equals the brute-force filtered sum") {
+    val r = q6ForecastRevenue(spark, sf).collect().head
+    val exp = Tables.lineitem(spark, sf).collect().filter { row =>
+      val sd = row.getAs[java.time.LocalDateTime]("l_shipdate").toString
+      val disc = row.getAs[Double]("l_discount")
+      sd >= "1997-01-01" && sd < "1998-01-01" &&
+        disc >= 0.05 && disc <= 0.07 && row.getAs[Double]("l_quantity") < 24
+    }
+    assert(r.getAs[Long]("n_lines") == exp.length)
+    assert(r.getAs[Long]("revenue_cents") == exp.map(row =>
+      math.round(row.getAs[Double]("l_extendedprice") * row.getAs[Double]("l_discount") * 100)).sum)
+  }
+
+  test("q7: symmetric pair only, both directions present, never same-nation") {
+    // sf0.001's 100 suppliers rarely cover both directions — assert at sf0.01
+    val rows = q7NationVolume(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r =>
+      (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))).toSet
+    pairs.foreach { case (a, b) => assert(a != b) }
+    assert(pairs.map(_._1).subsetOf(Set("NATION_3", "NATION_7")))
+    assert(pairs.map(_._2).subsetOf(Set("NATION_3", "NATION_7")))
+    assert(pairs.size == 2, "both shipping directions must appear")
+  }
+
+  test("q10: exactly the top-20 hand-ranked lost-revenue customers") {
+    val got = q10ReturnedItems(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Long]("lost_cents"))
+    assert(got.length <= 20 && got.nonEmpty)
+    val lost = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sf)
+          .filter(col("o_orderdate") >= lit("1997-07-01") &&
+            col("o_orderdate") < lit("1997-10-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")).as("v"))
+      .collect().map(r => r.getAs[Long]("o_custkey") -> r.getAs[Long]("v"))
+    val expTop = lost.sortBy { case (k, v) => (-v, k) }.take(20)
+    assert(got.toSeq == expTop.toSeq)
+  }
+
   test("q22: every counted customer is above-average balance with no recent order") {
     val rows = q22DormantProspects(spark, sf).collect()
     assert(rows.nonEmpty)
