@@ -508,8 +508,89 @@ object TpchClassics {
       |JOIN nation   ON c_nationkey = n_nationkey
       |ORDER BY lost_cents DESC, c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q15_top_supplier — TPC-H Q15: supplier(s) whose quarterly revenue
+  // equals the GLOBAL maximum — the argmax-against-a-scalar shape (q2's
+  // sibling: there the min is per-group and joins back on the group key;
+  // here the max is a 1-row aggregate of the aggregate, broadcast back).
+  // Ties kept, exactly like the view-based original.
+  // ---------------------------------------------------------------------
+
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(netCents).as("total_cents"))
+    val top = rev.agg(max("total_cents").as("max_cents"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_cents") === col("max_cents"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q15Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+      |      AS total_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, total_cents
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_cents = (SELECT max(total_cents) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q20_excess_suppliers — TPC-H Q20's nested-semi shape: suppliers who
+  // shipped a HOT part (1997 total quantity > 290) during 1997. The inner
+  // aggregate-threshold subquery becomes a first-class relation (hot
+  // parts), then TWO stacked LEFT SEMI joins: lines→hot-parts (prunes the
+  // fact), suppliers→pruned-lines. No distinct needed anywhere — semi
+  // joins never duplicate. The oracle runs the textbook nested IN chain.
+  // ---------------------------------------------------------------------
+
+  def q20ExcessSuppliers(s: SparkSession, d: String): DataFrame = {
+    val l97 = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val hot = l97.groupBy("l_partkey")
+      .agg(round(sum("l_quantity")).cast("long").as("q"))
+      .filter(col("q") > 290)
+      .select("l_partkey")
+    val shippers = l97
+      .join(hot, Seq("l_partkey"), "left_semi")
+      .select(col("l_suppkey"))
+    Tables.supplier(s, d)
+      .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q20Sql =
+    """SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |    AND l_partkey IN (
+      |      SELECT l_partkey FROM lineitem
+      |      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |      GROUP BY l_partkey
+      |      HAVING CAST(round(sum(l_quantity)) AS BIGINT) > 290))
+      |ORDER BY s_suppkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q4_order_priority", q4OrderPriority, Some(q4Sql)),
+    Q("q15_top_supplier", q15TopSupplier, Some(q15Sql)),
+    Q("q20_excess_suppliers", q20ExcessSuppliers, Some(q20Sql)),
     Q("q6_forecast_revenue", q6ForecastRevenue, Some(q6Sql)),
     Q("q7_nation_volume", q7NationVolume, Some(q7Sql)),
     Q("q10_returned_items", q10ReturnedItems, Some(q10Sql)),

@@ -170,6 +170,39 @@ class TpchClassicsSpec extends SparkSpec {
     assert(got.toSeq == expTop.toSeq)
   }
 
+  test("q15: returned suppliers all carry exactly the hand-computed max revenue") {
+    val rows = q15TopSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val rev = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")).as("v"))
+      .collect().map(r => r.getAs[Long]("l_suppkey") -> r.getAs[Long]("v")).toMap
+    val mx = rev.values.max
+    val expect = rev.collect { case (k, v) if v == mx => k }.toSet
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == expect)
+    rows.foreach(r => assert(r.getAs[Long]("total_cents") == mx))
+  }
+
+  test("q20: a supplier appears iff it shipped a hot part in 1997") {
+    val got = q20ExcessSuppliers(spark, sf).collect()
+      .map(_.getAs[Long]("s_suppkey")).toSet
+    val l97 = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_partkey", "l_suppkey", "l_quantity").collect()
+    val hot = l97.groupBy(_.getAs[Long]("l_partkey"))
+      .collect { case (pk, rs)
+        if math.round(rs.map(_.getAs[Double]("l_quantity")).sum) > 290 => pk }.toSet
+    val expect = l97.filter(r => hot.contains(r.getAs[Long]("l_partkey")))
+      .map(_.getAs[Long]("l_suppkey")).toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < Tables.supplier(spark, sf).count(),
+      "threshold must exclude at least one supplier")
+  }
+
   test("q22: every counted customer is above-average balance with no recent order") {
     val rows = q22DormantProspects(spark, sf).collect()
     assert(rows.nonEmpty)
