@@ -587,8 +587,87 @@ object TpchClassics {
       |      HAVING CAST(round(sum(l_quantity)) AS BIGINT) > 290))
       |ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q9_product_profit — TPC-H Q9: profit by (supplier nation, order year)
+  // where the measure combines columns from the FACT and TWO dimension
+  // branches (revenue net of a part-cost term: retailprice × quantity —
+  // partsupp's supplycost is absent from this schema). Part filter prunes
+  // the broadcast side; orders supplies the year; exact integer cents for
+  // both terms; profit may be negative, which the spec asserts happens.
+  // ---------------------------------------------------------------------
+
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val costCents =
+      round(col("p_retailprice") * col("l_quantity") * 10).cast("long")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_name").contains("ring"))
+          .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(netCents - costCents).as("profit_cents"))
+      .orderBy(col("n_name").asc, col("o_year").desc)
+  }
+
+  private val q9Sql =
+    """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+      |         - CAST(round(p_retailprice * l_quantity * 10) AS BIGINT)) AS BIGINT)
+      |    AS profit_cents
+      |FROM lineitem
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%ring%'
+      |GROUP BY 1, 2
+      |ORDER BY n_name, o_year DESC""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q17_small_quantity — TPC-H Q17: revenue from lines whose quantity is
+  // below 20% of their part's average quantity. The correlated per-part
+  // average decorrelates to an aggregate joined back on the part key
+  // (same pattern as q_correlated_avg's per-nation version), and the
+  // FRACTIONAL threshold stays in exact integers via the multiply form:
+  // qty < 0.2·(sum/cnt)  ⟺  5·qty·cnt < sum  (all positive integers).
+  // ---------------------------------------------------------------------
+
+  def q17SmallQuantity(s: SparkSession, d: String): DataFrame = {
+    val qtyL = round(col("l_quantity")).cast("long")
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), qtyL.as("qty"), netCents.as("net"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(perPart, "l_partkey")
+      .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(sum("net"), lit(0L)).as("revenue_cents"))
+  }
+
+  private val q17Sql =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+      |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS net
+      |  FROM lineitem
+      |), pp AS (
+      |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM li GROUP BY l_partkey
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |  COALESCE(CAST(sum(net) AS BIGINT), 0) AS revenue_cents
+      |FROM li JOIN pp USING (l_partkey)
+      |WHERE qty * 5 * cnt < sum_qty""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q4_order_priority", q4OrderPriority, Some(q4Sql)),
+    Q("q9_product_profit", q9ProductProfit, Some(q9Sql)),
+    Q("q17_small_quantity", q17SmallQuantity, Some(q17Sql)),
     Q("q15_top_supplier", q15TopSupplier, Some(q15Sql)),
     Q("q20_excess_suppliers", q20ExcessSuppliers, Some(q20Sql)),
     Q("q6_forecast_revenue", q6ForecastRevenue, Some(q6Sql)),

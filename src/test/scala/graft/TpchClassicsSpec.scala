@@ -203,6 +203,51 @@ class TpchClassicsSpec extends SparkSpec {
       "threshold must exclude at least one supplier")
   }
 
+  test("q9: profit reconciles against the hand-joined measure; negatives occur") {
+    val rows = q9ProductProfit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // full per-(nation, year) reconciliation against a hand-built join
+    val nation = Tables.nation(spark, sf).collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val supNation = Tables.supplier(spark, sf).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> nation(r.getAs[Int]("s_nationkey"))).toMap
+    val retail = Tables.part(spark, sf)
+      .filter(col("p_name").contains("ring")).collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Double]("p_retailprice")).toMap
+    val orderYear = Tables.orders(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        r.getAs[java.time.LocalDateTime]("o_orderdate").getYear.toLong).toMap
+    val expected = Tables.lineitem(spark, sf).collect()
+      .filter(r => retail.contains(r.getAs[Long]("l_partkey")))
+      .groupBy(r => (supNation(r.getAs[Long]("l_suppkey")),
+        orderYear(r.getAs[Long]("l_orderkey"))))
+      .view.mapValues(_.map { r =>
+        math.round(r.getAs[Double]("l_extendedprice") *
+          (1.0 - r.getAs[Double]("l_discount")) * 100) -
+          math.round(retail(r.getAs[Long]("l_partkey")) *
+            r.getAs[Double]("l_quantity") * 10)
+      }.sum).toMap
+    val got = rows.map(r => (r.getAs[String]("n_name"), r.getAs[Long]("o_year")) ->
+      r.getAs[Long]("profit_cents")).toMap
+    assert(got == expected)
+  }
+
+  test("q17: every counted line is below 20% of its part's average quantity") {
+    val r = q17SmallQuantity(spark, sf).collect().head
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), round(col("l_quantity")).cast("long").as("q"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("net")).collect()
+    val pp = li.groupBy(_.getAs[Long]("l_partkey"))
+      .view.mapValues(rs => (rs.map(_.getAs[Long]("q")).sum, rs.length.toLong)).toMap
+    val sel = li.filter { row =>
+      val (s, c) = pp(row.getAs[Long]("l_partkey"))
+      row.getAs[Long]("q") * 5 * c < s
+    }
+    assert(r.getAs[Long]("n_lines") == sel.length)
+    assert(r.getAs[Long]("revenue_cents") == sel.map(_.getAs[Long]("net")).sum)
+  }
+
   test("q22: every counted customer is above-average balance with no recent order") {
     val rows = q22DormantProspects(spark, sf).collect()
     assert(rows.nonEmpty)
