@@ -664,8 +664,50 @@ object TpchClassics {
       |FROM li JOIN pp USING (l_partkey)
       |WHERE qty * 5 * cnt < sum_qty""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q12_ship_priority — TPC-H Q12: late shipments joined to orders, split
+  // into critical-vs-other priority counts per shipping class. The trimmed
+  // schema has no l_shipmode/receiptdate, so the class dimension is
+  // l_returnflag and "late" is shipped >60 days after the order date.
+  // Plan shape preserved from the canonical query: the ship-year window
+  // pushes to the lineitem parquet scan; the lateness predicate references
+  // BOTH sides so it stays a join residual inside the one shuffle join;
+  // the priority split is two sum(CASE) measures computed map-side as
+  // partial aggregates — never two passes over the join.
+  // ---------------------------------------------------------------------
+
+  def q12ShipPriority(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q12Sql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q4_order_priority", q4OrderPriority, Some(q4Sql)),
+    Q("q12_ship_priority", q12ShipPriority, Some(q12Sql)),
     Q("q9_product_profit", q9ProductProfit, Some(q9Sql)),
     Q("q17_small_quantity", q17SmallQuantity, Some(q17Sql)),
     Q("q15_top_supplier", q15TopSupplier, Some(q15Sql)),

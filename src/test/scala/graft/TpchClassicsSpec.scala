@@ -24,6 +24,29 @@ class TpchClassicsSpec extends SparkSpec {
     assert(total == expected)
   }
 
+  test("q12: high+low partition the late lines exactly; high matches a direct filter") {
+    val rows = q12ShipPriority(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val late = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    // the two CASE measures partition the joined relation with nothing dropped
+    val totalHighLow = rows.map(r =>
+      r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    assert(totalHighLow == late.count())
+    // and "high" agrees with an independent direct-filter recompute
+    val highDirect = late
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("high_line_count") ==
+        highDirect.getOrElse(r.getAs[String]("l_returnflag"), 0L))
+    }
+  }
+
   test("q11: every kept part clears the threshold; every dropped part does not") {
     val kept = q11ImportantParts(spark, sf).collect()
       .map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("value_cents")).toMap
