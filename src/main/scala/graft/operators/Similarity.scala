@@ -723,8 +723,197 @@ object Similarity {
        |ORDER BY qid, cand_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // sim_ann_ivfpq — the composed IVF + PQ index (FAISS IndexIVFPQ / the
+  // Jégou et al. 2011 IVFADC pipeline), the memory-AND-compute-side 100 TB
+  // ANN architecture: a coarse quantizer restricts each query to nProbe
+  // inverted lists, vectors are stored only as m-byte PQ codes of their
+  // RESIDUAL (v − centroid), queries score candidates via an ADC lookup
+  // table (one small LUT per query, 8 integer lookups per candidate), and
+  // only the ADC shortlist is exact-re-ranked against the full vectors.
+  //
+  // Scale shape: centroids, PQ codebook, query LUTs are all broadcast
+  // (≤ a few KB); the corpus is scanned once for assignment+encoding; the
+  // only corpus-sized shuffles are the two encode/score hash-aggregates on
+  // (vec_id[, s]); the exact re-rank touches ≤ shortlist×queries rows.
+  //
+  // Oracle-exactness: every affinity is a composition of index-order
+  // 8-element double dot products (bit-identical cross-engine — the
+  // sim_topk contract), residual arrays are built by UNROLLED per-element
+  // subtraction (plain codegen'd expressions, no higher-order-function
+  // lambdas — see the sim_range_search Catalyst trap), and ADC terms are
+  // quantized to integer micro-units BEFORE the per-candidate sum so the
+  // accumulation is order-independent.
+  // ---------------------------------------------------------------------
+
+  def simAnnIvfpq(s: SparkSession, d: String): DataFrame = {
+    val m = 8; val dsub = 8; val nCells = 16; val nCodes = 16
+    val nProbe = 2; val shortlist = 10; val topk = 3
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+
+    // coarse quantizer: first nCells vectors as centroids (deterministic —
+    // Lloyd training is demonstrated in sim_ann_ivf; here the new piece is
+    // the IVF∘PQ composition)
+    val cdf = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    // every vector's cell: argmax of dot(v,c) − |c|²/2, ties to smaller cid
+    val member = emb.join(broadcast(cdf), lit(true))
+      .select(col("vec_id"), col("cid"),
+        (vecDot(col("v"), col("cv")) - vecDot(col("cv"), col("cv")) / 2).as("aff"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("aff"), -col("cid"))).as("cid"))
+
+    // residual subvectors, one row per (vector, subspace): rs[j] =
+    // v[s·8+j] − cv[s·8+j], unrolled getItem arithmetic (codegen-friendly)
+    val resid = emb.join(member, "vec_id")
+      .join(broadcast(cdf), "cid")
+      .select(col("vec_id"), col("cid"),
+        posexplode(array((0 until m).map(sub =>
+          array((0 until dsub).map(j =>
+            col("v").getItem(sub * dsub + j) - col("cv").getItem(sub * dsub + j)): _*)): _*))
+          .as(Seq("s", "rs")))
+
+    // PQ codebook per subspace: residuals of training vectors [16, 32)
+    val codebook = resid
+      .filter(col("vec_id") >= nCells && col("vec_id") < nCells + nCodes)
+      .select(col("s").as("cs"), (col("vec_id") - nCells).cast("int").as("ccode"),
+        col("rs").as("cw"))
+    // encode every vector: nearest codeword per (vector, subspace)
+    val encoded = resid.join(broadcast(codebook), col("s") === col("cs"))
+      .select(col("vec_id"), col("s"), col("ccode"),
+        (vecDot(col("rs"), col("cw")) - vecDot(col("cw"), col("cw")) / 2).as("aff"))
+      .groupBy("vec_id", "s")
+      .agg(max_by(col("ccode"), struct(col("aff"), -col("ccode"))).as("code"))
+
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // each query probes its nProbe best cells; the centroid term of the
+    // inner-product expansion dot(q,v) ≈ dot(q,c) + Σ_s dot(q_s, cw_s)
+    // rides along as integer micro-units
+    val wq = Window.partitionBy("qid").orderBy(col("aff").desc, col("cid").asc)
+    val probes = queries.join(broadcast(cdf), lit(true))
+      .select(col("qid"), col("cid"),
+        (vecDot(col("qv"), col("cv")) - vecDot(col("cv"), col("cv")) / 2).as("aff"),
+        round(vecDot(col("qv"), col("cv")) * 1000000).cast("long").as("cterm_micro"))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= nProbe)
+      .select("qid", "cid", "cterm_micro")
+    // ADC lookup table: (qid, s, code) → round(dot(q_s, cw)·1e6)
+    val lut = queries
+      .select(col("qid"), posexplode(array((0 until m).map(sub =>
+        slice(col("qv"), sub * dsub + 1, dsub)): _*)).as(Seq("qs", "qsv")))
+      .join(broadcast(codebook), col("qs") === col("cs"))
+      .select(col("qid"), col("qs"), col("ccode"),
+        round(vecDot(col("qsv"), col("cw")) * 1000000).cast("long").as("w_micro"))
+
+    // score candidates in probed cells: 8 LUT lookups + the centroid term
+    val scoredPairs = broadcast(probes.alias("p")).join(member.alias("mb"), "cid")
+      .filter(col("mb.vec_id") =!= col("p.qid"))
+      .join(encoded.alias("en"), "vec_id")
+      .join(broadcast(lut.alias("lu")),
+        col("lu.qid") === col("p.qid") && col("lu.qs") === col("en.s") &&
+          col("lu.ccode") === col("en.code"))
+      .groupBy(col("p.qid").as("qid"), col("vec_id").as("cand_id"))
+      .agg((max(col("cterm_micro")) + sum(col("w_micro"))).as("approx_micro"))
+    val ws = Window.partitionBy("qid").orderBy(col("approx_micro").desc, col("cand_id").asc)
+    val short = scoredPairs.withColumn("srk", row_number().over(ws))
+      .filter(col("srk") <= shortlist)
+      .select("qid", "cand_id")
+    // exact re-rank of the shortlist only
+    val wr = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id").asc)
+    short.join(emb, col("cand_id") === col("vec_id"))
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("cand_id"),
+        round(vecDot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("cosine"))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .filter(col("rk") <= topk)
+      .orderBy("qid", "rk")
+  }
+
+  private val simAnnIvfpqSql = {
+    val residElems = (0 until 8).map(j => s"es[${j + 1}] - cs[${j + 1}]").mkString(", ")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), cdf AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, e AS cv FROM v WHERE vec_id < 16
+       |), member AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY list_dot_product(v.e, c.cv)
+       |               - list_dot_product(c.cv, c.cv) / 2 DESC, c.cid) AS rk
+       |    FROM v CROSS JOIN cdf c
+       |  ) WHERE rk = 1
+       |), resid AS (
+       |  SELECT vec_id, cid, s, [$residElems] AS rs FROM (
+       |    SELECT v.vec_id, mb.cid, sub.s,
+       |      list_slice(v.e, sub.s * 8 + 1, sub.s * 8 + 8) AS es,
+       |      list_slice(c.cv, sub.s * 8 + 1, sub.s * 8 + 8) AS cs
+       |    FROM v JOIN member mb ON v.vec_id = mb.vec_id
+       |    JOIN cdf c ON mb.cid = c.cid
+       |    CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) sub(s)
+       |  )
+       |), codebook AS (
+       |  SELECT s AS cs, CAST(vec_id - 16 AS INT) AS ccode, rs AS cw
+       |  FROM resid WHERE vec_id >= 16 AND vec_id < 32
+       |), encoded AS (
+       |  SELECT vec_id, s, ccode AS code FROM (
+       |    SELECT r.vec_id, r.s, cb.ccode, row_number() OVER (
+       |      PARTITION BY r.vec_id, r.s
+       |      ORDER BY list_dot_product(r.rs, cb.cw)
+       |               - list_dot_product(cb.cw, cb.cw) / 2 DESC, cb.ccode) AS rk
+       |    FROM resid r JOIN codebook cb ON r.s = cb.cs
+       |  ) WHERE rk = 1
+       |), q AS (
+       |  SELECT vec_id AS qid, e AS qv, nrm AS qnrm FROM v WHERE vec_id < 10
+       |), probes AS (
+       |  SELECT qid, cid, cterm_micro FROM (
+       |    SELECT q.qid, c.cid,
+       |      CAST(round(list_dot_product(q.qv, c.cv) * 1000000) AS BIGINT) AS cterm_micro,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_dot_product(q.qv, c.cv)
+       |                 - list_dot_product(c.cv, c.cv) / 2 DESC, c.cid) AS rk
+       |    FROM q CROSS JOIN cdf c
+       |  ) WHERE rk <= 2
+       |), lut AS (
+       |  SELECT q.qid, cb.cs AS qs, cb.ccode,
+       |    CAST(round(list_dot_product(
+       |      list_slice(q.qv, cb.cs * 8 + 1, cb.cs * 8 + 8), cb.cw) * 1000000)
+       |      AS BIGINT) AS w_micro
+       |  FROM q CROSS JOIN codebook cb
+       |), scored AS (
+       |  SELECT p.qid, mb.vec_id AS cand_id,
+       |    CAST(max(p.cterm_micro) + sum(lu.w_micro) AS BIGINT) AS approx_micro
+       |  FROM probes p
+       |  JOIN member mb ON mb.cid = p.cid AND mb.vec_id <> p.qid
+       |  JOIN encoded en ON en.vec_id = mb.vec_id
+       |  JOIN lut lu ON lu.qid = p.qid AND lu.qs = en.s AND lu.ccode = en.code
+       |  GROUP BY p.qid, mb.vec_id
+       |), short AS (
+       |  SELECT qid, cand_id FROM (
+       |    SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY approx_micro DESC, cand_id) AS srk
+       |    FROM scored
+       |  ) WHERE srk <= 10
+       |), reranked AS (
+       |  SELECT sh.qid, sh.cand_id,
+       |    round(list_dot_product(q.qv, v.e) / (q.qnrm * v.nrm), 4) AS cosine
+       |  FROM short sh JOIN v ON sh.cand_id = v.vec_id
+       |  JOIN q ON sh.qid = q.qid
+       |)
+       |SELECT qid, cand_id, cosine, rk FROM (
+       |  SELECT qid, cand_id, cosine, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, cand_id) AS BIGINT) AS rk
+       |  FROM reranked
+       |) WHERE rk <= 3
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("sim_range_search", simRangeSearch, Some(simRangeSearchSql)),
+    Q("sim_ann_ivfpq", simAnnIvfpq, Some(simAnnIvfpqSql)),
     Q("sim_recall_eval", simRecallEval, Some(simRecallEvalSql)),
     Q("sim_maxsim", simMaxsim, Some(simMaxsimSql)),
     Q("sim_ann_pq", simAnnPq, Some(simAnnPqSql)),

@@ -78,6 +78,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("IVFPQ: ranked top-3 per query, re-rank exact, decent recall of brute-force") {
+    val rows = operators.Similarity.simAnnIvfpq(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.length <= 3 && sorted.nonEmpty)
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length).toSeq)
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"query $q not ranked")
+      assert(sorted.forall(_.getAs[Long]("cand_id") != q), s"query $q self-match")
+    }
+    // the final cosines are EXACT (re-ranked), so every reported (qid, cand)
+    // cosine must equal the brute-force cosine for that pair
+    val bf = simTopkBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("qid"), r.getAs[Long]("cand_id"))
+      bf.get(k).foreach(exact => assert(exact == r.getAs[Double]("cosine"),
+        s"pair $k: re-ranked cosine disagrees with exact"))
+    }
+    // coarse probing + 8-byte codes still recover a useful share of the
+    // true top-3 (2 of 16 cells probed ⇒ perfection not expected)
+    val bf3 = simTopkBruteforce(spark, sf).collect()
+      .filter(_.getAs[Long]("rk") <= 3)
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand_id"))).toSet
+    val got = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand_id"))).toSet
+    val recall = got.intersect(bf3).size.toDouble / bf3.size
+    assert(recall >= 0.3, s"IVFPQ recall too low: $recall")
+  }
+
   test("knn graph: per-vector top-3, ranked, and edges stay within LSH buckets") {
     val rows = simKnnGraph(spark, sf).collect()
     assert(rows.nonEmpty)
