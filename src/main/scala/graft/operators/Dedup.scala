@@ -690,7 +690,90 @@ object Dedup {
        |WHERE round(n_common * 1.0 / za.n_sh, 4) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dedup_overlap_sketch — cross-corpus overlap ESTIMATION from KMV/theta
+  // sketches (Beyer et al. 2007; the Theta-sketch set algebra): before
+  // running a full cross-corpus dedup at 100 TB, estimate how much two
+  // corpora share by intersecting their k-minimum-value shingle sketches —
+  // each corpus is reduced to its k smallest portable shingle hashes, and
+  // Jaccard ≈ |A_sketch ∩ B_sketch ∩ U_k| / k where U_k is the k smallest
+  // of the sketch union. Cost: one distinct-shuffle per corpus + O(k)
+  // driver-safe rows; the corpora are never joined against each other.
+  //
+  // Sides here: even- vs odd-numbered sources (robust to the source count
+  // growing with SF). The per-side k-smallest runs as a rank-filter over
+  // the (side, h) distinct relation — WindowGroupLimit keeps it partial
+  // map-side, so the exchange carries ≤ k rows per input partition; every
+  // relation after that is ≤ 2k rows.
+  //
+  // Oracle-exactness: the hash is the 15-hex-digit md5 prefix as an
+  // integer (the portable idiom the IVF sample shares), estimates are
+  // integer basis points via truncating div — all-positive, so Spark div
+  // == DuckDB //.
+  // ---------------------------------------------------------------------
+
+  def dedupOverlapSketch(s: SparkSession, d: String): DataFrame = {
+    val k = 256
+    val sides = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(substring(col("source"), 4, 10).cast("int") % 2 === 0, lit("A"))
+          .otherwise(lit("B")).as("side"))
+    val hs = shingleRelation(s, d).join(sides, "doc_id")
+      .select(col("side"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val wSide = Window.partitionBy("side").orderBy("h")
+    val sketch = hs.withColumn("rk", row_number().over(wSide))
+      .filter(col("rk") <= k)
+      .select("side", "h")
+    // union sketch: k smallest over both sides (input already ≤ 2k rows,
+    // so the single-partition window is bounded, not corpus-sized)
+    val u = sketch.select("h").distinct()
+      .withColumn("urk", row_number().over(Window.orderBy("h")))
+      .filter(col("urk") <= k)
+    val nsides = sketch.groupBy("h").agg(countDistinct("side").as("nsides"))
+    u.join(nsides, "h")
+      .agg(max(col("urk")).cast("long").as("k_used"),
+        max(col("h")).as("theta"),
+        sum(when(col("nsides") === 2, 1L).otherwise(0L)).as("matched"))
+      .withColumn("jaccard_est_bp", expr("matched * 10000 div k_used"))
+  }
+
+  private val dedupOverlapSketchSql = {
+    val hv = (0 until 15).map { j =>
+      s"(strpos('0123456789abcdef', substr(md5(shingle), ${j + 1}, 1)) - 1) * ${BigInt(16).pow(14 - j)}"
+    }.mkString("\n      + ")
+    s"""WITH $shingleCte,
+       |sides AS (
+       |  SELECT doc_id, CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+       |    THEN 'A' ELSE 'B' END AS side
+       |  FROM documents
+       |), hs AS (
+       |  SELECT DISTINCT side, CAST($hv AS BIGINT) AS h
+       |  FROM sh JOIN sides USING (doc_id)
+       |), sketch AS (
+       |  SELECT side, h FROM (
+       |    SELECT side, h, row_number() OVER (PARTITION BY side ORDER BY h) AS rk
+       |    FROM hs
+       |  ) WHERE rk <= 256
+       |), u AS (
+       |  SELECT h, urk FROM (
+       |    SELECT h, row_number() OVER (ORDER BY h) AS urk
+       |    FROM (SELECT DISTINCT h FROM sketch)
+       |  ) WHERE urk <= 256
+       |), ns AS (
+       |  SELECT h, count(DISTINCT side) AS nsides FROM sketch GROUP BY h
+       |)
+       |SELECT CAST(max(urk) AS BIGINT) AS k_used,
+       |  CAST(max(u.h) AS BIGINT) AS theta,
+       |  CAST(sum(CASE WHEN nsides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+       |  CAST(CAST(sum(CASE WHEN nsides = 2 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+       |    // CAST(max(urk) AS BIGINT) AS BIGINT) AS jaccard_est_bp
+       |FROM u JOIN ns USING (h)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("dedup_overlap_sketch", dedupOverlapSketch, Some(dedupOverlapSketchSql)),
     Q("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_semantic_clusters", dedupSemanticClusters, Some(dedupSemanticClustersSql)),

@@ -39,6 +39,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("overlap sketch: estimate lands near the exact cross-side Jaccard") {
+    val r = dedupOverlapSketch(spark, sf).collect().head
+    val kUsed = r.getAs[Long]("k_used")
+    val matched = r.getAs[Long]("matched")
+    assert(kUsed == 256 && matched >= 0 && matched <= kUsed)
+    assert(r.getAs[Long]("jaccard_est_bp") == matched * 10000 / kUsed)
+    // exact Jaccard of the two sides' shingle sets, computed from the same
+    // shingle relation the sketch consumed (small at test SF; the whole
+    // point of the sketch is to never do this at real scale)
+    val sides = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (substring(col("source"), 4, 10).cast("int") % 2 === 0).as("isA"))
+    val ss = operators.Dedup.shinglesOf(
+        Tables.documents(spark, sf).select("doc_id", "text"))
+      .join(sides, "doc_id")
+      .select(col("shingle"), col("isA")).distinct()
+      .groupBy("shingle").agg(countDistinct("isA").as("ns"))
+      .agg(sum(when(col("ns") === 2, 1L).otherwise(0L)).as("inter"),
+        count(lit(1)).as("uni"))
+      .collect().head
+    val exact = ss.getAs[Long]("inter").toDouble / ss.getAs[Long]("uni")
+    val est = r.getAs[Long]("jaccard_est_bp") / 10000.0
+    assert(math.abs(est - exact) <= 0.12,
+      s"sketch estimate $est too far from exact $exact")
+  }
+
   test("containment: catches a doc swallowed by a larger one that Jaccard misses") {
     import SparkSpec.spark.implicits._
     // doc 0 = 12 words; doc 1 = doc 0 + 60 words of filler. Containment
