@@ -1460,7 +1460,129 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // text_nb_classifier — SUPERVISED multinomial Naive Bayes, trained and
+  // scored entirely as relational algebra: even doc_ids train per-language
+  // token likelihoods (Laplace add-1 over the training vocabulary), odd
+  // doc_ids are scored argmin Σ −ln p(tok|lang) − ln p(lang), and the
+  // output is the (actual, predicted) confusion matrix. This is the
+  // label-supervised rung above text_langid's fixed heuristic: the model
+  // IS a DataFrame, so training scales as one (lang, tok) hash-aggregate
+  // and scoring as one token-keyed shuffle join — no parameter server, no
+  // driver-side model state.
+  //
+  // Scale shape: likelihoods stay partitioned by token (vocab² never
+  // broadcast); the |langs|× fan-out of the test token stream is the
+  // standard NB scoring cost; per-lang constants (denominator, unseen
+  // floor, prior) are a |langs|-row broadcast. Parity: per-token centinat
+  // quantization → exact integer doc sums (the unigram-logprob contract);
+  // argmin ties break to the alphabetically-first language identically in
+  // both engines.
+  // ---------------------------------------------------------------------
+
+  def textNbClassifier(s: SparkSession, d: String): DataFrame =
+    nbClassifierOn(Tables.documents(s, d).select("doc_id", "lang", "text"))
+
+  /** NB core over any (doc_id, lang, text) relation — lets specs train on a
+    * synthetic corpus with KNOWN class signal (the driver corpus's lang
+    * labels are label-shuffled noise, so accuracy there proves nothing). */
+  private[graft] def nbClassifierOn(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(wsTrim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val train = toks.filter(col("doc_id") % 2 === 0)
+    val test = toks.filter(col("doc_id") % 2 === 1)
+
+    val clt = train.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val tl = clt.groupBy("lang").agg(sum("c").as("t_l"))
+    val vocabN = clt.select("tok").distinct().agg(count(lit(1)).as("v"))
+    // per-language model constants: smoothing denominator + unseen floor
+    val langs = tl.crossJoin(broadcast(vocabN))
+      .select(col("lang").as("mlang"), (col("t_l") + col("v")).as("denom"))
+      .withColumn("floor_cn", round(log(col("denom")) * 100).cast("long"))
+    val loglik = clt.join(broadcast(langs), col("lang") === col("mlang"))
+      .select(col("mlang"), col("tok"),
+        round(-log((col("c") + 1) / col("denom")) * 100).cast("long").as("ll_cn"))
+    val trainDocs = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy("lang").agg(count(lit(1)).as("dn"))
+    val prior = trainDocs.crossJoin(broadcast(trainDocs.agg(sum("dn").as("dt"))))
+      .select(col("lang").as("mlang"),
+        round(-log(col("dn") / col("dt")) * 100).cast("long").as("prior_cn"))
+
+    val scoredToks = test
+      .crossJoin(broadcast(langs.select("mlang", "floor_cn")))
+      .join(loglik, Seq("mlang", "tok"), "left")
+      .select(col("doc_id"), col("lang"), col("mlang"),
+        coalesce(col("ll_cn"), col("floor_cn")).as("cn"))
+    val docScores = scoredToks.groupBy("doc_id", "lang", "mlang")
+      .agg(sum("cn").as("sum_cn"))
+      .join(broadcast(prior), "mlang")
+      .withColumn("score", col("sum_cn") + col("prior_cn"))
+    docScores.groupBy("doc_id", "lang")
+      .agg(min_by(col("mlang"), struct(col("score"), col("mlang"))).as("pred_lang"))
+      .groupBy(col("lang").as("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .orderBy("actual_lang", "pred_lang")
+  }
+
+  private val textNbClassifierSql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(regexp_split_to_array(
+      |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+      |  FROM documents
+      |), t2 AS (
+      |  SELECT doc_id, lang, tok FROM toks WHERE length(tok) > 0
+      |), train AS (
+      |  SELECT * FROM t2 WHERE doc_id % 2 = 0
+      |), test AS (
+      |  SELECT * FROM t2 WHERE doc_id % 2 = 1
+      |), clt AS (
+      |  SELECT lang, tok, count(*) AS c FROM train GROUP BY lang, tok
+      |), tl AS (
+      |  SELECT lang, CAST(sum(c) AS BIGINT) AS t_l FROM clt GROUP BY lang
+      |), vn AS (
+      |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM clt
+      |), langs AS (
+      |  SELECT lang AS mlang, t_l + v AS denom,
+      |    CAST(round(ln(t_l + v) * 100) AS BIGINT) AS floor_cn
+      |  FROM tl, vn
+      |), ll AS (
+      |  SELECT l.mlang, c.tok,
+      |    CAST(round(-ln((c.c + 1) * 1.0 / l.denom) * 100) AS BIGINT) AS ll_cn
+      |  FROM clt c JOIN langs l ON c.lang = l.mlang
+      |), td AS (
+      |  SELECT lang, count(*) AS dn FROM documents WHERE doc_id % 2 = 0
+      |  GROUP BY lang
+      |), pr AS (
+      |  SELECT lang AS mlang,
+      |    CAST(round(-ln(dn * 1.0 / (SELECT sum(dn) FROM td)) * 100) AS BIGINT)
+      |      AS prior_cn
+      |  FROM td
+      |), st AS (
+      |  SELECT t.doc_id, t.lang, l.mlang,
+      |    coalesce(ll.ll_cn, l.floor_cn) AS cn
+      |  FROM test t CROSS JOIN langs l
+      |  LEFT JOIN ll ON ll.mlang = l.mlang AND ll.tok = t.tok
+      |), sc AS (
+      |  SELECT st.doc_id, st.lang, st.mlang,
+      |    CAST(CAST(sum(st.cn) AS BIGINT) + max(pr.prior_cn) AS BIGINT) AS score
+      |  FROM st JOIN pr ON pr.mlang = st.mlang
+      |  GROUP BY st.doc_id, st.lang, st.mlang
+      |), pred AS (
+      |  SELECT doc_id, lang, mlang AS pred_lang FROM (
+      |    SELECT doc_id, lang, mlang,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY score, mlang) AS rk
+      |    FROM sc
+      |  ) WHERE rk = 1
+      |)
+      |SELECT lang AS actual_lang, pred_lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs
+      |FROM pred GROUP BY lang, pred_lang
+      |ORDER BY actual_lang, pred_lang""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_nb_classifier", textNbClassifier, Some(textNbClassifierSql)),
     Q("text_sentence_split", textSentenceSplit, Some(textSentenceSplitSql)),
     Q("text_type_token_ratio", textTypeTokenRatio, Some(textTypeTokenRatioSql)),
     Q("text_feature_hashing", textFeatureHashing, Some(textFeatureHashingSql)),

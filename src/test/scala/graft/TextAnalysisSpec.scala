@@ -5,6 +5,33 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import operators.TextAnalysis._
 
+  test("nb classifier: recovers a planted class signal; confusion covers all test docs") {
+    import SparkSpec.spark.implicits._
+    // planted signal: class "aa" docs speak {alpha,beta}, class "bb" docs
+    // {gamma,delta}; both share the filler token "common". 20 train + 10
+    // test docs per class (even ids train, odd ids score).
+    val rows = (0L until 60L).map { i =>
+      val cls = if (i % 4 < 2) "aa" else "bb"
+      val words = if (cls == "aa") "alpha beta alpha common" else "gamma delta gamma common"
+      (i, cls, words)
+    }
+    val conf = operators.TextAnalysis
+      .nbClassifierOn(rows.toDF("doc_id", "lang", "text"))
+      .collect()
+    // every odd doc lands in the confusion matrix
+    assert(conf.map(_.getAs[Long]("n_docs")).sum == 30)
+    // the planted signal is fully recovered: diagonal only
+    conf.foreach { r =>
+      assert(r.getAs[String]("actual_lang") == r.getAs[String]("pred_lang"),
+        s"misclassified: $r")
+    }
+    // and on the driver corpus the matrix still partitions the odd docs
+    val real = operators.TextAnalysis.textNbClassifier(spark, sf).collect()
+    val oddDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(real.map(_.getAs[Long]("n_docs")).sum == oddDocs)
+  }
+
   test("pii redact: every injected item found, nothing survives redaction") {
     val rows = textPiiRedact(spark, sf).collect()
     assert(rows.nonEmpty)
