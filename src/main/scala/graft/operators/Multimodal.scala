@@ -408,7 +408,114 @@ object Multimodal {
       |    AS cut_frames
       |FROM de GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mm_phash — DCT perceptual hash (the classic pHash): the 16×16
+  // grayscale "image" (text-as-pixels stub, the mm_image_tile convention)
+  // goes through a 2-D type-II DCT, the 8×8 lowest-frequency block is
+  // thresholded against its median, and the 64 bits pack into a
+  // 16-hex-char fingerprint. Unlike mm_ahash's mean-of-samples, pHash
+  // captures the image's low-frequency STRUCTURE, so it survives
+  // brightness shifts and local noise — the spec proves a one-character
+  // perturbation moves ≤ 12 of 64 bits while a different document moves
+  // more.
+  //
+  // Scale + parity design: the separable DCT runs as two broadcast-joined
+  // INTEGER weight tables (micro-unit cos values computed once in Scala
+  // and embedded verbatim in the oracle SQL — the LSH-planes trick — so
+  // there is NO cross-engine cos() to trust); each (pixel, u, v) term is
+  // an exact long product and the coefficient sum is order-independent
+  // integer arithmetic. Pixels explode 256-wide, the weight joins fan out
+  // ×64, and one hash-aggregate collapses back to (doc, u, v) — a single
+  // corpus scan, no shuffle wider than the doc_id aggregate.
+  // ---------------------------------------------------------------------
+
+  /** 1-D 16-point DCT-II weights in integer micro-units: w(i,u) =
+    * round(cos((2i+1)·u·π/32)·1e6). Both engines consume these literals. */
+  private[graft] val dctW: Seq[(Int, Int, Long)] =
+    for { i <- 0 until 16; u <- 0 until 8 }
+      yield (i, u, math.round(math.cos((2 * i + 1) * u * math.Pi / 32) * 1e6))
+
+  def mmPhash(s: SparkSession, d: String): DataFrame =
+    phashOn(s, Tables.documents(s, d).select("doc_id", "text"))
+
+  /** pHash core over any (doc_id, text) relation — spec-drivable. */
+  private[graft] def phashOn(s: SparkSession, docs: DataFrame): DataFrame = {
+    val w1 = s.createDataFrame(dctW).toDF("x", "u", "wx")
+    val w2 = s.createDataFrame(dctW).toDF("y", "v", "wy")
+    val px = docs
+      .select(col("doc_id"), rpad(col("text"), 256, ".").as("img"))
+      .select(col("doc_id"), col("img"),
+        posexplode(sequence(lit(0), lit(255))).as(Seq("ignored", "p")))
+      .select(col("doc_id"), expr("p % 16").as("x"), expr("p div 16").as("y"),
+        ascii(expr("substring(img, cast(p + 1 as int), 1)")).cast("long").as("pv"))
+    val coefs = px
+      .join(broadcast(w1), "x")
+      .join(broadcast(w2), "y")
+      .groupBy("doc_id", "u", "v")
+      .agg(sum(col("pv") * col("wx") * col("wy")).as("coef"))
+    val wMed = Window.partitionBy("doc_id").orderBy(col("coef").asc, col("u").asc, col("v").asc)
+    val med = coefs.withColumn("rk", row_number().over(wMed))
+      .filter(col("rk") === 32)
+      .select(col("doc_id"), col("coef").as("med"))
+    val bits = coefs.join(med, "doc_id")
+      .withColumn("i", (col("u") * 8 + col("v")).cast("long"))
+      .withColumn("bit", when(col("coef") > col("med"), 1L).otherwise(0L))
+      .withColumn("j", expr("i div 4"))
+      .withColumn("wt", expr("cast(pow(2, i % 4) as bigint)"))
+    val nibbles = bits.groupBy("doc_id", "j")
+      .agg(sum(col("bit") * col("wt")).as("nv"))
+      .withColumn("ch", expr("substring('0123456789abcdef', cast(nv + 1 as int), 1)"))
+    nibbles.groupBy("doc_id")
+      .agg(expr("array_join(reverse(transform(sort_array(collect_list(struct(j, ch))), x -> x.ch)), '')")
+        .as("phash"))
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("phash")))
+      .select(col("doc_id"), col("phash"), col("keeper"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  private val mmPhashSql = {
+    val wRows = dctW.map { case (i, u, w) => s"($i, $u, ${w}::BIGINT)" }.mkString(", ")
+    s"""WITH w1(x, u, wx) AS (
+       |  VALUES $wRows
+       |), w2(y, v, wy) AS (
+       |  VALUES $wRows
+       |), px AS (
+       |  SELECT doc_id, p.p % 16 AS x, p.p // 16 AS y,
+       |    CAST(ascii(substr(rpad(text, 256, '.'), CAST(p.p + 1 AS INT), 1)) AS BIGINT) AS pv
+       |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS p) p
+       |), coefs AS (
+       |  SELECT doc_id, u, v, CAST(sum(pv * wx * wy) AS BIGINT) AS coef
+       |  FROM px JOIN w1 USING (x) JOIN w2 USING (y)
+       |  GROUP BY doc_id, u, v
+       |), med AS (
+       |  SELECT doc_id, coef AS med FROM (
+       |    SELECT doc_id, coef,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY coef, u, v) AS rk
+       |    FROM coefs
+       |  ) WHERE rk = 32
+       |), bits AS (
+       |  SELECT c.doc_id, CAST(c.u * 8 + c.v AS BIGINT) AS i,
+       |    CASE WHEN c.coef > m.med THEN 1 ELSE 0 END AS bit
+       |  FROM coefs c JOIN med m ON c.doc_id = m.doc_id
+       |), nibbles AS (
+       |  SELECT doc_id, i // 4 AS j,
+       |    substr('0123456789abcdef',
+       |      CAST(sum(bit * CAST(pow(2, i % 4) AS BIGINT)) + 1 AS INT), 1) AS ch
+       |  FROM bits GROUP BY doc_id, i // 4
+       |), hashes AS (
+       |  SELECT doc_id, string_agg(ch, '' ORDER BY j DESC) AS phash
+       |  FROM nibbles GROUP BY doc_id
+       |)
+       |SELECT doc_id, phash,
+       |  min(doc_id) OVER (PARTITION BY phash) AS keeper,
+       |  doc_id <> min(doc_id) OVER (PARTITION BY phash) AS is_dup
+       |FROM hashes
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("mm_phash", mmPhash, Some(mmPhashSql)),
     Q("mm_video_shot_boundary", mmVideoShotBoundary, Some(mmVideoShotBoundarySql)),
     Q("mm_image_tile", mmImageTile, Some(mmImageTileSql)),
     Q("mm_decode_stats", mmDecodeStats, Some(mmDecodeStatsSql)),

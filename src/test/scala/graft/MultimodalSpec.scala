@@ -5,6 +5,36 @@ import graft.operators.Multimodal
 
 class MultimodalSpec extends SparkSpec {
 
+  test("phash: identical images collide; 1-char noise moves few bits, new image many") {
+    import SparkSpec.spark.implicits._
+    def hamming(a: String, b: String): Int =
+      a.zip(b).map { case (x, y) =>
+        Integer.bitCount(Integer.parseInt(x.toString, 16) ^ Integer.parseInt(y.toString, 16))
+      }.sum
+    val base = "the quick brown fox jumps over the lazy dog " * 6
+    val fixtures = Seq(
+      (0L, base),                                  // original
+      (1L, base),                                  // exact duplicate
+      (2L, base.updated(20, 'X')),                 // one-pixel noise
+      (3L, "zzz completely different content qqq " * 7)) // different image
+    val h = operators.Multimodal
+      .phashOn(SparkSpec.spark, fixtures.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("phash")).toMap
+    assert(h.values.forall(_.length == 16))
+    assert(h(0L) == h(1L), "identical images must collide")
+    val noise = hamming(h(0L), h(2L))
+    val diff = hamming(h(0L), h(3L))
+    assert(noise <= 12, s"1-char perturbation moved $noise bits")
+    assert(diff > noise, s"different image ($diff bits) not farther than noise ($noise)")
+    // and the driver-corpus run emits one 16-hex row per doc, keeper <= id
+    val real = operators.Multimodal.mmPhash(spark, sf).collect()
+    assert(real.length == Tables.documents(spark, sf).count())
+    real.foreach { r =>
+      assert(r.getAs[String]("phash").matches("[0-9a-f]{16}"))
+      assert(r.getAs[Long]("keeper") <= r.getAs[Long]("doc_id"))
+    }
+  }
+
   test("image tiles: full grid per doc, hand-recomputed tile content matches") {
     import operators.Multimodal
     val rows = Multimodal.mmImageTile(spark, sf).collect()
