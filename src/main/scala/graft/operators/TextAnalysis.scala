@@ -1581,7 +1581,142 @@ object TextAnalysis {
       |FROM pred GROUP BY lang, pred_lang
       |ORDER BY actual_lang, pred_lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // text_backoff_lm — STUPID BACKOFF trigram scoring (Brants et al. 2007,
+  // the canonical distributed-LM recipe: no normalization, a fixed 0.4
+  // penalty per backoff level, counts good enough at corpus scale). Even
+  // doc_ids train raw 1/2/3-gram counts; each odd-doc token at position
+  // ≥ 2 is scored at the deepest level its context survives:
+  //   trigram seen:  S = c(w1w2w3)/c(w1w2)
+  //   bigram seen:   S = 0.4 · c(w2w3)/c(w2)
+  //   unigram seen:  S = 0.16 · c(w3)/T
+  //   else (OOV):    S = 0.16 · 1/(T+V)
+  // Output keeps the per-level usage counts — the level mix is the
+  // model-coverage diagnostic a perplexity filter monitors.
+  //
+  // Scale shape: count tables stay partitioned by their token keys and
+  // the scoring pass is three LEFT shuffle joins on those keys (n-gram
+  // tables at real scale dwarf memory — exactly why Brants built this on
+  // MapReduce); only T and V broadcast. Parity: the 0.4/0.16 penalty
+  // literals and the multiply/divide ORDER are written identically in
+  // both engines, then per-token centinat quantization → integer sums
+  // (the unigram-logprob contract).
+  // ---------------------------------------------------------------------
+
+  def textBackoffLm(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(wsTrim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val train = toks.filter(col("doc_id") % 2 === 0)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    def grams(rel: DataFrame): DataFrame = rel
+      .select(col("doc_id"), col("tok").as("w1"),
+        lead("tok", 1).over(w).as("w2"), lead("tok", 2).over(w).as("w3"))
+    val tg = grams(train)
+    val c3 = tg.filter(col("w3").isNotNull)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val c2 = tg.filter(col("w2").isNotNull)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val tv = c1.agg(sum("c1").as("t_tot"), count(lit(1)).as("v_sz"))
+
+    val testTg = grams(toks.filter(col("doc_id") % 2 === 1))
+      .filter(col("w3").isNotNull)
+    val scored = testTg
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2.select(col("w1").as("p1"), col("w2").as("p2"), col("c2").as("cpre")),
+        col("w1") === col("p1") && col("w2") === col("p2"), "left")
+      .join(c2.select(col("w1").as("b1"), col("w2").as("b2"), col("c2").as("cbi")),
+        col("w2") === col("b1") && col("w3") === col("b2"), "left")
+      .join(c1.select(col("tok").as("u2"), col("c1").as("cu2")),
+        col("w2") === col("u2"), "left")
+      .join(c1.select(col("tok").as("u3"), col("c1").as("cu3")),
+        col("w3") === col("u3"), "left")
+      .crossJoin(broadcast(tv))
+      .withColumn("level",
+        when(col("c3").isNotNull, "tri")
+          .when(col("cbi").isNotNull, "bi")
+          .when(col("cu3").isNotNull, "uni")
+          .otherwise("oov"))
+      .withColumn("s_prob",
+        when(col("level") === "tri", col("c3") / col("cpre"))
+          .when(col("level") === "bi", lit(0.4) * (col("cbi") / col("cu2")))
+          .when(col("level") === "uni", lit(0.16) * (col("cu3") / col("t_tot")))
+          .otherwise(lit(0.16) * (lit(1.0) / (col("t_tot") + col("v_sz")))))
+      .select(col("doc_id"), col("level"),
+        round(-log(col("s_prob")) * 100).cast("long").as("surp"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"),
+        sum("surp").as("sum_surp"),
+        sum(when(col("level") === "tri", 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("level") === "bi", 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("level") === "uni", 1L).otherwise(0L)).as("n_uni"),
+        sum(when(col("level") === "oov", 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("avg_surprisal_cn", expr("sum_surp div n_scored"))
+      .orderBy("doc_id")
+  }
+
+  private val textBackoffLmSql =
+    """WITH raw AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents
+      |), tk AS (
+      |  SELECT doc_id, i, t[i] AS tok
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, array_length(t))) AS i
+      |        FROM raw)
+      |  WHERE length(t[i]) > 0
+      |), gr AS (
+      |  SELECT doc_id, tok AS w1,
+      |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2,
+      |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w3
+      |  FROM tk
+      |), tg AS (SELECT * FROM gr WHERE doc_id % 2 = 0),
+      |c3 AS (
+      |  SELECT w1, w2, w3, count(*) AS c3 FROM tg WHERE w3 IS NOT NULL
+      |  GROUP BY w1, w2, w3
+      |), c2 AS (
+      |  SELECT w1, w2, count(*) AS c2 FROM tg WHERE w2 IS NOT NULL
+      |  GROUP BY w1, w2
+      |), c1 AS (
+      |  SELECT tok, count(*) AS c1 FROM tk WHERE doc_id % 2 = 0 GROUP BY tok
+      |), tv AS (
+      |  SELECT CAST(sum(c1) AS BIGINT) AS t_tot,
+      |    CAST(count(*) AS BIGINT) AS v_sz
+      |  FROM c1
+      |), scored AS (
+      |  SELECT g.doc_id,
+      |    CASE WHEN c3.c3 IS NOT NULL THEN 'tri'
+      |         WHEN cb.c2 IS NOT NULL THEN 'bi'
+      |         WHEN u3.c1 IS NOT NULL THEN 'uni'
+      |         ELSE 'oov' END AS level,
+      |    CAST(round(-ln(
+      |      CASE WHEN c3.c3 IS NOT NULL THEN c3.c3 / cp.c2
+      |           WHEN cb.c2 IS NOT NULL THEN 0.4 * (cb.c2 / u2.c1)
+      |           WHEN u3.c1 IS NOT NULL THEN 0.16 * (u3.c1 / tv.t_tot)
+      |           ELSE 0.16 * (1.0 / (tv.t_tot + tv.v_sz)) END
+      |    ) * 100) AS BIGINT) AS surp
+      |  FROM (SELECT * FROM gr WHERE doc_id % 2 = 1 AND w3 IS NOT NULL) g
+      |  LEFT JOIN c3 ON c3.w1 = g.w1 AND c3.w2 = g.w2 AND c3.w3 = g.w3
+      |  LEFT JOIN c2 cp ON cp.w1 = g.w1 AND cp.w2 = g.w2
+      |  LEFT JOIN c2 cb ON cb.w1 = g.w2 AND cb.w2 = g.w3
+      |  LEFT JOIN c1 u2 ON u2.tok = g.w2
+      |  LEFT JOIN c1 u3 ON u3.tok = g.w3
+      |  CROSS JOIN tv
+      |)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_scored,
+      |  CAST(sum(surp) AS BIGINT) AS sum_surp,
+      |  CAST(sum(CASE WHEN level = 'tri' THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+      |  CAST(sum(CASE WHEN level = 'bi' THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+      |  CAST(sum(CASE WHEN level = 'uni' THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+      |  CAST(sum(CASE WHEN level = 'oov' THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(sum(surp) // count(*) AS BIGINT) AS avg_surprisal_cn
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_backoff_lm", textBackoffLm, Some(textBackoffLmSql)),
     Q("text_nb_classifier", textNbClassifier, Some(textNbClassifierSql)),
     Q("text_sentence_split", textSentenceSplit, Some(textSentenceSplitSql)),
     Q("text_type_token_ratio", textTypeTokenRatio, Some(textTypeTokenRatioSql)),

@@ -5,6 +5,30 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import operators.TextAnalysis._
 
+  test("backoff lm: levels partition scored tokens; every odd doc scored tri-gram-wide") {
+    val rows = operators.TextAnalysis.textBackoffLm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_scored")
+      assert(r.getAs[Long]("n_tri") + r.getAs[Long]("n_bi") +
+        r.getAs[Long]("n_uni") + r.getAs[Long]("n_oov") == n)
+      assert(r.getAs[Long]("avg_surprisal_cn") == r.getAs[Long]("sum_surp") / n)
+      assert(r.getAs[Long]("sum_surp") >= 0)
+    }
+    // every scored doc is odd and contributes exactly n_tokens - 2 positions
+    val tokCounts = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nt")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 2 == 1)
+      assert(r.getAs[Long]("n_scored") == tokCounts(id) - 2,
+        s"doc $id: scored ${r.getAs[Long]("n_scored")} of ${tokCounts(id)} tokens")
+    }
+  }
+
   test("nb classifier: recovers a planted class signal; confusion covers all test docs") {
     import SparkSpec.spark.implicits._
     // planted signal: class "aa" docs speak {alpha,beta}, class "bb" docs
