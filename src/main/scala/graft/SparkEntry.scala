@@ -14,6 +14,7 @@ object SparkEntry {
       operators.TpchClassics.all ++
       operators.Corpus.all ++
       operators.TextAnalysis.all ++
+      operators.BpeTrain.all ++
       operators.Sessionize.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++
