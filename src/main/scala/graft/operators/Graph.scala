@@ -185,7 +185,83 @@ object Graph {
       |ORDER BY n_triangles DESC, node
       |LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_label_propagation — synchronous LABEL PROPAGATION community
+  // detection (Raghavan et al. 2007), the third canonical iterate-to-
+  // fixpoint graph primitive next to PageRank and pointer-jumping CC:
+  // every node starts as its own community and repeatedly adopts the most
+  // frequent label among its neighbors (ties to the smallest label — the
+  // deterministic synchronous variant), run a fixed 3 rounds so the result
+  // is closed-form and fully oracle-able.
+  //
+  // Scale shape: identical to PageRank's — one shuffle-join + two
+  // hash-aggregates per round over the cached symmetric edge relation
+  // (label-frequency count, then per-node argmax via max_by). Labels are
+  // node ids (longs); no floats anywhere. At 100 TB: bucket edges by src,
+  // checkpoint labels every ~10 rounds.
+  // ---------------------------------------------------------------------
+
+  def qLabelPropagation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+      .cache()
+    labelPropagationOn(edges)
+  }
+
+  /** LPA core over any symmetric (src, dst) edge relation — spec-drivable. */
+  private[graft] def labelPropagationOn(edges: DataFrame): DataFrame = {
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      labels = edges
+        .join(labels, col("dst") === col("node"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("src")
+        .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
+        .select(col("src").as("node"), col("lbl"))
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+    val w = Window.orderBy(col("n_members").desc, col("lbl").asc)
+    sizes.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 50)
+      .select(col("rk"), col("lbl").as("community"), col("n_members"))
+      .orderBy("rk")
+  }
+
+  private val qLabelPropagationSql: String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""lp$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT e.src AS node, l.lbl, count(*) AS c,
+         |      row_number() OVER (PARTITION BY e.src
+         |        ORDER BY count(*) DESC, l.lbl) AS rk
+         |    FROM e JOIN lp${i - 1} l ON e.dst = l.node
+         |    GROUP BY e.src, l.lbl
+         |  ) WHERE rk = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |), e AS (
+       |  SELECT DISTINCT a.p AS src, b.p AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p
+       |), lp0 AS (
+       |  SELECT DISTINCT src AS node, src AS lbl FROM e
+       |), $iterCtes
+       |SELECT CAST(row_number() OVER (ORDER BY n_members DESC, lbl) AS BIGINT) AS rk,
+       |  lbl AS community, n_members
+       |FROM (SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+       |      FROM lp$iters GROUP BY lbl)
+       |ORDER BY rk
+       |LIMIT 50""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_pagerank_copurchase", qPagerankCopurchase, Some(qPagerankCopurchaseSql)),
+    Q("q_label_propagation", qLabelPropagation, Some(qLabelPropagationSql)),
     Q("q_triangle_count", qTriangleCount, Some(qTriangleCountSql)))
 }

@@ -47,6 +47,30 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("label propagation: two planted cliques resolve to two communities") {
+    import SparkSpec.spark.implicits._
+    // two 4-cliques bridged by a single edge (4—11); hand-traced
+    // synchronous LPA with min-label ties converges to communities 1, 11
+    val cliqueA = Seq(1L, 2L, 3L, 4L)
+    val cliqueB = Seq(11L, 12L, 13L, 14L)
+    def clique(ns: Seq[Long]) =
+      for { a <- ns; b <- ns if a != b } yield (a, b)
+    val edges = (clique(cliqueA) ++ clique(cliqueB) ++ Seq((4L, 11L), (11L, 4L)))
+      .toDF("src", "dst")
+    val rows = operators.Graph.labelPropagationOn(edges).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("community") == 1L &&
+      rows(0).getAs[Long]("n_members") == 4L)
+    assert(rows(1).getAs[Long]("community") == 11L &&
+      rows(1).getAs[Long]("n_members") == 4L)
+    // driver graph: community sizes partition the node set exactly... up to
+    // the top-50 cut, so just check conservation bounds and ranking shape
+    val real = operators.Graph.qLabelPropagation(spark, sf).collect()
+    assert(real.nonEmpty && real.length <= 50)
+    val sizes = real.map(_.getAs[Long]("n_members"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
+  }
+
   test("co-purchase edges are symmetric and loop-free") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
