@@ -81,7 +81,48 @@ object JsonlSource {
       |  min(event_id) AS min_event_id
       |FROM events GROUP BY 1 ORDER BY user_type""".stripMargin
 
+  /** Flat JSONL fixture for the V2 connector (no nested struct — the V2
+    * reader is deliberately a FLAT-record source; nesting is the DataFrame
+    * flatten's job, demonstrated by jsonl_normalize above). */
+  private[graft] def stageFlatJsonl(s: SparkSession, d: String): String = {
+    val staged = System.getProperty("java.io.tmpdir") +
+      "/graft_jsonl_flat_" + d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")
+    Tables.events(s, d)
+      .select(to_json(struct(
+        col("event_id"), col("user_id"), col("event_type"), col("value"))).as("line"))
+      .write.mode(SaveMode.Overwrite).text(staged)
+    staged
+  }
+
+  /** Driver-contract query through the custom DataSource V2 connector
+    * (sources/JsonlV2.scala): stage flat JSONL, read it back via
+    * `format("graft-jsonl")` — schema INFERRED by the connector, the
+    * value-filter PUSHED into the partition readers, and user_id PRUNED out
+    * of the scan (none of the aggregate's inputs need it) — then aggregate.
+    * The oracle runs on the ORIGINAL events parquet, so a hash match proves
+    * the connector's inference + pushdown + parse round trip is value-exact
+    * including doubles. PlanSpec asserts the pushdown/pruning are visible
+    * in the scan description. */
+  def jsonlV2Scan(s: SparkSession, d: String): DataFrame = {
+    val staged = stageFlatJsonl(s, d)
+    s.read.format("graft-jsonl").load(staged)
+      .filter(col("value") > 0.5)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("total_cents"),
+        min("event_id").as("min_event_id"))
+      .orderBy("event_type")
+  }
+
+  private val jsonlV2ScanSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+      |  CAST(min(event_id) AS BIGINT) AS min_event_id
+      |FROM events WHERE value > 0.5
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("jsonl_normalize", jsonlNormalize, Some(jsonlNormalizeSql))
+    Q("jsonl_normalize", jsonlNormalize, Some(jsonlNormalizeSql)),
+    Q("jsonl_v2_scan", jsonlV2Scan, Some(jsonlV2ScanSql))
   )
 }

@@ -34,4 +34,36 @@ class JsonlSpec extends SparkSpec {
     assert(back.columns.toSet == Set("id", "user_name"))
     assert(back.count() == 2)
   }
+
+  test("v2 connector: inference, filter pushdown and column pruning in the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_v2")
+    java.nio.file.Files.writeString(dir.resolve("a.jsonl"),
+      """{"id": 1, "kind": "x", "score": 1.5, "extra": "keep"}
+        |{"id": 2, "kind": "y", "score": 0.25, "extra": "drop"}
+        |{"id": 3, "kind": "x", "score": 7.0}
+        |""".stripMargin)
+    val df = spark.read.format("graft-jsonl").load(dir.toString)
+    // inference: long / string / double, alphabetical field order
+    assert(df.schema.map(f => f.name -> f.dataType.simpleString) ==
+      Seq("extra" -> "string", "id" -> "bigint", "kind" -> "string",
+        "score" -> "double"))
+    // full read parses every row and null-fills absent fields
+    assert(df.count() == 3)
+    assert(df.filter(col("extra").isNull).count() == 1)
+    // a filtered + projected query: the scan must report the pushed filter
+    // and a pruned schema (no `extra`, no `kind`)
+    val q = df.filter(col("score") > 1.0).select(sum("id").as("s"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftJsonlScan"), s"custom scan missing:\n$plan")
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(score,1.0)"),
+      s"filter not pushed to the v2 scan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("extra"),
+      s"column pruning not visible in the v2 scan:\n$plan")
+    assert(q.collect().head.getAs[Long]("s") == 4L) // ids 1 and 3
+    // agreement with the built-in json reader on the same directory
+    val builtin = spark.read.json(dir.toString)
+      .filter(col("score") > 1.0).agg(sum("id")).collect().head.getLong(0)
+    assert(builtin == 4L)
+  }
 }
