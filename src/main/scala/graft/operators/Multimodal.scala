@@ -514,7 +514,103 @@ object Multimodal {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // mm_audio_vad — energy-threshold VOICE ACTIVITY DETECTION over the PCM
+  // stub (text chars as samples, the mm_audio_chunk convention): the
+  // stream frames into 32-sample windows, each frame's energy is
+  // Σ(sample−128)², a frame is "speech" when its energy exceeds the
+  // per-document mean (integer multiply-compare — no division), and
+  // consecutive speech frames merge into SEGMENTS by the run-grouping
+  // trick (frame − row_number over speech frames is constant per run) —
+  // the speech-segmentation step an audio corpus runs before transcribing
+  // only the voiced spans. Real decoders live behind the mapPartitions
+  // arm (mm_decode_stats); everything here is declarative and
+  // exact-integer, so the whole pipeline is oracled from first principles.
+  // ---------------------------------------------------------------------
+
+  def mmAudioVad(s: SparkSession, d: String): DataFrame = {
+    val frameLen = 32
+    val frames = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        expr(s"length(text) div $frameLen").cast("long").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("text"), col("n_frames"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1)).as(Seq("ignored", "f")))
+      .select(col("doc_id"), col("text"), col("n_frames"), col("f"),
+        posexplode(sequence(lit(0), lit(frameLen - 1))).as(Seq("ig2", "j")))
+      .select(col("doc_id"), col("n_frames"), col("f"),
+        (ascii(expr(s"substring(text, cast(f * $frameLen + j + 1 as int), 1)"))
+          .cast("long") - 128L).as("v"))
+      .groupBy("doc_id", "n_frames", "f")
+      .agg(sum(col("v") * col("v")).as("energy"))
+    // speech ⟺ energy·n_frames > Σenergy (strictly above the doc mean)
+    val marked = frames
+      .withColumn("tot", sum("energy").over(Window.partitionBy("doc_id")))
+      .withColumn("speech", col("energy") * col("n_frames") > col("tot"))
+    val segs = marked.filter(col("speech"))
+      .withColumn("grp",
+        col("f") - row_number().over(Window.partitionBy("doc_id").orderBy("f")))
+      .groupBy("doc_id", "grp")
+      .agg(min("f").as("seg_start"), count(lit(1)).as("seg_len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        concat_ws(",", sort_array(collect_list(
+          format_string("%04d", col("seg_start").cast("int"))))).as("seg_starts"))
+    marked.groupBy("doc_id")
+      .agg(max("n_frames").as("n_frames"),
+        sum(when(col("speech"), 1L).otherwise(0L)).as("n_speech"))
+      .join(segs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("n_speech"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        expr("n_speech * 10000 div n_frames").as("speech_bp"),
+        coalesce(col("seg_starts"), lit("")).as("seg_starts"))
+      .orderBy("doc_id")
+  }
+
+  private val mmAudioVadSql =
+    """WITH meta AS (
+      |  SELECT doc_id, text, CAST(length(text) // 32 AS BIGINT) AS n_frames
+      |  FROM documents WHERE length(text) // 32 > 0
+      |), fr0 AS (
+      |  SELECT doc_id, text, n_frames,
+      |    unnest(generate_series(0, n_frames - 1)) AS f
+      |  FROM meta
+      |), sm AS (
+      |  SELECT doc_id, n_frames, f,
+      |    ascii(substr(text, CAST(f * 32 + j.j + 1 AS INT), 1)) - 128 AS v
+      |  FROM fr0 CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) j
+      |), fr AS (
+      |  SELECT doc_id, n_frames, f, CAST(sum(v * v) AS BIGINT) AS energy
+      |  FROM sm GROUP BY doc_id, n_frames, f
+      |), marked AS (
+      |  SELECT doc_id, n_frames, f, energy,
+      |    energy * n_frames > CAST(sum(energy) OVER (PARTITION BY doc_id)
+      |      AS BIGINT) AS speech
+      |  FROM fr
+      |), segs AS (
+      |  SELECT doc_id, count(*) AS n_segments,
+      |    string_agg(lpad(CAST(seg_start AS VARCHAR), 4, '0'), ','
+      |      ORDER BY seg_start) AS seg_starts
+      |  FROM (
+      |    SELECT doc_id, min(f) AS seg_start
+      |    FROM (SELECT doc_id, f,
+      |            f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+      |          FROM marked WHERE speech)
+      |    GROUP BY doc_id, grp
+      |  ) GROUP BY doc_id
+      |)
+      |SELECT m.doc_id, max(m.n_frames) AS n_frames,
+      |  CAST(sum(CASE WHEN m.speech THEN 1 ELSE 0 END) AS BIGINT) AS n_speech,
+      |  coalesce(max(s.n_segments), 0) AS n_segments,
+      |  CAST(sum(CASE WHEN m.speech THEN 1 ELSE 0 END) * 10000
+      |    // max(m.n_frames) AS BIGINT) AS speech_bp,
+      |  coalesce(max(s.seg_starts), '') AS seg_starts
+      |FROM marked m LEFT JOIN segs s ON m.doc_id = s.doc_id
+      |GROUP BY m.doc_id
+      |ORDER BY m.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("mm_audio_vad", mmAudioVad, Some(mmAudioVadSql)),
     Q("mm_phash", mmPhash, Some(mmPhashSql)),
     Q("mm_video_shot_boundary", mmVideoShotBoundary, Some(mmVideoShotBoundarySql)),
     Q("mm_image_tile", mmImageTile, Some(mmImageTileSql)),

@@ -5,6 +5,33 @@ import graft.operators.Multimodal
 
 class MultimodalSpec extends SparkSpec {
 
+  test("vad: segments are maximal speech runs; accounting conserved") {
+    val rows = operators.Multimodal.mmAudioVad(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nf = r.getAs[Long]("n_frames"); val ns = r.getAs[Long]("n_speech")
+      val nseg = r.getAs[Long]("n_segments")
+      val starts = r.getAs[String]("seg_starts")
+      assert(ns <= nf)
+      assert(r.getAs[Long]("speech_bp") == ns * 10000 / nf)
+      // segment count matches the csv, zero segments ⟺ zero speech frames
+      if (ns == 0) assert(nseg == 0 && starts.isEmpty)
+      else {
+        assert(nseg >= 1 && starts.split(",").length == nseg)
+        // maximal runs: #segments can't exceed #speech frames, and starts
+        // are strictly increasing (zero-padded so string order = numeric)
+        assert(nseg <= ns)
+        val s = starts.split(",").map(_.toInt)
+        assert(s.zip(s.tail).forall { case (a, b) => a < b })
+      }
+      // mean-threshold VAD can't mark every frame: a frame strictly above
+      // the mean implies another strictly below
+      assert(ns < nf || nf == 1)
+    }
+    // at least some docs actually have detected speech segments
+    assert(rows.count(_.getAs[Long]("n_segments") > 0) > rows.length / 2)
+  }
+
   test("phash: identical images collide; 1-char noise moves few bits, new image many") {
     import SparkSpec.spark.implicits._
     def hamming(a: String, b: String): Int =
