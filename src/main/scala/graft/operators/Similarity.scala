@@ -911,8 +911,111 @@ object Similarity {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // sim_diversity_sample — greedy MAXIMAL MARGINAL RELEVANCE selection
+  // (Carbonell & Goldstein 1998): pick k=5 vectors that are relevant to
+  // the query but not redundant with each other — the diversity-sampling
+  // step a curation pipeline runs so near-identical documents don't all
+  // make the cut. Each round scores every remaining candidate as
+  // λ·rel − (1−λ)·max-sim-to-selected (λ=0.7, kept as the integer form
+  // 7·rel_micro − 3·maxsim_micro: NO division anywhere, so there is no
+  // negative-truncation-vs-floor divergence to guard) and takes the
+  // argmax, ties to the smaller id.
+  //
+  // Scale shape: the selected set is ≤ k vectors, so the per-round
+  // max-sim pass is ONE corpus-scan × broadcast join — greedy MMR at
+  // 100 TB is k scans, never candidate². All 5 rounds unroll in the
+  // oracle as CTEs.
+  // ---------------------------------------------------------------------
+
+  def simDiversitySample(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val rel = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qn")) * 1000000)
+          .cast("long").as("rel"))
+      .cache()
+
+    var picks = rel.orderBy(col("rel").desc, col("vec_id").asc).limit(1)
+      .select(lit(1L).as("rk"), col("vec_id"), col("v"), col("nrm"),
+        col("rel"), (col("rel") * 7).as("score_u"))
+      .cache()
+    for (r <- 2 to k) {
+      val sel = picks.select(col("vec_id").as("sid"), col("v").as("sv"),
+        col("nrm").as("snrm"))
+      val next = rel
+        .join(broadcast(picks.select(col("vec_id").as("sid"))), col("vec_id") === col("sid"), "left_anti")
+        .join(broadcast(sel),
+          col("vec_id") =!= col("sid"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("rel"),
+          round(vecDot(col("v"), col("sv")) / (col("nrm") * col("snrm")) * 1000000)
+            .cast("long").as("sim"))
+        .groupBy("vec_id", "rel")
+        .agg(first("v").as("v"), first("nrm").as("nrm"), max("sim").as("maxsim"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("rel"),
+          (col("rel") * 7 - col("maxsim") * 3).as("score_u"))
+        .orderBy(col("score_u").desc, col("vec_id").asc).limit(1)
+        .select(lit(r.toLong).as("rk"), col("vec_id"), col("v"), col("nrm"),
+          col("rel"), col("score_u"))
+      picks = picks.unionByName(next).cache()
+    }
+    picks.select("rk", "vec_id", "rel", "score_u").orderBy("rk")
+  }
+
+  private val simDiversitySampleSql = {
+    def round(r: Int): String =
+      s"""ms$r AS (
+         |  SELECT c.vec_id,
+         |    max(CAST(round(list_dot_product(c.e, s.e) / (c.nrm * s.nrm)
+         |      * 1000000) AS BIGINT)) AS maxsim
+         |  FROM rel c JOIN s${r - 1} s ON c.vec_id <> s.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s${r - 1})
+         |  GROUP BY c.vec_id
+         |), p$r AS (
+         |  SELECT CAST($r AS BIGINT) AS rk, c.vec_id, c.e, c.nrm, c.rel,
+         |    c.rel * 7 - m.maxsim * 3 AS score_u
+         |  FROM rel c JOIN ms$r m ON c.vec_id = m.vec_id
+         |  ORDER BY score_u DESC, c.vec_id LIMIT 1
+         |), s$r AS (
+         |  SELECT vec_id, e, nrm FROM s${r - 1}
+         |  UNION ALL SELECT vec_id, e, nrm FROM p$r
+         |)""".stripMargin
+    val rounds = (2 to 5).map(round).mkString(",\n")
+    val unions = (2 to 5).map(r =>
+      s"SELECT rk, vec_id, rel, score_u FROM p$r").mkString("\nUNION ALL ")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT e AS qv, nrm AS qn FROM v WHERE vec_id = 0
+       |), rel AS (
+       |  SELECT v.vec_id, v.e, v.nrm,
+       |    CAST(round(list_dot_product(v.e, q.qv) / (v.nrm * q.qn) * 1000000)
+       |      AS BIGINT) AS rel
+       |  FROM v CROSS JOIN q WHERE v.vec_id <> 0
+       |), p1 AS (
+       |  SELECT CAST(1 AS BIGINT) AS rk, vec_id, e, nrm, rel,
+       |    rel * 7 AS score_u
+       |  FROM rel ORDER BY rel DESC, vec_id LIMIT 1
+       |), s1 AS (
+       |  SELECT vec_id, e, nrm FROM p1
+       |),
+       |$rounds
+       |SELECT rk, vec_id, rel, score_u FROM p1
+       |UNION ALL $unions
+       |ORDER BY rk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("sim_range_search", simRangeSearch, Some(simRangeSearchSql)),
+    Q("sim_diversity_sample", simDiversitySample, Some(simDiversitySampleSql)),
     Q("sim_ann_ivfpq", simAnnIvfpq, Some(simAnnIvfpqSql)),
     Q("sim_recall_eval", simRecallEval, Some(simRecallEvalSql)),
     Q("sim_maxsim", simMaxsim, Some(simMaxsimSql)),

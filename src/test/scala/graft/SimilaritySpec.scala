@@ -78,6 +78,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("MMR diversity sample: first pick is argmax relevance; picks beat naive top-k diversity") {
+    import operators.Similarity
+    val rows = Similarity.simDiversitySample(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("rk")).toSeq == (1L to 5L))
+    val rels = rows.map(_.getAs[Long]("rel"))
+    // pick 1 maximizes pure relevance — must dominate every later pick's rel
+    assert(rels.tail.forall(_ <= rels.head))
+    // and picks are distinct
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 5)
+    // diversity teeth: the MMR set's max intra-set cosine is no worse than
+    // the naive top-5-by-relevance set's (that's the entire point of MMR)
+    import graft.functions.VectorFunctions.{asDouble, vecDot, vecNorm}
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+    def maxIntraCos(ids: Seq[Long]): Double = {
+      val sub = emb.filter(col("vec_id").isin(ids: _*))
+      sub.alias("a").join(sub.alias("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        .select((vecDot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("c"))
+        .agg(max("c")).collect().head.getDouble(0)
+    }
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val top5 = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (vecDot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(5)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val mmrIds = rows.map(_.getAs[Long]("vec_id")).toSeq
+    if (mmrIds.toSet != top5.toSet) {
+      assert(maxIntraCos(mmrIds) <= maxIntraCos(top5) + 1e-9,
+        "MMR set must not be MORE redundant than naive top-k")
+    }
+  }
+
   test("IVFPQ: ranked top-3 per query, re-rank exact, decent recall of brute-force") {
     val rows = operators.Similarity.simAnnIvfpq(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
