@@ -49,7 +49,7 @@ object BpeTrain {
         posexplode(sequence(lit(1), length(col("word")))).as(Seq("ignored", "i")))
       .select(col("word"), col("freq"), (col("i") - 1).cast("long").as("pos"),
         expr("substring(word, i, 1)").as("sym"))
-      .cache()
+      .localCheckpoint()
 
     val wp = Window.partitionBy("word").orderBy("pos")
     var stats: DataFrame = null
@@ -86,7 +86,14 @@ object BpeTrain {
           (row_number().over(Window.partitionBy("word").orderBy("oldpos")) - 1)
             .cast("long"))
         .select("word", "freq", "pos", "sym")
-        .cache()
+        // localCheckpoint, not cache: each round references the previous
+        // round's relation ~5 times (pair count, candidates, two merge
+        // joins, symbol accounting), so the LOGICAL plan grows ~5^R without
+        // lineage truncation — Catalyst optimization time explodes
+        // exponentially even though the data is tiny (measured 61 s at
+        // R=4 with cache, ~6 s with checkpoint). Same pattern as
+        // Dedup.dedupClusters' pointer-jumping rounds.
+        .localCheckpoint()
       val nAfter = merged.agg(sum("freq").as("n_symbols_after"))
       val stat = best.crossJoin(nAfter)
         .select(lit(round.toLong).as("round"), col("ba").as("sym_a"),

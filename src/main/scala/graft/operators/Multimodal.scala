@@ -448,11 +448,19 @@ object Multimodal {
         posexplode(sequence(lit(0), lit(255))).as(Seq("ignored", "p")))
       .select(col("doc_id"), expr("p % 16").as("x"), expr("p div 16").as("y"),
         ascii(expr("substring(img, cast(p + 1 as int), 1)")).cast("long").as("pv"))
-    val coefs = px
-      .join(broadcast(w1), "x")
-      .join(broadcast(w2), "y")
+    // SEPARABLE 2-D DCT: contract the x axis first (256 px → 128 (y,u)
+    // partials per image), then the y axis (128 → 64 coefficients) — the
+    // textbook factorization; fan-out is 8+8 instead of ×64, and both
+    // hash-aggregates are map-side-combinable integer sums. The explicit
+    // repartition spreads the explode fan-out across the cluster: a small
+    // parquet input arrives as ~1 partition, and without it the whole
+    // weight-join pipeline would run on one task.
+    val sx = px.repartition(col("doc_id")).join(broadcast(w1), "x")
+      .groupBy("doc_id", "y", "u")
+      .agg(sum(col("pv") * col("wx")).as("sxv"))
+    val coefs = sx.join(broadcast(w2), "y")
       .groupBy("doc_id", "u", "v")
-      .agg(sum(col("pv") * col("wx") * col("wy")).as("coef"))
+      .agg(sum(col("sxv") * col("wy")).as("coef"))
     val wMed = Window.partitionBy("doc_id").orderBy(col("coef").asc, col("u").asc, col("v").asc)
     val med = coefs.withColumn("rk", row_number().over(wMed))
       .filter(col("rk") === 32)

@@ -963,7 +963,10 @@ object Similarity {
         .orderBy(col("score_u").desc, col("vec_id").asc).limit(1)
         .select(lit(r.toLong).as("rk"), col("vec_id"), col("v"), col("nrm"),
           col("rel"), col("score_u"))
-      picks = picks.unionByName(next).cache()
+      // lineage truncation per round (the BpeTrain lesson): `picks` feeds
+      // the anti-join, the broadcast sel, and the union — without a
+      // checkpoint the logical plan grows geometrically in k
+      picks = picks.unionByName(next).localCheckpoint()
     }
     picks.select("rk", "vec_id", "rel", "score_u").orderBy("rk")
   }
@@ -1013,8 +1016,119 @@ object Similarity {
        |ORDER BY rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // sim_rank_fusion — HYBRID RETRIEVAL via Reciprocal Rank Fusion
+  // (Cormack et al. 2009), the standard way modern pipelines combine a
+  // lexical and a semantic ranking without score calibration: each
+  // ranking contributes 1/(60+rank), summed per document. The lexical
+  // side is the BM25 top-50 (text_bm25); the semantic side is cosine to a
+  // ROCCHIO pseudo-relevance-feedback query — the exact micro-unit
+  // centroid of the lexical top-10's embeddings (no human query vector
+  // needed; PRF bootstraps the dense query from the sparse result, the
+  // classic trick). Contributions stay integers as 1000000 div (60+rank)
+  // — all positive, truncation == floor on both engines.
+  //
+  // Scale shape: both rankings are global top-k rank-filters
+  // (WindowGroupLimit-eligible); the centroid is a 10-row exact integer
+  // mean; the fusion join touches ≤ 100 rows. One corpus scan per
+  // ranking, nothing quadratic.
+  // ---------------------------------------------------------------------
+
+  def simRankFusion(s: SparkSession, d: String): DataFrame = {
+    val lex = TextAnalysis.textBm25(s, d)
+      .select(col("doc_id"), col("rk").as("lex_rank"))
+    // Rocchio PRF centroid: exact integer micro-unit mean over the
+    // lexical top-10's embeddings (the IVF Lloyd-mean parity recipe)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+      .cache()
+    val cent = emb
+      .join(broadcast(lex.filter(col("lex_rank") <= 10)),
+        col("vec_id") === col("doc_id"))
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("xi", round(col("x") * 1000000).cast("long"))
+      .groupBy("pos")
+      .agg(expr("(sum(xi) - pmod(sum(xi), count(1))) div count(1)").as("mi"))
+      .withColumn("m", col("mi").cast("double") / 1000000.0)
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("mv"))
+      .select(col("mv.m").as("cv"))
+      .withColumn("cnrm", vecNorm(col("cv")))
+    val sem = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        round(vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")) * 1000000)
+          .cast("long").as("sim_micro"))
+      .withColumn("sem_rank",
+        row_number().over(Window.orderBy(col("sim_micro").desc, col("vec_id").asc))
+          .cast("long"))
+      .filter(col("sem_rank") <= 50)
+      .select(col("vec_id"), col("sem_rank"))
+    val fused = lex.join(sem, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(-1L)).as("sem_rank"))
+      .withColumn("rrf_ppm",
+        when(col("lex_rank") > 0, expr("1000000 div (60 + lex_rank)")).otherwise(0L) +
+          when(col("sem_rank") > 0, expr("1000000 div (60 + sem_rank)")).otherwise(0L))
+    fused
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rrf_ppm").desc, col("doc_id").asc))
+          .cast("long"))
+      .filter(col("rk") <= 20)
+      .select("rk", "doc_id", "lex_rank", "sem_rank", "rrf_ppm")
+      .orderBy("rk")
+  }
+
+  private val simRankFusionSql =
+    s"""WITH lex AS (
+       |  SELECT doc_id, rk AS lex_rank FROM (${TextAnalysis.textBm25Sql})
+       |), top10 AS (
+       |  SELECT doc_id FROM lex WHERE lex_rank <= 10
+       |), v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), cent AS (
+       |  SELECT i, CAST(sum(xi) // count(*) AS BIGINT) AS mi
+       |  FROM (SELECT i.i AS i,
+       |          CAST(round(v.e[i.i] * 1000000) AS BIGINT) AS xi
+       |        FROM v JOIN top10 t ON v.vec_id = t.doc_id
+       |        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i)
+       |  GROUP BY i
+       |), cv AS (
+       |  SELECT list(mi / 1000000.0 ORDER BY i) AS cv FROM cent
+       |), cn AS (
+       |  SELECT cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cv
+       |), sem AS (
+       |  SELECT vec_id, sem_rank FROM (
+       |    SELECT v.vec_id,
+       |      CAST(row_number() OVER (ORDER BY
+       |        CAST(round(list_dot_product(v.e, c.cv) / (v.nrm * c.cnrm)
+       |          * 1000000) AS BIGINT) DESC, v.vec_id) AS BIGINT) AS sem_rank
+       |    FROM v CROSS JOIN cn c
+       |  ) WHERE sem_rank <= 50
+       |), fused AS (
+       |  SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+       |    coalesce(l.lex_rank, -1) AS lex_rank,
+       |    coalesce(s.sem_rank, -1) AS sem_rank,
+       |    (CASE WHEN l.lex_rank IS NOT NULL THEN 1000000 // (60 + l.lex_rank)
+       |          ELSE 0 END +
+       |     CASE WHEN s.sem_rank IS NOT NULL THEN 1000000 // (60 + s.sem_rank)
+       |          ELSE 0 END) AS rrf_ppm
+       |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rk,
+       |  CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(lex_rank AS BIGINT) AS lex_rank,
+       |  CAST(sem_rank AS BIGINT) AS sem_rank,
+       |  CAST(rrf_ppm AS BIGINT) AS rrf_ppm
+       |FROM fused
+       |ORDER BY rk
+       |LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("sim_range_search", simRangeSearch, Some(simRangeSearchSql)),
+    Q("sim_rank_fusion", simRankFusion, Some(simRankFusionSql)),
     Q("sim_diversity_sample", simDiversitySample, Some(simDiversitySampleSql)),
     Q("sim_ann_ivfpq", simAnnIvfpq, Some(simAnnIvfpqSql)),
     Q("sim_recall_eval", simRecallEval, Some(simRecallEvalSql)),

@@ -920,7 +920,7 @@ object TextAnalysis {
       .orderBy("rk")
   }
 
-  private val textBm25Sql: String = {
+  private[operators] val textBm25Sql: String = {
     val termValues = bmTerms.map(t => s"('$t')").mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id, tok

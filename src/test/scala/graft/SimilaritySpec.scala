@@ -78,6 +78,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("rank fusion: rrf recomputes from the two ranks; ordering consistent") {
+    val rows = operators.Similarity.simRankFusion(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val lex = r.getAs[Long]("lex_rank"); val sem = r.getAs[Long]("sem_rank")
+      val expected = (if (lex > 0) 1000000 / (60 + lex) else 0L) +
+        (if (sem > 0) 1000000 / (60 + sem) else 0L)
+      assert(r.getAs[Long]("rrf_ppm") == expected, s"rrf mismatch at $r")
+      assert(lex > 0 || sem > 0, "a fused doc must appear in some ranking")
+    }
+    val ppm = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("rrf_ppm"))
+    assert(ppm.zip(ppm.tail).forall { case (a, b) => a >= b })
+    // hybrid teeth: at least one doc is ranked by BOTH signals
+    assert(rows.exists(r =>
+      r.getAs[Long]("lex_rank") > 0 && r.getAs[Long]("sem_rank") > 0))
+  }
+
   test("MMR diversity sample: first pick is argmax relevance; picks beat naive top-k diversity") {
     import operators.Similarity
     val rows = Similarity.simDiversitySample(spark, sf).collect()
