@@ -100,7 +100,8 @@ object ScaleSmoke {
       stageEmbeddings(spark, small, big)
     }
 
-    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // optional args = subset of query names to measure (default: all)
+    val allQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q_pagerank_copurchase" -> operators.Graph.qPagerankCopurchase,
       "q_triangle_count" -> operators.Graph.qTriangleCount,
       "dedup_containment" -> operators.Dedup.dedupContainment,
@@ -108,7 +109,10 @@ object ScaleSmoke {
       "dedup_semantic_clusters" -> operators.Dedup.dedupSemanticClusters,
       "dedup_ngram_jaccard" -> operators.Dedup.dedupNgramJaccard,
       "dedup_minhash_lsh" -> operators.Dedup.dedupMinhashLsh,
-      "sim_knn_graph" -> operators.Similarity.simKnnGraph)
+      "sim_knn_graph" -> operators.Similarity.simKnnGraph,
+      "q_label_propagation" -> operators.Graph.qLabelPropagation)
+    val queries =
+      if (args.isEmpty) allQueries else allQueries.filter(q => args.contains(q._1))
 
     // warmup (JIT + codegen) on the small dir, untimed
     queries.foreach { case (_, fn) =>

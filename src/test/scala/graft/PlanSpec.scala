@@ -89,7 +89,9 @@ class PlanSpec extends SparkSpec {
       "text_pmi_collocations" -> TextAnalysis.textPmiCollocations(spark, sf),
       "text_cooccurrence" -> TextAnalysis.textCooccurrence(spark, sf),
       "text_cms_freq" -> TextAnalysis.textCmsFreq(spark, sf),
-      "text_zipf_fit" -> TextAnalysis.textZipfFit(spark, sf))
+      "text_zipf_fit" -> TextAnalysis.textZipfFit(spark, sf),
+      "q_label_propagation" -> Graph.qLabelPropagation(spark, sf),
+      "sim_rank_fusion" -> Similarity.simRankFusion(spark, sf))
     val missing = globalTopK.collect {
       case (name, df) if {
         val p = planOf(df)
