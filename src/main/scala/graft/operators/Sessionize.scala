@@ -529,7 +529,92 @@ object Sessionize {
       |  count(DISTINCT user_id) AS n_users
       |FROM attributed GROUP BY channel ORDER BY channel""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_interval_overlap — INTERVAL × INTERVAL overlap join (session
+  // concurrency): for every user session, count other users' sessions
+  // live at the same time. The missing join primitive next to as-of
+  // (point→latest interval) and range-binned (point→range): both sides
+  // are intervals, and the naive theta join (a.s ≤ b.e AND b.s ≤ a.e) is
+  // O(n²). The scale plan BINS time into gap-width buckets, explodes each
+  // interval over the buckets it touches, equi-joins on the bucket, dedups
+  // the multi-bucket pairs, then verifies true overlap — an overlapping
+  // pair always shares the bucket of any common instant, so recall is
+  // exact by construction. Bin width trades fan-out (intervals span ≤ 2-3
+  // buckets at the session gap) against per-bucket n²; hot buckets split
+  // under AQE skew handling.
+  //
+  // The DuckDB oracle IS the naive theta join (its IEJoin makes it cheap
+  // at test SF) — the hash match proves the binned strategy is exactly
+  // equivalent to the quadratic definition.
+  // ---------------------------------------------------------------------
+
+  def qIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val binW = gapMs // 30-min buckets: a session spans ≤ duration/gap + 1
+    val order = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .withColumn("ms", graft.functions.TimeFunctions.nsToMs("ts"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(order))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(min("ms").as("start_ms"), max("ms").as("end_ms"))
+      .cache()
+    val binned = sess.select(col("user_id"), col("session_id"),
+      col("start_ms"), col("end_ms"),
+      explode(expr(s"sequence(start_ms div $binW, end_ms div $binW)")).as("bin"))
+    val pairs = binned.alias("a").join(binned.alias("b"),
+        col("a.bin") === col("b.bin") && col("a.user_id") =!= col("b.user_id"))
+      .select(col("a.user_id").as("ua"), col("a.session_id").as("sa"),
+        col("a.start_ms").as("astart"), col("a.end_ms").as("aend"),
+        col("b.user_id").as("ub"), col("b.session_id").as("sb"),
+        col("b.start_ms").as("bstart"), col("b.end_ms").as("bend"))
+      .distinct() // a pair can meet in several buckets — count it once
+      .filter(col("astart") <= col("bend") && col("bstart") <= col("aend"))
+    val counts = pairs.groupBy(col("ua").as("user_id"), col("sa").as("session_id"))
+      .agg(count(lit(1)).as("n_concurrent"))
+    val w = Window.orderBy(col("n_concurrent").desc, col("user_id").asc,
+      col("session_id").asc)
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 100)
+      .select(col("rk"), col("user_id"),
+        col("session_id").cast("long").as("session_id"), col("n_concurrent"))
+      .orderBy("rk")
+  }
+
+  private val qIntervalOverlapSql =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+       |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+       |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > $gapMs
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+       |), sess AS (
+       |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |    min(ms) AS start_ms, max(ms) AS end_ms
+       |  FROM (SELECT user_id, ms,
+       |          sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |                            ROWS UNBOUNDED PRECEDING) AS session_id
+       |        FROM flagged)
+       |  GROUP BY user_id, session_id
+       |), counts AS (
+       |  SELECT a.user_id, a.session_id, CAST(count(*) AS BIGINT) AS n_concurrent
+       |  FROM sess a JOIN sess b
+       |    ON a.user_id <> b.user_id
+       |   AND a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms
+       |  GROUP BY a.user_id, a.session_id
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY n_concurrent DESC, user_id,
+       |    session_id) AS BIGINT) AS rk,
+       |  user_id, session_id, n_concurrent
+       |FROM counts
+       |ORDER BY rk
+       |LIMIT 100""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_interval_overlap", qIntervalOverlap, Some(qIntervalOverlapSql)),
     Q("q_event_attribution", eventsAttribution, Some(eventsAttributionSql)),
     Q("q_events_retention", eventsRetention, Some(eventsRetentionSql)),
     Q("q_events_funnel", eventsFunnel, Some(eventsFunnelSql)),

@@ -3,6 +3,39 @@ package graft
 import org.apache.spark.sql.functions._
 
 class SessionizeSpec extends SparkSpec {
+
+  test("interval overlap: binned join equals the naive theta join exactly") {
+    val rows = operators.Sessionize.qIntervalOverlap(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // rebuild the session spans and count concurrency the O(n²) way
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
+    val run = order.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val sess = Tables.events(spark, sf)
+      .withColumn("ms", graft.functions.TimeFunctions.nsToMs("ts"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(order))
+      .withColumn("is_new", when(col("prev_ms").isNull ||
+        col("ms") - col("prev_ms") > 30L * 60 * 1000, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(min("ms").as("s"), max("ms").as("e"))
+    val naive = sess.alias("a").join(sess.alias("b"),
+        col("a.user_id") =!= col("b.user_id") &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .groupBy(col("a.user_id").as("u"), col("a.session_id").as("sid"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("sid")) -> r.getAs[Long]("n"))
+      .toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"))
+      assert(naive(key) == r.getAs[Long]("n_concurrent"),
+        s"binned count diverges from naive at $key")
+    }
+    // the top-1 really is the global max of the naive relation
+    assert(rows.head.getAs[Long]("n_concurrent") == naive.values.max)
+  }
   import operators.Sessionize._
 
   test("sessionize conserves events and sessions are ordered per user") {
