@@ -57,6 +57,29 @@ object ScaleSmoke {
     stageEmbeddings(spark, src, out)
   }
 
+  /** events: user_id/event_id offset per replica AND the whole replica
+    * time-SHIFTED into a disjoint wall-clock range — 10× the sessions at
+    * the SAME per-instant concurrency density, so interval/session
+    * operators see a scale change, not a density change (10 replicas piled
+    * onto one time range would grow the overlap-pair relation ~100× and
+    * measure the data's quadratic density, not the plan). */
+  private[graft] def stageEvents(spark: SparkSession, src: String, out: String): Unit = {
+    val reps = 10
+    // read through Tables.events so ts arrives as the LONG nanos the whole
+    // pipeline uses (raw parquet TIMESTAMP(NANOS) is illegal to Spark 4)
+    val ev = graft.Tables.events(spark, src)
+    val maxU = ev.agg(max("user_id")).head.getLong(0) + 1
+    val maxE = ev.agg(max("event_id")).head.getLong(0) + 1
+    val bounds = ev.agg(min("ts").as("lo"), max("ts").as("hi")).head
+    val spanNs = bounds.getLong(1) - bounds.getLong(0) + 3600L * 1000000000L
+    val scaled = (0 until reps).map { r =>
+      ev.withColumn("user_id", col("user_id") + lit(r * maxU))
+        .withColumn("event_id", col("event_id") + lit(r * maxE))
+        .withColumn("ts", col("ts") + lit(r * spanNs))
+    }.reduce(_ unionAll _)
+    scaled.write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
   /** embeddings: vec_id offset per replica, the 64-dim vector ROTATED by r
     * positions — norm and coordinate distribution preserved (same cosine
     * geometry statistics) while the hyperplane sign signatures change, so
@@ -99,6 +122,10 @@ object ScaleSmoke {
       println(s"[scale] staging 10x embeddings -> $big")
       stageEmbeddings(spark, small, big)
     }
+    if (!new java.io.File(s"$big/events.parquet").isDirectory) {
+      println(s"[scale] staging 10x events -> $big")
+      stageEvents(spark, small, big)
+    }
 
     // optional args = subset of query names to measure (default: all)
     val allQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -110,7 +137,10 @@ object ScaleSmoke {
       "dedup_ngram_jaccard" -> operators.Dedup.dedupNgramJaccard,
       "dedup_minhash_lsh" -> operators.Dedup.dedupMinhashLsh,
       "sim_knn_graph" -> operators.Similarity.simKnnGraph,
-      "q_label_propagation" -> operators.Graph.qLabelPropagation)
+      "q_label_propagation" -> operators.Graph.qLabelPropagation,
+      "dedup_overlap_sketch" -> operators.Dedup.dedupOverlapSketch,
+      "sim_ann_ivfpq" -> operators.Similarity.simAnnIvfpq,
+      "q_interval_overlap" -> operators.Sessionize.qIntervalOverlap)
     val queries =
       if (args.isEmpty) allQueries else allQueries.filter(q => args.contains(q._1))
 
