@@ -1330,7 +1330,61 @@ object Corpus {
        |FROM bp GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // corpus_mix_weights — DATA-MIXTURE weights (the DoReMi/Pile-style
+  // domain-mixing step): given per-source token masses, compute the
+  // sampling weight that moves each source toward a UNIFORM target share,
+  // capped at 3× (the standard don't-repeat-any-source-more-than-~3-epochs
+  // rule), and account for the tokens the capped mixture actually yields.
+  // weight_bp = total·10000 / (n_sources·tokens_s): >10000 upsamples a
+  // rare source, <10000 downsamples a dominant one. One corpus scan →
+  // per-source aggregate → broadcast 1-row totals; all integer.
+  // ---------------------------------------------------------------------
+
+  def corpusMixWeights(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .select(col("source"),
+        size(split(graft.functions.TextFunctions.wsTrim(col("text")), "\\s+"))
+          .cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    val totals = perSource.agg(sum("n_tokens").as("t_tok"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("share_bp", expr("n_tokens * 10000 div t_tok"))
+      .withColumn("raw_weight_bp", expr("t_tok * 10000 div (n_sources * n_tokens)"))
+      .withColumn("weight_bp", least(col("raw_weight_bp"), lit(30000L)))
+      .withColumn("capped", col("raw_weight_bp") > 30000L)
+      .withColumn("expected_tokens", expr("n_tokens * weight_bp div 10000"))
+      .select("source", "n_docs", "n_tokens", "share_bp", "weight_bp",
+        "capped", "expected_tokens")
+      .orderBy("source")
+  }
+
+  private val corpusMixWeightsSql =
+    """WITH per_source AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(array_length(regexp_split_to_array(
+      |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents GROUP BY source
+      |), totals AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tok,
+      |    CAST(count(*) AS BIGINT) AS n_sources
+      |  FROM per_source
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(n_tokens * 10000 // t_tok AS BIGINT) AS share_bp,
+      |  CAST(LEAST(t_tok * 10000 // (n_sources * n_tokens), 30000)
+      |    AS BIGINT) AS weight_bp,
+      |  t_tok * 10000 // (n_sources * n_tokens) > 30000 AS capped,
+      |  CAST(n_tokens * LEAST(t_tok * 10000 // (n_sources * n_tokens), 30000)
+      |    // 10000 AS BIGINT) AS expected_tokens
+      |FROM per_source CROSS JOIN totals
+      |ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("corpus_mix_weights", corpusMixWeights, Some(corpusMixWeightsSql)),
     Q("corpus_pipeline_e2e", corpusPipelineE2e, Some(corpusPipelineE2eSql)),
     Q("corpus_url_normalize", corpusUrlNormalize, Some(corpusUrlNormalizeSql)),
     Q("corpus_parse_dates", corpusParseDates, Some(corpusParseDatesSql)),
