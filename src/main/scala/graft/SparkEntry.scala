@@ -42,7 +42,9 @@ object SparkEntry {
       Q("streaming_late_drop", streaming.EventStream.streamingLateDrop,
         Some(streaming.EventStream.streamingLateDropSql)) :+
       Q("streaming_enrich", streaming.EventStream.streamingEnrich,
-        Some(streaming.EventStream.streamingEnrichSql))
+        Some(streaming.EventStream.streamingEnrichSql)) :+
+      Q("streaming_join_outer", streaming.EventStream.streamingJoinOuter,
+        Some(streaming.EventStream.streamingJoinOuterSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

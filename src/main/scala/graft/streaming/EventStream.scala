@@ -280,6 +280,106 @@ object EventStream {
       |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** LEFT OUTER stream-stream join — the distinct semantics rung above the
+    * inner interval join: unmatched purchases are held in state and their
+    * NULL-padded rows emit only once the watermark proves no click can
+    * still arrive inside the join window (state expiry). Output carries
+    * -1 sentinels instead of SQL NULLs (nullable int64 becomes float64 in
+    * the driver's pandas — a dtype hash trap). */
+  def leftOuterClickPurchase(events: DataFrame): DataFrame = {
+    val withTs = events.withColumn("ets",
+      timestamp_millis(graft.functions.TimeFunctions.nsToMs("ts")))
+    val clicks = withTs.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ets").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val purchases = withTs.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ets").as("pts"))
+      .withWatermark("pts", "1 hour")
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("cts") <= col("pts") &&
+          col("cts") >= col("pts") - expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        unix_millis(col("pts")).as("purchase_ms"),
+        coalesce(unix_millis(col("cts")), lit(-1L)).as("click_ms"))
+  }
+
+  /** Two-phase replay for the outer join: phase 1 streams the real events;
+    * phase 2 delivers two far-future SENTINEL rows (a purchase for user −1
+    * and a click for user −2 — they advance both sides' watermarks without
+    * matching anything) so the watermark passes EVERY real purchase's
+    * join-window expiry and all retained outer state flushes. The oracle
+    * is then the clean batch LEFT JOIN over the real events — no
+    * watermark-boundary case analysis left in the contract. The sentinel
+    * purchase itself never flushes (the watermark cannot pass its own
+    * expiry), so it does not appear in the output. */
+  def streamingJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = graft.Tables.events(s, dir)
+    val maxNs = ev.agg(max("ts")).head().getLong(0)
+    val farNs = maxNs + 10L * 3600L * 1000000000L
+    val staged = java.nio.file.Files.createTempDirectory("graft_outer")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events_b1.parquet"))
+    val sentinelDir = staged.resolve("sent").toString
+    s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, farNs, -1L, "purchase", 0.0, "{}"),
+          org.apache.spark.sql.Row(-2L, farNs, -2L, "click", 0.0, "{}")),
+        eventsSchema)
+      .coalesce(1).write.parquet(sentinelDir)
+    val sentFile = new java.io.File(sentinelDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    val src = s.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val queryName = s"stream_join_outer_${System.nanoTime()}"
+    val q = leftOuterClickPurchase(src).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable() // phase 1: inner matches emit
+      java.nio.file.Files.move(sentFile, staged.resolve("events_b2.parquet"))
+      q.processAllAvailable() // phase 2: watermark jump flushes outer state
+    } finally q.stop()
+    val sink = s.table(queryName)
+    val result = s.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    s.catalog.dropTempView(queryName)
+    new java.io.File(staged.toString).listFiles().filter(_.isFile).foreach(_.delete())
+    val sd = new java.io.File(sentinelDir)
+    if (sd.exists()) { sd.listFiles().foreach(_.delete()); sd.delete() }
+    java.nio.file.Files.deleteIfExists(staged)
+    result.filter(col("purchase_id") >= 0).orderBy("purchase_id", "click_id")
+  }
+
+  /** Batch restatement: the full LEFT interval join over the real events —
+    * every unmatched purchase appears exactly once with -1 click columns,
+    * which is precisely what the sentinel-advanced watermark guarantees the
+    * stream emits. */
+  val streamingJoinOuterSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  coalesce(c.event_id, -1) AS click_id,
+      |  epoch_ms(p.ts) AS purchase_ms,
+      |  coalesce(epoch_ms(c.ts), -1) AS click_ms
+      |FROM events p
+      |LEFT JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND c.event_type = 'click'
+      | AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+      | AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 3600000
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Replay a parquet events table through a real streaming query into a
     * memory sink; returns the sink contents as a DataFrame.
     *

@@ -221,6 +221,26 @@ class PlanSpec extends SparkSpec {
       s"per-group range stats not broadcast back:\n$plan")
   }
 
+  test("phash: pixel fan-out redistributes off the input partition; weights broadcast") {
+    val p = planOf(Multimodal.mmPhash(spark, sf))
+    // the explode pipeline must not run on the input file's ~1 partition:
+    // the repartition exchange sits between the explode and the DCT joins
+    assert(p.contains("Exchange hashpartitioning(doc_id"),
+      s"pixel explode not redistributed — DCT would run on one task:\n$p")
+    // both cosine weight tables join as broadcasts (128 rows each)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"DCT weight tables not broadcast:\n$p")
+  }
+
+  test("ivfpq: centroids, codebook and ADC LUT all broadcast; no cartesian blowup") {
+    val p = planOf(Similarity.simAnnIvfpq(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in IVFPQ:\n$p")
+    // coarse assign, codebook encode, LUT scoring, probe, re-rank sides —
+    // every small relation must arrive as a broadcast
+    assert("Broadcast".r.findAllIn(p).length >= 4,
+      s"IVFPQ small sides not broadcast:\n$p")
+  }
+
   test("tpch classics: the decorrelations hold in the physical plan") {
     // q4: EXISTS becomes a LEFT SEMI join — never inner-join + distinct
     val p4 = planOf(TpchClassics.q4OrderPriority(spark, sf))

@@ -35,6 +35,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("left-outer stream join: expiry flushes exactly the unmatched purchases") {
+    val rows = EventStream.streamingJoinOuter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // no sentinel leakage
+    assert(rows.forall(_.getAs[Long]("purchase_id") >= 0))
+    // outer rows really were emitted (the whole point of the semantics)
+    val outer = rows.filter(_.getAs[Long]("click_id") == -1L)
+    assert(outer.nonEmpty, "no null-padded rows — outer state never flushed")
+    // and they are exactly the purchases the batch join leaves unmatched
+    val ev = Tables.events(spark, sf)
+      .withColumn("ms", graft.functions.TimeFunctions.nsToMs("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ms").as("cms"))
+    val matched = ev.filter(col("event_type") === "purchase")
+      .join(clicks, col("user_id") === col("c_user") &&
+        col("cms") <= col("ms") && col("cms") >= col("ms") - 3600000L,
+        "left_semi")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val allPurchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(outer.map(_.getAs[Long]("purchase_id")).toSet == allPurchases.diff(matched))
+  }
+
   test("stateful flatMapGroupsWithState accumulates correct per-user totals") {
     val out = EventStream.runOnBatch(spark, sf,
       df => EventStream.statefulUserStats(df).toDF(),
