@@ -260,8 +260,167 @@ object Graph {
        |LIMIT 50""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_kcore — K-CORE DECOMPOSITION by iterative peeling (Seidman 1983):
+  // repeatedly delete nodes whose degree within the surviving subgraph is
+  // below k until a fixpoint. The k-core is the standard "dense cluster"
+  // screen over dedup/spam graphs (a near-duplicate cluster that survives
+  // a 3-core is structural, not chance) and the degeneracy step behind
+  // community detection.
+  //
+  // Graph: co-purchase edges that share >= 2 orders (the single-order graph
+  // is near-complete at these SFs — min degree 42 at sf0.01 — so nothing
+  // would ever peel; requiring 2 shared orders yields real peeling
+  // dynamics: 11 rounds to fixpoint at sf0.01).
+  //
+  // Determinism/oracle: peeling runs a FIXED 12 rounds on both engines and
+  // the output is the whole PEELING TRAJECTORY — (round, survivors,
+  // node_sum) for rounds 0..12 — so the hash covers every intermediate
+  // state and the result is non-degenerate even where the core empties.
+  // GraphSpec asserts round 12 is a true fixpoint (a 13th peel changes
+  // nothing), so the final row IS the exact k-core, not an approximation.
+  //
+  // Scale shape: each round is one shuffle-join of the cached edge relation
+  // against the current survivor set plus a hash-aggregate — same cost
+  // shape as one PageRank round. The survivor set only shrinks.
+  // localCheckpoint per round caps logical-plan growth (cur is referenced
+  // twice per round ⇒ 2^R plan nodes without it — the BpeTrain lesson).
+  // At 100 TB: bucket edges by src; the per-round aggregate is map-side
+  // partial; stop early when count(survivors) stabilizes (the fixed-round
+  // form here is what makes the cross-engine oracle exact).
+  // ---------------------------------------------------------------------
+
+  private val kCoreK = 3
+  private val peelRounds = 12
+
+  /** Co-purchase edges backed by >= 2 distinct shared orders (symmetric). */
+  private[graft] def multiOrderEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .select("src", "dst")
+  }
+
+  def qKcore(s: SparkSession, d: String): DataFrame = {
+    val edges = multiOrderEdges(s, d).cache()
+    var cur = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val trajectory = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def snapshot(r: Int, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("survivors"),
+          coalesce(sum("node"), lit(0L)).as("node_sum"))
+        .select(lit(r.toLong).as("peel_round"), col("survivors"), col("node_sum"))
+    trajectory += snapshot(0, cur)
+    for (r <- 1 to peelRounds) {
+      cur = edges
+        .join(cur.select(col("node").as("sn")), col("src") === col("sn"))
+        .join(cur.select(col("node").as("dn")), col("dst") === col("dn"))
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= kCoreK)
+        .select(col("src").as("node"))
+        .localCheckpoint()
+      trajectory += snapshot(r, cur)
+    }
+    trajectory.reduce(_ unionAll _).orderBy("peel_round")
+  }
+
+  private val qKcoreSql: String = {
+    // AS MATERIALIZED: each peel level references the previous one TWICE;
+    // DuckDB inlines plain CTEs, so 12 levels would expand to 2^12 scans
+    // of the base relation ("Too many open files" before it even runs)
+    val peelCtes = (1 to peelRounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.src AS node FROM e
+         |  JOIN c${i - 1} a ON e.src = a.node
+         |  JOIN c${i - 1} b ON e.dst = b.node
+         |  GROUP BY e.src HAVING count(*) >= $kCoreK
+         |)""".stripMargin
+    }.mkString(", ")
+    val rows = (0 to peelRounds).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS peel_round,
+         |  CAST(count(*) AS BIGINT) AS survivors,
+         |  CAST(coalesce(sum(node), 0) AS BIGINT) AS node_sum FROM c$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |), e AS MATERIALIZED (
+       |  SELECT a.p AS src, b.p AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p
+       |  GROUP BY a.p, b.p HAVING count(*) >= 2
+       |), c0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node FROM e
+       |), $peelCtes
+       |$rows
+       |ORDER BY peel_round""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_bfs_layers — MULTI-SOURCE BFS hop distance (the "reachability in r
+  // hops" primitive: blast-radius analysis, graph feature generation,
+  // label spreading seeds). Seeds are the 20 smallest part ids in the
+  // edge relation (deterministic); 3 synchronous frontier-expansion
+  // rounds assign each node its minimum hop distance <= 3.
+  //
+  // Scale shape: round r is one shuffle-join (edges x current dists) +
+  // min-aggregate; dist is referenced once per round so the logical plan
+  // grows linearly (no checkpoint needed for fixed small R). Output is
+  // the hop histogram (hop, n_nodes, node_sum) — covers every node's
+  // assigned layer in the hash without emitting node-grain rows.
+  // ---------------------------------------------------------------------
+
+  private val bfsRounds = 3
+  private val bfsSeeds = 20
+
+  def qBfsLayers(s: SparkSession, d: String): DataFrame = {
+    val edges = multiOrderEdges(s, d).cache()
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .orderBy("node").limit(bfsSeeds)
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+    for (r <- 1 to bfsRounds) {
+      val next = edges.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), lit(r.toLong).as("dist"))
+      dist = dist.unionAll(next).groupBy("node").agg(min("dist").as("dist"))
+    }
+    dist.groupBy(col("dist").as("hop"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"), sum("node").as("node_sum"))
+      .orderBy("hop")
+  }
+
+  private val qBfsLayersSql: String = {
+    val hopCtes = (1 to bfsRounds).map { i =>
+      s"""d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, CAST($i AS BIGINT) AS dist
+         |    FROM e JOIN d${i - 1} p ON e.src = p.node
+         |  ) GROUP BY node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |), e AS (
+       |  SELECT a.p AS src, b.p AS dst
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p
+       |  GROUP BY a.p, b.p HAVING count(*) >= 2
+       |), d0 AS (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist FROM (
+       |    SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT $bfsSeeds)
+       |), $hopCtes
+       |SELECT dist AS hop, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(node) AS BIGINT) AS node_sum
+       |FROM d$bfsRounds
+       |GROUP BY dist
+       |ORDER BY hop""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_pagerank_copurchase", qPagerankCopurchase, Some(qPagerankCopurchaseSql)),
     Q("q_label_propagation", qLabelPropagation, Some(qLabelPropagationSql)),
-    Q("q_triangle_count", qTriangleCount, Some(qTriangleCountSql)))
+    Q("q_triangle_count", qTriangleCount, Some(qTriangleCountSql)),
+    Q("q_kcore", qKcore, Some(qKcoreSql)),
+    Q("q_bfs_layers", qBfsLayers, Some(qBfsLayersSql)))
 }

@@ -71,6 +71,52 @@ class GraphSpec extends SparkSpec {
     assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
   }
 
+  test("kcore: trajectory is monotone non-increasing and round 12 is a true fixpoint") {
+    val rows = qKcore(spark, sf).collect()
+    assert(rows.length == 13)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("peel_round") == i.toLong)
+    }
+    val survivors = rows.map(_.getAs[Long]("survivors"))
+    assert(survivors.zip(survivors.tail).forall { case (a, b) => a >= b },
+      "peeling can only shrink the survivor set")
+    // fixpoint: the last two rounds must agree in BOTH count and node_sum —
+    // so the final row is the exact k-core, not a truncated approximation
+    assert(rows(11).getAs[Long]("survivors") == rows(12).getAs[Long]("survivors"))
+    assert(rows(11).getAs[Long]("node_sum") == rows(12).getAs[Long]("node_sum"))
+    // hand-check the peel semantics on a planted graph: a 4-clique (3-core)
+    // plus a pendant path — the path peels away, the clique survives
+    import SparkSpec.spark.implicits._
+    val cliq = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val path = Seq((4L, 5L), (5L, 4L), (5L, 6L), (6L, 5L))
+    val edges = (cliq ++ path).toDF("src", "dst")
+    var cur = edges.select(col("src").as("node")).distinct()
+    for (_ <- 1 to 3) {
+      cur = edges
+        .join(cur.select(col("node").as("sn")), col("src") === col("sn"))
+        .join(cur.select(col("node").as("dn")), col("dst") === col("dn"))
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 3).select(col("src").as("node"))
+    }
+    assert(cur.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("bfs layers: hop histogram covers seeds at hop 0 and min-hop is stable") {
+    val rows = qBfsLayers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hops = rows.map(_.getAs[Long]("hop"))
+    assert(hops.head == 0L && hops.forall(h => h >= 0L && h <= 3L))
+    // exactly the seed count at hop 0 (seeds are in the edge relation)
+    assert(rows.head.getAs[Long]("n_nodes") == 20L)
+    // deterministic across runs (pure integer min-aggregation)
+    val again = qBfsLayers(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // every node appears in exactly one layer: layer sizes sum to the
+    // number of distinct reachable nodes
+    val total = rows.map(_.getAs[Long]("n_nodes")).sum
+    assert(total >= 20L)
+  }
+
   test("co-purchase edges are symmetric and loop-free") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
