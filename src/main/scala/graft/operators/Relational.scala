@@ -1302,7 +1302,67 @@ object Relational {
       |  ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey)
       |ORDER BY c_mktsegment, bal_cents, c_custkey""".stripMargin
 
+  /** q_skyline — 2D SKYLINE / Pareto-frontier query (Börzsönyi et al. 2001):
+    * the parts not dominated on (retail price, size) — no other part is at
+    * most as expensive AND at most as large while strictly better in one.
+    * The multi-objective "best tradeoff" operator classic optimizers lack.
+    *
+    * Scale design: the textbook NOT-EXISTS form is an O(n²) theta self-join
+    * (that form is the ORACLE, not the plan). Here domination decomposes by
+    * PRICE BUCKET so nothing global ever sorts:
+    *   1. within-bucket: a RANGE-frame window (partition by bucket, order by
+    *      price) gives min(size) over strictly-cheaper same-bucket rows, and
+    *      a (bucket, price)-partition min catches equal-price-smaller-size;
+    *   2. cross-bucket: every row of a strictly lower bucket is strictly
+    *      cheaper, so only the BUCKET-GRAIN running min of size crosses
+    *      buckets — a ≤n_buckets-row relation, windowed and broadcast back.
+    * Equal (price, size) pairs are incomparable ⇒ both kept (standard
+    * skyline tie semantics). Price in exact integer cents both engines.
+    * At 100 TB: buckets are the partition key; the bucket-summary window is
+    * driver-scale metadata. */
+  def qSkyline(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.part(s, d).select(
+      col("p_partkey"),
+      round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+      col("p_size").cast("long").as("size"))
+      .withColumn("bucket", floor(col("price_cents") / lit(10000L)).cast("long"))
+    val inBucket = Window.partitionBy("bucket").orderBy("price_cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val atPrice = Window.partitionBy("bucket", "price_cents")
+    val bucketMin = pts.groupBy("bucket")
+      .agg(min("size").as("bmin"))
+    val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val lowerMin = bucketMin
+      .withColumn("lower_min", min("bmin").over(wB))
+      .select("bucket", "lower_min")
+    pts
+      .withColumn("m_cheaper", min("size").over(inBucket))
+      .withColumn("m_same", min("size").over(atPrice))
+      .join(broadcast(lowerMin), Seq("bucket"))
+      .filter(
+        (col("m_cheaper").isNull || col("m_cheaper") > col("size")) &&
+          col("m_same") === col("size") &&
+          (col("lower_min").isNull || col("lower_min") > col("size")))
+      .select("p_partkey", "price_cents", "size")
+      .orderBy("price_cents", "size", "p_partkey")
+  }
+
+  private val qSkylineSql =
+    """WITH pts AS (
+      |  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |    CAST(p_size AS BIGINT) AS size
+      |  FROM part
+      |)
+      |SELECT p.p_partkey, p.price_cents, p.size
+      |FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.price_cents <= p.price_cents AND q.size <= p.size
+      |    AND (q.price_cents < p.price_cents OR q.size < p.size))
+      |ORDER BY price_cents, size, p_partkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_skyline", qSkyline, Some(qSkylineSql)),
     Q("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     Q("q_window_distribution", qWindowDistribution, Some(qWindowDistributionSql)),
     Q("q_histogram_quantiles", qHistogramQuantiles, Some(qHistogramQuantilesSql)),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -613,7 +613,83 @@ object Sessionize {
        |ORDER BY rk
        |LIMIT 100""".stripMargin
 
+  /** q_anomaly_mad — robust TIME-SERIES ANOMALY DETECTION: per event type,
+    * minute-bucket counts screened against a ±3-bucket rolling median/MAD
+    * (the Hampel filter — the standard ops/monitoring outlier rule, robust
+    * where a rolling mean/stddev is itself dragged by the spike it should
+    * flag). Flag when |x − med| > 3·MAD.
+    *
+    * Exact integer arithmetic end to end via DOUBLED units (the
+    * q_robust_stats trick, here over a rolling frame): med2 = 2·median of
+    * the ≤7-value frame (sum of the two middle order statistics — an exact
+    * BIGINT whether the frame is odd or even), deviations d_i = |2·x_i −
+    * med2| = 2·|x_i − med|, m2d = 2·median(d_i) = 4·MAD, and the flag
+    * |x − med| > 3·MAD cross-multiplies to 2·d > 3·m2d. No engine's
+    * float quantile interpolation is ever consulted.
+    *
+    * Scale shape: one hash-aggregate to minute grain (the only shuffle of
+    * event-grain data), then rolling windows partitioned BY EVENT TYPE over
+    * minute-grain rows — bounded series per partition, codegen'd
+    * sort_array/transform/aggregate HOFs, no UDFs, no self-join. At 100 TB
+    * the minute grid is ~525k rows/type/year — still window-friendly;
+    * partition by (type, day) with a 3-row halo if a single series ever
+    * outgrows an executor. */
+  def qAnomalyMad(s: SparkSession, d: String): DataFrame = {
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val perMin = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (ms - pmod(ms, lit(60000L))).as("minute_ms"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("minute_ms")
+      .rowsBetween(-3, 3)
+    // med2(sorted a) = a[(n-1)/2] + a[n/2]  (0-based; = 2·median, exact)
+    def med2Of(arrCol: Column): Column = {
+      val a = sort_array(arrCol)
+      val n = size(a)
+      element_at(a, floor((n - 1) / lit(2)).cast("int") + 1) +
+        element_at(a, floor(n / lit(2)).cast("int") + 1)
+    }
+    perMin
+      .withColumn("frame", collect_list("cnt").over(w))
+      .withColumn("med2", med2Of(col("frame")))
+      .withColumn("m2d", med2Of(transform(col("frame"),
+        x => abs(x * 2 - col("med2")))))
+      .withColumn("is_anomaly",
+        (abs(col("cnt") * 2 - col("med2")) * 2) > col("m2d") * 3)
+      .select(col("event_type"), col("minute_ms"), col("cnt"),
+        col("med2"), col("m2d"), col("is_anomaly"))
+      .orderBy("event_type", "minute_ms")
+  }
+
+  private val qAnomalyMadSql =
+    """WITH permin AS (
+      |  SELECT event_type,
+      |    epoch_ms(ts) - epoch_ms(ts) % 60000 AS minute_ms,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events
+      |  GROUP BY 1, 2
+      |), framed AS (
+      |  SELECT event_type, minute_ms, cnt,
+      |    list_sort(list(cnt) OVER (PARTITION BY event_type ORDER BY minute_ms
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS f
+      |  FROM permin
+      |), med AS (
+      |  SELECT event_type, minute_ms, cnt, f,
+      |    f[(len(f) - 1) // 2 + 1] + f[len(f) // 2 + 1] AS med2
+      |  FROM framed
+      |), dev AS (
+      |  SELECT event_type, minute_ms, cnt, med2,
+      |    list_sort(list_transform(f, x -> abs(x * 2 - med2))) AS df
+      |  FROM med
+      |)
+      |SELECT event_type, minute_ms, cnt, med2,
+      |  df[(len(df) - 1) // 2 + 1] + df[len(df) // 2 + 1] AS m2d,
+      |  abs(cnt * 2 - med2) * 2 > (df[(len(df) - 1) // 2 + 1] + df[len(df) // 2 + 1]) * 3 AS is_anomaly
+      |FROM dev
+      |ORDER BY event_type, minute_ms""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_anomaly_mad", qAnomalyMad, Some(qAnomalyMadSql)),
     Q("q_interval_overlap", qIntervalOverlap, Some(qIntervalOverlapSql)),
     Q("q_event_attribution", eventsAttribution, Some(eventsAttributionSql)),
     Q("q_events_retention", eventsRetention, Some(eventsRetentionSql)),

@@ -218,4 +218,27 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+  test("skyline: agrees with the naive O(n^2) domination check") {
+    val rows = qSkyline(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // naive reference computed locally over the full point set
+    val pts = Tables.part(spark, sf).select(
+        col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+        col("p_size").cast("long").as("size")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val naive = pts.filter { case (_, p1, s1) =>
+      !pts.exists { case (_, p2, s2) =>
+        p2 <= p1 && s2 <= s1 && (p2 < p1 || s2 < s1) }
+    }.map(_._1).toSet
+    assert(rows.map(_.getAs[Long]("p_partkey")).toSet == naive)
+    // the frontier is strictly decreasing in size as price increases
+    // (between distinct price levels)
+    val frontier = rows.map(r => (r.getAs[Long]("price_cents"), r.getAs[Long]("size")))
+    frontier.sliding(2).foreach {
+      case Array((pa, sa), (pb, sb)) =>
+        if (pa < pb) assert(sb < sa, "more expensive frontier point must be smaller")
+      case _ =>
+    }
+  }
 }

@@ -206,4 +206,24 @@ class SessionizeSpec extends SparkSpec {
       assert(math.abs(bp - 10000L) <= rs.length, s"$ft rows sum to $bp bp")
     }
   }
+  test("anomaly mad: hampel flag matches a hand rolling median/MAD recompute") {
+    val rows = qAnomalyMad(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute per type from the minute counts alone
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("minute_ms"))
+      val cnts = sorted.map(_.getAs[Long]("cnt"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val frame = cnts.slice(math.max(0, i - 3), math.min(cnts.length, i + 4)).sorted
+        val n = frame.length
+        val med2 = frame((n - 1) / 2) + frame(n / 2)
+        assert(r.getAs[Long]("med2") == med2, s"med2 at row $i")
+        val devs = frame.map(x => math.abs(2 * x - med2)).sorted
+        val m2d = devs((n - 1) / 2) + devs(n / 2)
+        assert(r.getAs[Long]("m2d") == m2d, s"m2d at row $i")
+        assert(r.getAs[Boolean]("is_anomaly") ==
+          (math.abs(2 * cnts(i) - med2) * 2 > 3 * m2d), s"flag at row $i")
+      }
+    }
+  }
 }
