@@ -21,6 +21,8 @@ object SparkEntry {
       operators.Skew.all ++
       operators.AsOf.all ++
       operators.Graph.all ++
+      operators.Mining.all ++
+      operators.TimeSeries.all ++
       operators.Multimodal.all ++
       sources.JsonlSource.all :+
       Q("streaming_sessionize", streaming.EventStream.streamingSessionize,

@@ -417,7 +417,155 @@ object Graph {
        |ORDER BY hop""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_sssp_weighted — WEIGHTED single-source shortest paths (multi-source,
+  // 3 Bellman–Ford relaxation rounds) over the co-purchase graph with
+  // edge cost 1e6 div n_shared_orders — strong ties are cheap, so distance
+  // reads as "relatedness hops". The weighted sibling of q_bfs_layers and
+  // the standard min-plus semiring iteration (route cost, influence
+  // distance, cheapest-path ETL joins).
+  //
+  // Exactness: integer micro-costs, min-aggregate relaxation — no floats,
+  // so round results are order-independent under any partitioning. Output
+  // is the distance histogram at 0.1-cost granularity (bucket, n, Σnode)
+  // so every node's final distance is hashed (bucket = dist div 100000).
+  //
+  // Scale shape: one shuffle-join + min-aggregate per round against the
+  // CACHED weighted edge relation; dist is localCheckpoint'd per round so
+  // the plan stays round-local. K rounds = K-hop-bounded distances
+  // (documented truncation, same contract as q_bfs_layers); at 100 TB
+  // bucket edges by src for an exchange-free relaxation join.
+  // ---------------------------------------------------------------------
+  private val ssspRounds = 3
+  private val ssspSeeds = 20
+
+  def qSsspWeighted(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .select(col("src"), col("dst"), expr("1000000 div n_shared").as("w"))
+      .cache()
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .orderBy("node").limit(ssspSeeds)
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to ssspRounds) {
+      val relaxed = edges.join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed).groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.groupBy(expr("dist div 100000").as("dist_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"), sum("node").as("node_sum"))
+      .orderBy("dist_bucket")
+  }
+
+  private val qSsspWeightedSql: String = {
+    val roundCtes = (1 to ssspRounds).map { i =>
+      s"""d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.dist + e.w AS dist
+         |    FROM e JOIN d${i - 1} p ON e.src = p.node
+         |  ) GROUP BY node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+       |), e AS (
+       |  SELECT a.p AS src, b.p AS dst, 1000000 // count(*) AS w
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p
+       |  GROUP BY a.p, b.p HAVING count(*) >= 2
+       |), d0 AS (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist FROM (
+       |    SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT $ssspSeeds)
+       |), $roundCtes
+       |SELECT dist // 100000 AS dist_bucket, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(node) AS BIGINT) AS node_sum
+       |FROM d$ssspRounds
+       |GROUP BY 1
+       |ORDER BY dist_bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_link_predict — LINK PREDICTION over the multi-order co-purchase
+  // graph: for every non-adjacent pair (a, b) sharing at least one
+  // neighbor, score the missing edge by the Resource-Allocation index
+  // (Zhou/Lü/Zhang 2009, the integer-friendly sibling of Adamic–Adar:
+  // Σ_z 1/deg(z) over common neighbors z) plus the raw common-neighbor
+  // count. The "customers also bought" / recommendation primitive, and the
+  // candidate generator for graph-completion pipelines.
+  //
+  // Exactness: RA weights are micro-units 1000000 div deg(z) — pure BIGINT
+  // on both engines (Adamic–Adar's 1/log deg would drag in float logs).
+  //
+  // Scale shape: common-neighbor pairs come from the wedge relation
+  // (z's neighbor list squared), generated AT z's partition — O(Σ deg²)
+  // rows but never an edges×edges shuffle; the non-adjacency screen is a
+  // left-anti join against the (cached) edge set; top-100 via a
+  // WindowGroupLimit-eligible global rank. At 100 TB the standard knob is
+  // a hub cap: a z with deg > D contributes ≤ 1e6/D per pair — dropping
+  // mega-hubs bounds the wedge blowup with a provable score error bound.
+  // ---------------------------------------------------------------------
+  def qLinkPredict(s: SparkSession, d: String): DataFrame = {
+    val edges = multiOrderEdges(s, d).cache() // symmetric (src, dst)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ew = edges.join(deg, "src")
+      .select(col("src").as("z"), col("dst").as("n"),
+        expr("1000000 div deg").as("w"))
+    val wedge = ew.as("ea").join(ew.as("eb"),
+        col("ea.z") === col("eb.z") && col("ea.n") < col("eb.n"))
+      .select(col("ea.n").as("a"), col("eb.n").as("b"), col("ea.w").as("w"))
+    val scored = wedge.groupBy("a", "b")
+      .agg(count(lit(1)).as("common_n"), sum("w").as("ra_micro"))
+      .join(edges.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+    val w = Window.orderBy(col("ra_micro").desc, col("common_n").desc,
+      col("a").asc, col("b").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 100)
+      .select(col("rk"), col("a").as("part_a"), col("b").as("part_b"),
+        col("common_n"), col("ra_micro"))
+      .orderBy("rk")
+  }
+
+  private val qLinkPredictSql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      |), e AS (
+      |  SELECT a.p AS src, b.p AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p
+      |  GROUP BY a.p, b.p
+      |  HAVING count(*) >= 2
+      |), deg AS (
+      |  SELECT src, count(*) AS deg FROM e GROUP BY src
+      |), ew AS (
+      |  SELECT e.src AS z, e.dst AS n, 1000000 // d.deg AS w
+      |  FROM e JOIN deg d ON e.src = d.src
+      |), scored AS (
+      |  SELECT ea.n AS a, eb.n AS b,
+      |    CAST(count(*) AS BIGINT) AS common_n,
+      |    CAST(sum(ea.w) AS BIGINT) AS ra_micro
+      |  FROM ew ea JOIN ew eb ON ea.z = eb.z AND ea.n < eb.n
+      |  GROUP BY ea.n, eb.n
+      |), nonadj AS (
+      |  SELECT s.* FROM scored s
+      |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = s.a AND e.dst = s.b)
+      |)
+      |SELECT CAST(row_number() OVER
+      |    (ORDER BY ra_micro DESC, common_n DESC, a, b) AS BIGINT) AS rk,
+      |  a AS part_a, b AS part_b, common_n, ra_micro
+      |FROM nonadj
+      |ORDER BY rk
+      |LIMIT 100""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_sssp_weighted", qSsspWeighted, Some(qSsspWeightedSql)),
+    Q("q_link_predict", qLinkPredict, Some(qLinkPredictSql)),
     Q("q_pagerank_copurchase", qPagerankCopurchase, Some(qPagerankCopurchaseSql)),
     Q("q_label_propagation", qLabelPropagation, Some(qLabelPropagationSql)),
     Q("q_triangle_count", qTriangleCount, Some(qTriangleCountSql)),

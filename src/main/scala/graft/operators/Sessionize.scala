@@ -688,7 +688,132 @@ object Sessionize {
       |FROM dev
       |ORDER BY event_type, minute_ms""".stripMargin
 
+  /** q_seasonal_baseline — SEASONAL-PROFILE anomaly screening: per event
+    * type, the minute-of-hour seasonal baseline (mean count over every
+    * observed minute bucket sharing that minute-of-hour) and each minute's
+    * residual against it. The de-seasonalization step every ops/metrics
+    * pipeline runs before thresholding — a raw spike at an always-busy
+    * minute is normal; the same count at a quiet minute is the anomaly.
+    *
+    * Integer exactness: baseline_micro = (1e6·Σcnt) div n_buckets;
+    * resid_micro = 1e6·cnt − baseline_micro. Truncating BIGINT division on
+    * both engines; no float means.
+    *
+    * Scale shape: one hash-aggregate to minute grain, one re-aggregate to
+    * the (type × 60)-row profile — driver-scale metadata that BROADCASTS
+    * back onto the minute relation (map-side join, no second shuffle of
+    * the big side). At 100 TB the profile is still ≤ types×60 rows. */
+  def qSeasonalBaseline(s: SparkSession, d: String): DataFrame = {
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val perMin = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (ms - pmod(ms, lit(60000L))).as("minute_ms"))
+      .agg(count(lit(1)).as("cnt"))
+    val profile = perMin
+      .withColumn("moh", pmod(floor(col("minute_ms") / lit(60000L)), lit(60L)))
+      .groupBy("event_type", "moh")
+      .agg(expr("(1000000 * sum(cnt)) div count(1)").as("baseline_micro"))
+    perMin
+      .withColumn("moh", pmod(floor(col("minute_ms") / lit(60000L)), lit(60L)))
+      .join(broadcast(profile), Seq("event_type", "moh"))
+      .select(col("event_type"), col("minute_ms"), col("moh"), col("cnt"),
+        col("baseline_micro"),
+        (col("cnt") * lit(1000000L) - col("baseline_micro")).as("resid_micro"))
+      .orderBy("event_type", "minute_ms")
+  }
+
+  private val qSeasonalBaselineSql =
+    """WITH permin AS (
+      |  SELECT event_type,
+      |    epoch_ms(ts) - epoch_ms(ts) % 60000 AS minute_ms,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events
+      |  GROUP BY 1, 2
+      |), withmoh AS (
+      |  SELECT *, (minute_ms // 60000) % 60 AS moh FROM permin
+      |), profile AS (
+      |  SELECT event_type, moh,
+      |    CAST((1000000 * sum(cnt)) // count(*) AS BIGINT) AS baseline_micro
+      |  FROM withmoh GROUP BY event_type, moh
+      |)
+      |SELECT w.event_type, w.minute_ms, w.moh, w.cnt, p.baseline_micro,
+      |  w.cnt * 1000000 - p.baseline_micro AS resid_micro
+      |FROM withmoh w JOIN profile p
+      |  ON w.event_type = p.event_type AND w.moh = p.moh
+      |ORDER BY w.event_type, w.minute_ms""".stripMargin
+
+  /** q_time_decay — gap-aware EXPONENTIALLY-DECAYED rolling average
+    * (half-life = 1 minute) over per-minute event counts: the trend
+    * smoother behind rate limiting, trending-topics, and decayed feature
+    * aggregation. Weight of a bucket k minutes back is 2^(15−k) (15 =
+    * oldest minute in the 16-minute horizon), so the decay follows WALL
+    * TIME — a bucket after a 5-minute gap is decayed 32×, where a ROWS
+    * frame would wrongly treat it as adjacent.
+    *
+    * Integer exactness: weights are powers of two in BIGINT; ewma_micro =
+    * (1e6·Σ cnt·w) div Σ w, where Σw is over the minutes actually present
+    * (ragged starts and gaps contribute nothing). No float exponentials.
+    *
+    * Scale shape: the decayed sum is a RANGE-frame window partitioned by
+    * event type over MINUTE-GRAIN rows (one hash-aggregate of event-grain
+    * data, then bounded ≤16-element frames). The frame is a codegen'd
+    * transform/aggregate HOF pair — no self-join of the minute grid, no
+    * UDF. At 100 TB: partition by (type, day) with a 15-minute halo. */
+  def qTimeDecay(s: SparkSession, d: String): DataFrame = {
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val perMin = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        (ms - pmod(ms, lit(60000L))).as("minute_ms"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("minute_ms")
+      .rangeBetween(-15L * 60000L, 0L)
+    val decayed = perMin
+      .withColumn("frame", collect_list(struct(col("minute_ms").as("m"),
+        col("cnt").as("c"))).over(w))
+      .withColumn("num", aggregate(
+        transform(col("frame"), x =>
+          x.getField("c") * call_function("shiftleft", lit(1L),
+            (lit(15L) - floor((col("minute_ms") - x.getField("m")) / lit(60000L)))
+              .cast("int"))),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("den", aggregate(
+        transform(col("frame"), x =>
+          call_function("shiftleft", lit(1L),
+            (lit(15L) - floor((col("minute_ms") - x.getField("m")) / lit(60000L)))
+              .cast("int"))),
+        lit(0L), (acc, v) => acc + v))
+    decayed
+      .select(col("event_type"), col("minute_ms"), col("cnt"),
+        expr("(1000000 * num) div den").as("ewma_micro"))
+      .orderBy("event_type", "minute_ms")
+  }
+
+  private val qTimeDecaySql =
+    """WITH permin AS (
+      |  SELECT event_type,
+      |    epoch_ms(ts) - epoch_ms(ts) % 60000 AS minute_ms,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events
+      |  GROUP BY 1, 2
+      |), framed AS (
+      |  SELECT event_type, minute_ms, cnt,
+      |    list({'m': minute_ms, 'c': cnt}) OVER (
+      |      PARTITION BY event_type ORDER BY minute_ms
+      |      RANGE BETWEEN 900000 PRECEDING AND CURRENT ROW) AS frame
+      |  FROM permin
+      |)
+      |SELECT event_type, minute_ms, cnt,
+      |  CAST((1000000 * list_sum(list_transform(frame,
+      |      x -> x.c * (CAST(1 AS BIGINT) << CAST(15 - (minute_ms - x.m) // 60000 AS INTEGER))))) //
+      |    list_sum(list_transform(frame,
+      |      x -> CAST(1 AS BIGINT) << CAST(15 - (minute_ms - x.m) // 60000 AS INTEGER)))
+      |    AS BIGINT) AS ewma_micro
+      |FROM framed
+      |ORDER BY event_type, minute_ms""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_seasonal_baseline", qSeasonalBaseline, Some(qSeasonalBaselineSql)),
+    Q("q_time_decay", qTimeDecay, Some(qTimeDecaySql)),
     Q("q_anomaly_mad", qAnomalyMad, Some(qAnomalyMadSql)),
     Q("q_interval_overlap", qIntervalOverlap, Some(qIntervalOverlapSql)),
     Q("q_event_attribution", eventsAttribution, Some(eventsAttributionSql)),

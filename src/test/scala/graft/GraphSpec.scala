@@ -117,6 +117,67 @@ class GraphSpec extends SparkSpec {
     assert(total >= 20L)
   }
 
+  test("link predict: scores agree with a naive local recompute; no adjacent pairs") {
+    val rows = qLinkPredict(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // naive local recompute over the collected multi-order edge set
+    val es = operators.Graph.multiOrderEdges(spark, sf).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val adj = es.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+    val deg = adj.map { case (k, v) => (k, v.size.toLong) }
+    val pairs = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    for ((z, ns) <- adj; a <- ns; b <- ns if a < b) {
+      val (cn, ra) = pairs.getOrElse((a, b), (0L, 0L))
+      pairs((a, b)) = (cn + 1, ra + 1000000L / deg(z))
+    }
+    val naive = pairs.filter { case ((a, b), _) => !adj(a).contains(b) }
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))
+      assert(naive.contains(k), s"pair $k must be non-adjacent with common neighbors")
+      assert(naive(k) == (r.getAs[Long]("common_n"), r.getAs[Long]("ra_micro")),
+        s"scores for $k")
+    }
+    // ranking is by the declared key and the top-100 really is the top
+    val top = naive.toSeq.map { case ((a, b), (cn, ra)) => (-ra, -cn, a, b) }.sorted
+      .take(rows.length)
+    assert(rows.map(r => (-r.getAs[Long]("ra_micro"), -r.getAs[Long]("common_n"),
+      r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))).toSeq == top)
+  }
+
+  test("sssp: bucketed distances match a local 3-round Bellman-Ford") {
+    val rows = qSsspWeighted(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // local recompute from the raw weighted edge list
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val rowsLi = li.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = rowsLi.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+    val cooc = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for ((_, ps) <- byOrder; a <- ps; b <- ps if a != b)
+      cooc((a, b)) = cooc.getOrElse((a, b), 0L) + 1
+    val pairs = cooc.toSeq.collect {
+      case ((s0, d0), n) if n >= 2 => (s0, d0, 1000000L / n)
+    }
+    val seeds = pairs.map(_._1).distinct.sorted.take(20)
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = pairs.flatMap { case (s0, d0, w) =>
+        dist.get(s0).map(ds => (d0, ds + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, v) => (k, v.map(_._2).min) }
+    }
+    val expect = dist.toSeq.groupBy(_._2 / 100000L)
+      .map { case (b, v) => (b, (v.size.toLong, v.map(_._1).sum)) }
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (nn, sum0) = expect(r.getAs[Long]("dist_bucket"))
+      assert(r.getAs[Long]("n_nodes") == nn && r.getAs[Long]("node_sum") == sum0)
+    }
+    // bucket 0 exists: the seeds themselves are at distance 0
+    assert(rows.head.getAs[Long]("dist_bucket") == 0L)
+  }
+
   test("co-purchase edges are symmetric and loop-free") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()

@@ -91,6 +91,7 @@ class PlanSpec extends SparkSpec {
       "text_cms_freq" -> TextAnalysis.textCmsFreq(spark, sf),
       "text_zipf_fit" -> TextAnalysis.textZipfFit(spark, sf),
       "q_label_propagation" -> Graph.qLabelPropagation(spark, sf),
+      "q_link_predict" -> Graph.qLinkPredict(spark, sf),
       "sim_rank_fusion" -> Similarity.simRankFusion(spark, sf))
     val missing = globalTopK.collect {
       case (name, df) if {

@@ -206,6 +206,44 @@ class SessionizeSpec extends SparkSpec {
       assert(math.abs(bp - 10000L) <= rs.length, s"$ft rows sum to $bp bp")
     }
   }
+  test("seasonal baseline: profile means and residuals recompute by hand") {
+    val rows = qSeasonalBaseline(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("moh")))
+      .foreach { case (_, rs) =>
+        val base = (1000000L * rs.map(_.getAs[Long]("cnt")).sum) / rs.length
+        rs.foreach { r =>
+          assert(r.getAs[Long]("baseline_micro") == base)
+          assert(r.getAs[Long]("resid_micro") ==
+            r.getAs[Long]("cnt") * 1000000L - base)
+          assert(r.getAs[Long]("moh") == (r.getAs[Long]("minute_ms") / 60000L) % 60L)
+        }
+      }
+    // residuals of a profile group sum to ~0 (truncation leaves < n micro)
+    rows.groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("moh")))
+      .foreach { case (k, rs) =>
+        val tot = rs.map(_.getAs[Long]("resid_micro")).sum
+        assert(tot >= 0 && tot < rs.length, s"residual sum for $k is $tot")
+      }
+  }
+
+  test("time decay: gap-aware weights recompute by hand; gaps decay harder") {
+    val rows = qTimeDecay(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("minute_ms"))
+      val series = sorted.map(r => (r.getAs[Long]("minute_ms"), r.getAs[Long]("cnt")))
+      sorted.foreach { r =>
+        val t = r.getAs[Long]("minute_ms")
+        val frame = series.filter { case (m, _) => m >= t - 900000L && m <= t }
+        val num = frame.map { case (m, c) => c << (15L - (t - m) / 60000L).toInt }.sum
+        val den = frame.map { case (m, _) => 1L << (15L - (t - m) / 60000L).toInt }.sum
+        assert(r.getAs[Long]("ewma_micro") == 1000000L * num / den,
+          s"ewma at $t")
+      }
+    }
+  }
+
   test("anomaly mad: hampel flag matches a hand rolling median/MAD recompute") {
     val rows = qAnomalyMad(spark, sf).collect()
     assert(rows.nonEmpty)
