@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Graph.all ++
       operators.Mining.all ++
       operators.TimeSeries.all ++
+      operators.StatTests.all ++
       operators.Multimodal.all ++
       sources.JsonlSource.all :+
       Q("streaming_sessionize", streaming.EventStream.streamingSessionize,

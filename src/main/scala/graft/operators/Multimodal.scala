@@ -617,7 +617,117 @@ object Multimodal {
       |GROUP BY m.doc_id
       |ORDER BY m.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mm_audio_fingerprint — CONSTELLATION audio fingerprinting (Wang 2003,
+  // the Shazam scheme) over the PCM stub: frame energies → strict local
+  // maxima as spectral "peaks" → each peak paired with its next ≤2 peaks
+  // within 16 frames → landmark hash (quantized energies + the gap). The
+  // retrieval key behind audio dedup/content-ID at corpus scale: matching
+  // clips share landmark hashes, so the 100 TB lookup is an equi-join on
+  // `fp`, never a signal-level comparison.
+  //
+  // Exactness: energies are integer (Σv² over char samples, the
+  // mm_audio_chunk convention); peaks use strict > against the previous
+  // and ≥ the next frame (deterministic at plateaus); the hash is pure
+  // integer arithmetic — no FFT, no floats (the container has no codec
+  // libs; the pipeline shape is the real one).
+  //
+  // Scale shape: per-doc windows over frame rows (fanout = length/32),
+  // then one aggregate to doc grain. Everything partitions by doc_id.
+  // ---------------------------------------------------------------------
+  def mmAudioFingerprint(s: SparkSession, d: String): DataFrame = {
+    val frameLen = 32
+    val frames = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        expr(s"length(text) div $frameLen").cast("long").as("n_frames"))
+      .filter(col("n_frames") > 2)
+      .select(col("doc_id"), col("text"), col("n_frames"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1)).as(Seq("ignored", "f")))
+      .select(col("doc_id"), col("text"), col("n_frames"), col("f"),
+        posexplode(sequence(lit(0), lit(frameLen - 1))).as(Seq("ig2", "j")))
+      .select(col("doc_id"), col("n_frames"), col("f"),
+        (ascii(expr(s"substring(text, cast(f * $frameLen + j + 1 as int), 1)"))
+          .cast("long") - 128L).as("v"))
+      .groupBy("doc_id", "n_frames", "f")
+      .agg(sum(col("v") * col("v")).as("energy"))
+    val wf = Window.partitionBy("doc_id").orderBy("f")
+    val peaks = frames
+      .withColumn("pe", lag("energy", 1).over(wf))
+      .withColumn("ne", lead("energy", 1).over(wf))
+      .filter(col("pe").isNotNull && col("ne").isNotNull &&
+        col("energy") > col("pe") && col("energy") >= col("ne"))
+      .select(col("doc_id"), col("n_frames"), col("f"), col("energy"))
+    val wp = Window.partitionBy("doc_id").orderBy("f")
+    val landmarks = peaks
+      .withColumn("f1", lead("f", 1).over(wp))
+      .withColumn("e1", lead("energy", 1).over(wp))
+      .withColumn("f2", lead("f", 2).over(wp))
+      .withColumn("e2", lead("energy", 2).over(wp))
+      .select(col("doc_id"), col("n_frames"), col("f"), col("energy"),
+        explode(array(
+          struct(col("f1").as("ft"), col("e1").as("et")),
+          struct(col("f2").as("ft"), col("e2").as("et")))).as("pair"))
+      .filter(col("pair.ft").isNotNull && col("pair.ft") - col("f") <= 16)
+      .select(col("doc_id"), col("n_frames"),
+        (((pmod(col("energy"), lit(997L)) * 997L + pmod(col("pair.et"), lit(997L)))
+          * 64L) + (col("pair.ft") - col("f"))).as("fp"))
+    landmarks.groupBy("doc_id")
+      .agg(max("n_frames").as("n_frames"),
+        count(lit(1)).as("n_landmarks"),
+        count_distinct(col("fp")).as("n_distinct_fp"),
+        min("fp").as("fp_min"), max("fp").as("fp_max"),
+        pmod(sum("fp"), lit(1000000007L)).as("fp_checksum"))
+      .orderBy("doc_id")
+  }
+
+  private val mmAudioFingerprintSql =
+    """WITH meta AS (
+      |  SELECT doc_id, text, CAST(length(text) // 32 AS BIGINT) AS n_frames
+      |  FROM documents WHERE length(text) // 32 > 2
+      |), fr0 AS (
+      |  SELECT doc_id, text, n_frames,
+      |    unnest(generate_series(0, n_frames - 1)) AS f
+      |  FROM meta
+      |), sm AS (
+      |  SELECT doc_id, n_frames, f,
+      |    ascii(substr(text, CAST(f * 32 + j.j + 1 AS INT), 1)) - 128 AS v
+      |  FROM fr0 CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) j
+      |), fr AS (
+      |  SELECT doc_id, n_frames, f, CAST(sum(v * v) AS BIGINT) AS energy
+      |  FROM sm GROUP BY doc_id, n_frames, f
+      |), pk AS (
+      |  SELECT doc_id, n_frames, f, energy FROM (
+      |    SELECT doc_id, n_frames, f, energy,
+      |      lag(energy, 1) OVER (PARTITION BY doc_id ORDER BY f) AS pe,
+      |      lead(energy, 1) OVER (PARTITION BY doc_id ORDER BY f) AS ne
+      |    FROM fr)
+      |  WHERE pe IS NOT NULL AND ne IS NOT NULL AND energy > pe AND energy >= ne
+      |), led AS (
+      |  SELECT doc_id, n_frames, f, energy,
+      |    lead(f, 1) OVER (PARTITION BY doc_id ORDER BY f) AS f1,
+      |    lead(energy, 1) OVER (PARTITION BY doc_id ORDER BY f) AS e1,
+      |    lead(f, 2) OVER (PARTITION BY doc_id ORDER BY f) AS f2,
+      |    lead(energy, 2) OVER (PARTITION BY doc_id ORDER BY f) AS e2
+      |  FROM pk
+      |), lm AS (
+      |  SELECT doc_id, n_frames,
+      |    ((energy % 997) * 997 + (e1 % 997)) * 64 + (f1 - f) AS fp
+      |  FROM led WHERE f1 IS NOT NULL AND f1 - f <= 16
+      |  UNION ALL
+      |  SELECT doc_id, n_frames,
+      |    ((energy % 997) * 997 + (e2 % 997)) * 64 + (f2 - f) AS fp
+      |  FROM led WHERE f2 IS NOT NULL AND f2 - f <= 16
+      |)
+      |SELECT doc_id, max(n_frames) AS n_frames,
+      |  CAST(count(*) AS BIGINT) AS n_landmarks,
+      |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+      |  CAST(min(fp) AS BIGINT) AS fp_min, CAST(max(fp) AS BIGINT) AS fp_max,
+      |  CAST(sum(fp) % 1000000007 AS BIGINT) AS fp_checksum
+      |FROM lm GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("mm_audio_fingerprint", mmAudioFingerprint, Some(mmAudioFingerprintSql)),
     Q("mm_audio_vad", mmAudioVad, Some(mmAudioVadSql)),
     Q("mm_phash", mmPhash, Some(mmPhashSql)),
     Q("mm_video_shot_boundary", mmVideoShotBoundary, Some(mmVideoShotBoundarySql)),

@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nonparametric two-sample tests — the drift/AB-testing screens that run
+  * next to q_chi2 (categorical) and q_psi_drift (share drift): Mann–Whitney
+  * U for "did the distribution shift" on an ordinal feature, and a binned
+  * two-sample Kolmogorov–Smirnov distance for a continuous one.
+  *
+  * Both use the HISTOGRAM-FIRST shape: one hash-aggregate collapses the
+  * fact table to a (value-bucket × group) contingency grid, and the test
+  * statistic is computed from cumulative windows over that metadata-sized
+  * grid — rank-based statistics WITHOUT a global sort of the data (the
+  * textbook rank() formulation would funnel the whole table through one
+  * partition; the count-grid formulation is exactly equivalent and scales).
+  */
+object StatTests {
+
+  // ---------------------------------------------------------------------
+  // q_mannwhitney — tie-corrected MANN–WHITNEY U (Wilcoxon rank-sum) for
+  // every pair of return-flag groups on the quantity feature.
+  //
+  // Count-grid identity: U1 = Σ_v c1(v)·(C2(<v) + c2(v)/2), computed in
+  // DOUBLED units (u1_x2) so half-ranks stay integer-exact. The z-score
+  // uses the tie-corrected variance  n1n2/12·[(n+1) − Σ(t³−t)/(n(n−1))]
+  // — evaluated as ONE double expression in identical operand order on
+  // both engines and quantized to centi-units (sqrt is IEEE
+  // correctly-rounded; the 1-ulp-can't-flip-a-centi argument of
+  // text_bm25 applies).
+  //
+  // Scale shape: grid ≤ |values|×|groups| rows after one aggregate; the
+  // pairwise self-join is groups² — metadata, never data.
+  // ---------------------------------------------------------------------
+  def qMannwhitney(s: SparkSession, d: String): DataFrame = {
+    val grid = Tables.lineitem(s, d)
+      .groupBy(col("l_quantity").cast("long").as("v"),
+        col("l_returnflag").as("g"))
+      .agg(count(lit(1)).as("c"))
+    // densify values × groups so cumulative counts exist everywhere
+    val dense = grid.select("v").distinct()
+      .crossJoin(grid.select("g").distinct())
+      .join(grid, Seq("v", "g"), "left")
+      .select(col("v"), col("g"), coalesce(col("c"), lit(0L)).as("c"))
+    val wc = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dense.withColumn("cum", sum("c").over(wc))
+    val paired = cum.as("a").join(cum.as("b"),
+        col("a.v") === col("b.v") && col("a.g") < col("b.g"))
+      .select(col("a.g").as("g1"), col("b.g").as("g2"),
+        col("a.c").as("c1"), col("b.c").as("c2"),
+        (col("b.cum") - col("b.c")).as("c2less"))
+    paired.groupBy("g1", "g2")
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(col("c1") * (col("c2less") * 2 + col("c2"))).as("u1_x2"),
+        sum((col("c1") + col("c2")) * (col("c1") + col("c2"))
+          * (col("c1") + col("c2")) - (col("c1") + col("c2"))).as("tie3"))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"), col("u1_x2"),
+        expr("""CAST(round(100 * ((u1_x2 - n1 * n2) / 2.0) /
+                sqrt((n1 * n2 / 12.0) * ((n1 + n2 + 1) -
+                  tie3 / ((n1 + n2) * (n1 + n2 - 1.0))))) AS BIGINT)""")
+          .as("z_centi"))
+      .orderBy("g1", "g2")
+  }
+
+  private val qMannwhitneySql =
+    """WITH grid AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag AS g,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2
+      |), dense AS (
+      |  SELECT t.v, u.g, CAST(coalesce(grid.c, 0) AS BIGINT) AS c
+      |  FROM (SELECT DISTINCT v FROM grid) t
+      |  CROSS JOIN (SELECT DISTINCT g FROM grid) u
+      |  LEFT JOIN grid ON grid.v = t.v AND grid.g = u.g
+      |), cum AS (
+      |  SELECT v, g, c, CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM dense
+      |), paired AS (
+      |  SELECT a.g AS g1, b.g AS g2, a.c AS c1, b.c AS c2,
+      |    b.cum - b.c AS c2less
+      |  FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g
+      |), agg AS (
+      |  SELECT g1, g2, CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(c2) AS BIGINT) AS n2,
+      |    CAST(sum(c1 * (c2less * 2 + c2)) AS BIGINT) AS u1_x2,
+      |    CAST(sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS BIGINT)
+      |      AS tie3
+      |  FROM paired GROUP BY g1, g2
+      |)
+      |SELECT g1, g2, n1, n2, u1_x2,
+      |  CAST(round(100 * ((u1_x2 - n1 * n2) / 2.0) /
+      |    sqrt((n1 * n2 / 12.0) * ((n1 + n2 + 1) -
+      |      tie3 / ((n1 + n2) * (n1 + n2 - 1.0))))) AS BIGINT) AS z_centi
+      |FROM agg
+      |ORDER BY g1, g2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_ks_binned — two-sample KOLMOGOROV–SMIRNOV distance between the
+  // extended-price distributions of returned (A) vs refused (R) lines,
+  // computed on a 4096-bucket equi-width histogram. The continuous-feature
+  // drift detector next to q_psi_drift's share drift.
+  //
+  // Exactness: buckets come from integer cents against broadcast global
+  // min/max; the sup statistic is exact on the BINNED CDFs via
+  // cross-multiplication — D = max|C1·n2 − C2·n1| / (n1·n2) reported in
+  // basis points with a truncating div, no float CDF anywhere. Binning
+  // bounds the error by one bucket of CDF mass and is the standard
+  // streaming/distributed KS trade (histogram sketches); the bucket count
+  // is the knob.
+  //
+  // Scale shape: one conditional-count aggregate to ≤4096×2 grid rows;
+  // cumulative windows + the argmax run on the grid. No global data sort.
+  // ---------------------------------------------------------------------
+  def qKsBinned(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_returnflag").as("g"))
+    val bounds = pts.agg(min("cents").as("lo"), max("cents").as("hi"))
+    val grid = pts.crossJoin(broadcast(bounds))
+      .groupBy(expr("((cents - lo) * 4096) div (hi - lo + 1)").as("bucket"),
+        col("g"))
+      .agg(count(lit(1)).as("c"))
+    val dense = grid.select("bucket").distinct()
+      .crossJoin(grid.select("g").distinct())
+      .join(grid, Seq("bucket", "g"), "left")
+      .select(col("bucket"), col("g"), coalesce(col("c"), lit(0L)).as("c"))
+    val wc = Window.partitionBy("g").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dense.withColumn("cum", sum("c").over(wc))
+    val diffs = cum.filter(col("g") === "A").as("a")
+      .join(cum.filter(col("g") === "R").as("b"),
+        col("a.bucket") === col("b.bucket"))
+      .select(col("a.bucket").as("bucket"), col("a.cum").as("c1"),
+        col("b.cum").as("c2"))
+    val tot = diffs.agg(max("c1").as("n1"), max("c2").as("n2"))
+    val scored = diffs.crossJoin(broadcast(tot))
+      .withColumn("dnum", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+      .cache()
+    val maxd = scored.agg(max("dnum").as("maxd"))
+    scored.crossJoin(broadcast(maxd))
+      .agg(max("n1").as("n1"), max("n2").as("n2"),
+        count(lit(1)).as("n_buckets"),
+        expr("(10000 * max(maxd)) div (max(n1) * max(n2))").as("d_bp"),
+        min(when(col("dnum") === col("maxd"), col("bucket"))).as("at_bucket"))
+      .select(col("n1"), col("n2"), col("n_buckets"), col("d_bp"),
+        col("at_bucket"))
+  }
+
+  private val qKsBinnedSql =
+    """WITH pts AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    l_returnflag AS g
+      |  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      |), bounds AS (
+      |  SELECT min(cents) AS lo, max(cents) AS hi FROM pts
+      |), grid AS (
+      |  SELECT ((p.cents - b.lo) * 4096) // (b.hi - b.lo + 1) AS bucket, p.g,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM pts p CROSS JOIN bounds b
+      |  GROUP BY 1, 2
+      |), dense AS (
+      |  SELECT t.bucket, u.g, CAST(coalesce(grid.c, 0) AS BIGINT) AS c
+      |  FROM (SELECT DISTINCT bucket FROM grid) t
+      |  CROSS JOIN (SELECT DISTINCT g FROM grid) u
+      |  LEFT JOIN grid ON grid.bucket = t.bucket AND grid.g = u.g
+      |), cum AS (
+      |  SELECT bucket, g, CAST(sum(c) OVER (PARTITION BY g ORDER BY bucket
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM dense
+      |), diffs AS (
+      |  SELECT a.bucket, a.cum AS c1, b.cum AS c2
+      |  FROM cum a JOIN cum b ON a.bucket = b.bucket
+      |  WHERE a.g = 'A' AND b.g = 'R'
+      |), scored AS (
+      |  SELECT bucket, c1, c2,
+      |    abs(c1 * (SELECT max(c2) FROM diffs)
+      |      - c2 * (SELECT max(c1) FROM diffs)) AS dnum
+      |  FROM diffs
+      |)
+      |SELECT CAST(max(c1) AS BIGINT) AS n1, CAST(max(c2) AS BIGINT) AS n2,
+      |  CAST(count(*) AS BIGINT) AS n_buckets,
+      |  CAST((10000 * max(dnum)) // (max(c1) * max(c2)) AS BIGINT) AS d_bp,
+      |  CAST(min(bucket) FILTER (WHERE dnum = (SELECT max(dnum) FROM scored))
+      |    AS BIGINT) AS at_bucket
+      |FROM scored""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_mannwhitney", qMannwhitney, Some(qMannwhitneySql)),
+    Q("q_ks_binned", qKsBinned, Some(qKsBinnedSql)))
+}

@@ -32,6 +32,40 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.count(_.getAs[Long]("n_segments") > 0) > rows.length / 2)
   }
 
+  test("audio fingerprint: landmarks hand-recompute from frame energies") {
+    val rows = operators.Multimodal.mmAudioFingerprint(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    rows.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val nf = text.length / 32
+      assert(r.getAs[Long]("n_frames") == nf && nf > 2)
+      val energy = (0 until nf).map { f =>
+        (0 until 32).map { j =>
+          val v = text.charAt(f * 32 + j).toLong - 128L; v * v
+        }.sum
+      }
+      val peaks = (1 until nf - 1)
+        .filter(f => energy(f) > energy(f - 1) && energy(f) >= energy(f + 1))
+      val landmarks = peaks.zipWithIndex.flatMap { case (f, i) =>
+        Seq(1, 2).flatMap { k =>
+          peaks.lift(i + k).filter(_ - f <= 16).map { ft =>
+            ((energy(f) % 997) * 997 + (energy(ft) % 997)) * 64 + (ft - f)
+          }
+        }
+      }
+      assert(r.getAs[Long]("n_landmarks") == landmarks.length.toLong,
+        s"landmarks of doc ${r.getAs[Long]("doc_id")}")
+      if (landmarks.nonEmpty) {
+        assert(r.getAs[Long]("n_distinct_fp") == landmarks.distinct.length.toLong)
+        assert(r.getAs[Long]("fp_min") == landmarks.min)
+        assert(r.getAs[Long]("fp_max") == landmarks.max)
+        assert(r.getAs[Long]("fp_checksum") == landmarks.sum % 1000000007L)
+      }
+    }
+  }
+
   test("phash: identical images collide; 1-char noise moves few bits, new image many") {
     import SparkSpec.spark.implicits._
     def hamming(a: String, b: String): Int =

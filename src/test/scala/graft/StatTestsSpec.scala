@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class StatTestsSpec extends SparkSpec {
+  import operators.StatTests._
+
+  private lazy val pts: Array[(Long, Long, String)] =
+    Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"), col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+
+  test("mannwhitney: U from the count grid equals the brute-force rank-sum U") {
+    val rows = qMannwhitney(spark, sf).collect()
+    val flags = pts.map(_._3).distinct.sorted
+    assert(rows.length == flags.combinations(2).size)
+    rows.foreach { r =>
+      val (g1, g2) = (r.getAs[String]("g1"), r.getAs[String]("g2"))
+      val s1 = pts.filter(_._3 == g1).map(_._1)
+      val s2 = pts.filter(_._3 == g2).map(_._1)
+      assert(r.getAs[Long]("n1") == s1.length.toLong)
+      assert(r.getAs[Long]("n2") == s2.length.toLong)
+      // brute force in doubled units over the value grid (not pairs — n²
+      // pairs would be 4e8 — but the same identity on an independent path)
+      val vs = (s1 ++ s2).distinct.sorted
+      val c1 = vs.map(v => s1.count(_ == v).toLong)
+      val c2 = vs.map(v => s2.count(_ == v).toLong)
+      val c2cum = c2.scanLeft(0L)(_ + _)
+      val u1x2 = vs.indices.map(i => c1(i) * (2 * c2cum(i) + c2(i))).sum
+      assert(r.getAs[Long]("u1_x2") == u1x2, s"U for ($g1,$g2)")
+      // z-score recompute (same formula, double)
+      val (n1, n2) = (s1.length.toDouble, s2.length.toDouble)
+      val n = n1 + n2
+      val tie3 = vs.indices.map(i => { val t = c1(i) + c2(i); t * t * t - t }).sum
+      val z = 100.0 * ((u1x2 - n1 * n2) / 2.0) /
+        math.sqrt((n1 * n2 / 12.0) * ((n + 1) - tie3 / (n * (n - 1.0))))
+      assert(math.abs(r.getAs[Long]("z_centi") - math.round(z)) <= 1,
+        s"z for ($g1,$g2)")
+      // U1 + U2 = n1*n2 (doubled: u1x2 + u2x2 = 2*n1*n2) — sanity identity
+      // (U2 credits s2's wins: s1 values BELOW v, i.e. C1(<v))
+      val c1cum = c1.scanLeft(0L)(_ + _)
+      val u2x2 = vs.indices.map { i =>
+        c2(i) * (2 * c1cum(i) + c1(i))
+      }.sum
+      assert(u1x2 + u2x2 == 2 * s1.length.toLong * s2.length,
+        s"U1+U2 identity for ($g1,$g2)")
+    }
+  }
+
+  test("ks binned: sup of binned CDF gap matches a local recompute") {
+    val rows = qKsBinned(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val a = pts.filter(_._3 == "A").map(_._2)
+    val b = pts.filter(_._3 == "R").map(_._2)
+    val all0 = a ++ b
+    val (lo, hi) = (all0.min, all0.max)
+    def bucket(c: Long): Long = ((c - lo) * 4096) / (hi - lo + 1)
+    val ba = a.map(bucket)
+    val bb = b.map(bucket)
+    val (n1, n2) = (a.length.toLong, b.length.toLong)
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    val buckets = (ba ++ bb).distinct.sorted
+    assert(r.getAs[Long]("n_buckets") == buckets.length.toLong)
+    val gaps = buckets.map { t =>
+      val cA = ba.count(_ <= t).toLong
+      val cB = bb.count(_ <= t).toLong
+      (t, math.abs(cA * n2 - cB * n1))
+    }
+    val dmax = gaps.map(_._2).max
+    assert(r.getAs[Long]("d_bp") == 10000L * dmax / (n1 * n2))
+    assert(r.getAs[Long]("at_bucket") == gaps.filter(_._2 == dmax).map(_._1).min)
+    // KS distance is a genuine sup: every bucket's gap is <= the reported one
+    gaps.foreach { case (_, g) => assert(g <= dmax) }
+  }
+}
