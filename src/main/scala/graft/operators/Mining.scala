@@ -320,9 +320,80 @@ object Mining {
       |GROUP BY 1, 2
       |ORDER BY first_type, then_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_top_paths — TOP SESSION PATHS: the most common opening event-type
+  // sequences (first ≤3 steps) across gap-sessionized user histories —
+  // the clickstream path-analysis primitive behind "how do users start",
+  // nav-flow sankeys, and UX funnels discovery (the inverse of
+  // q_events_funnel, which checks ONE fixed path).
+  //
+  // Determinism: the same 30-min gap rule and (ms, event_id) tie-break as
+  // q_events_sessionize; path assembly sorts by the in-session rank, and
+  // the top-20 ranks by (count desc, path asc).
+  //
+  // Scale shape: everything up to the path aggregate partitions by
+  // user_id (two stacked windows on one shuffle); paths collapse to a
+  // tiny (≤ types³) relation before the global top-k.
+  // ---------------------------------------------------------------------
+  def qTopPaths(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = 30L * 60 * 1000
+    val order = Window.partitionBy("user_id")
+      .orderBy(col("ms").asc, col("event_id").asc)
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .withColumn("ms", graft.functions.TimeFunctions.nsToMs("ts"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(order))
+      .withColumn("is_new", when(col("prev_ms").isNull ||
+        col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(run))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "session_id")
+          .orderBy(col("ms").asc, col("event_id").asc)))
+      .filter(col("rn") <= 3)
+    val paths = sess.groupBy("user_id", "session_id")
+      .agg(concat_ws(">", transform(
+        sort_array(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+    val wTop = Window.orderBy(col("n_sessions").desc, col("path").asc)
+    paths.withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("path"), col("n_sessions"))
+      .orderBy("rk")
+  }
+
+  private val qTopPathsSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+      |), s1 AS (
+      |  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+      |      OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+      |), s2 AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM s1
+      |), s3 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+      |    ORDER BY ms, event_id) AS rn
+      |  FROM s2
+      |), p AS (
+      |  SELECT user_id, session_id, string_agg(event_type, '>' ORDER BY rn)
+      |    AS path
+      |  FROM s3 WHERE rn <= 3 GROUP BY user_id, session_id
+      |), pc AS (
+      |  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |  FROM p GROUP BY path
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+      |    AS BIGINT) AS rk, path, n_sessions
+      |FROM pc ORDER BY rk LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_hierarchy_rollup", qHierarchyRollup, Some(qHierarchyRollupSql)),
     Q("q_itemsets_apriori", qItemsetsApriori, Some(qItemsetsAprioriSql)),
     Q("q_gini_split", qGiniSplit, Some(qGiniSplitSql)),
-    Q("q_seq_pairs", qSeqPairs, Some(qSeqPairsSql)))
+    Q("q_seq_pairs", qSeqPairs, Some(qSeqPairsSql)),
+    Q("q_top_paths", qTopPaths, Some(qTopPathsSql)))
 }

@@ -189,7 +189,86 @@ object StatTests {
       |    AS BIGINT) AS at_bucket
       |FROM scored""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_bootstrap_ci — POISSON-BOOTSTRAP confidence interval for the mean
+  // discount: 32 deterministic resamples, each reweighting every row by an
+  // integer weight drawn from its portable md5 hash (2 bits → {0,1,1,2},
+  // mean 1 — the online/multinomial bootstrap weight scheme), then the
+  // 2nd/31st order statistics of the resample means as a ~90% CI. THE
+  // standard distributed bootstrap: resampling-by-weights needs no global
+  // sample materialization, so the error bar costs one pass (Kleiner et
+  // al.'s bag-of-little-bootstraps simplification).
+  //
+  // Exactness: weights are integers from the shared md5-nibble hash
+  // (KMV/sampling precedent); each resample mean is one truncating
+  // micro-div of exact integer sums; order statistics are exact ranks.
+  //
+  // Scale shape: the ×32 fanout happens map-side (explode before the
+  // aggregate) and partial-aggregates to 32 rows per input partition —
+  // the shuffle carries 32·partitions rows regardless of data size. The
+  // rank window runs on 32 rows.
+  // ---------------------------------------------------------------------
+  def qBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val nBoot = 32
+    val base = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_discount") * 1000).cast("long").as("v"))
+    val point = base.agg(expr("(1000000 * sum(v)) div count(1)").as("point_micro"))
+    val resamples = base
+      .select(col("v"), col("l_orderkey"), col("l_linenumber"),
+        explode(sequence(lit(1), lit(nBoot))).as("b"))
+      .withColumn("m", pmod(conv(substring(md5(concat(
+        lit("graft-boot-"), col("b").cast("string"), lit(":"),
+        col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"))), 1, 1), 16, 10).cast("long"),
+        lit(4L)))
+      .withColumn("w", when(col("m") === 0, 0L)
+        .when(col("m") === 3, 2L).otherwise(1L))
+      .groupBy("b")
+      .agg(expr("(1000000 * sum(w * v)) div sum(w)").as("mean_micro"))
+    val ranked = resamples.withColumn("rn", row_number().over(
+      Window.orderBy(col("mean_micro").asc, col("b").asc)))
+    ranked.agg(
+        min(when(col("rn") === 2, col("mean_micro"))).as("lo_micro"),
+        min(when(col("rn") === nBoot - 1, col("mean_micro"))).as("hi_micro"),
+        count(lit(1)).as("n_boot"))
+      .crossJoin(broadcast(point))
+      .select(col("point_micro"), col("lo_micro"), col("hi_micro"),
+        col("n_boot"))
+  }
+
+  private val qBootstrapCiSql =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(round(l_discount * 1000) AS BIGINT) AS v
+      |  FROM lineitem
+      |), pt AS (
+      |  SELECT CAST((1000000 * sum(v)) // count(*) AS BIGINT) AS point_micro
+      |  FROM base
+      |), fan AS (
+      |  SELECT v, b.b,
+      |    (strpos('0123456789abcdef', substr(md5('graft-boot-' ||
+      |      CAST(b.b AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR) || '-'
+      |      || CAST(l_linenumber AS VARCHAR)), 1, 1)) - 1) % 4 AS m
+      |  FROM base CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS b) b
+      |), wts AS (
+      |  SELECT v, b, CASE m WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS w
+      |  FROM fan
+      |), rs AS (
+      |  SELECT b, CAST((1000000 * sum(w * v)) // sum(w) AS BIGINT) AS mean_micro
+      |  FROM wts GROUP BY b
+      |), rk AS (
+      |  SELECT mean_micro, row_number() OVER (ORDER BY mean_micro, b) AS rn
+      |  FROM rs
+      |)
+      |SELECT (SELECT point_micro FROM pt) AS point_micro,
+      |  CAST(min(CASE WHEN rn = 2 THEN mean_micro END) AS BIGINT) AS lo_micro,
+      |  CAST(min(CASE WHEN rn = 31 THEN mean_micro END) AS BIGINT) AS hi_micro,
+      |  CAST(count(*) AS BIGINT) AS n_boot
+      |FROM rk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_mannwhitney", qMannwhitney, Some(qMannwhitneySql)),
-    Q("q_ks_binned", qKsBinned, Some(qKsBinnedSql)))
+    Q("q_ks_binned", qKsBinned, Some(qKsBinnedSql)),
+    Q("q_bootstrap_ci", qBootstrapCi, Some(qBootstrapCiSql)))
 }

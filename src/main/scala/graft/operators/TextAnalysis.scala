@@ -1715,7 +1715,104 @@ object TextAnalysis {
       |  CAST(sum(surp) // count(*) AS BIGINT) AS avg_surprisal_cn
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // text_rake — RAKE keyword extraction (Rose et al. 2010): candidate
+  // phrases are maximal stopword-free token runs (capped at 4 words, the
+  // standard RAKE practice); each word scores degree/frequency where
+  // degree sums the lengths of phrases containing it; a phrase scores the
+  // sum of its member-word scores. The unsupervised keyword/keyphrase
+  // primitive for corpus labeling and index enrichment.
+  //
+  // Exactness: deg and freq are exact counts; word score is one
+  // truncating micro-div; phrase score sums those BIGINTs. The top-20 cut
+  // ranks (score desc, phrase asc) — fully deterministic.
+  //
+  // Scale shape: token explode → run-grouping via the pos − row_number
+  // gap trick (two windows per doc partition) → two hash-aggregates
+  // (word stats, phrase counts). The final rank is a WindowGroupLimit-
+  // eligible global top-k (guarded in PlanSpec).
+  // ---------------------------------------------------------------------
+  def textRake(s: SparkSession, d: String): DataFrame = {
+    val stops = Seq("a", "an", "the", "of", "and", "to", "in", "is", "for",
+      "on", "at", "by", "with")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(wsTrim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val nonstop = toks.filter(!col("tok").isInCollection(stops))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .withColumn("grp", col("pos") - col("rn"))
+    val members = nonstop
+      .withColumn("len",
+        count(lit(1)).over(Window.partitionBy("doc_id", "grp")))
+      .filter(col("len") <= 4)
+      .cache()
+    val wordStats = members.groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum("len").as("deg"))
+      .select(col("tok").as("w"),
+        expr("(1000000 * deg) div freq").as("wscore_micro"))
+    val phrases = members.groupBy("doc_id", "grp")
+      .agg(concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok"))).as("phrase"))
+      .groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+    val scored = phrases
+      .select(col("phrase"), col("n_occ"),
+        posexplode(split(col("phrase"), " ")).as(Seq("wp", "w")))
+      .join(broadcast(wordStats), "w")
+      .groupBy("phrase", "n_occ")
+      .agg(sum("wscore_micro").as("score_micro"))
+    val wTop = Window.orderBy(col("score_micro").desc, col("phrase").asc)
+    scored.withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("phrase"), col("n_occ"), col("score_micro"))
+      .orderBy("rk")
+  }
+
+  private val textRakeSql =
+    """WITH raw AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents
+      |), tk AS (
+      |  SELECT doc_id, i, t[i] AS tok
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, array_length(t))) AS i
+      |        FROM raw)
+      |  WHERE length(t[i]) > 0
+      |), ns AS (
+      |  SELECT doc_id, i, tok,
+      |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      |  FROM tk
+      |  WHERE tok NOT IN ('a', 'an', 'the', 'of', 'and', 'to', 'in', 'is',
+      |                    'for', 'on', 'at', 'by', 'with')
+      |), mem AS (
+      |  SELECT doc_id, i, tok, grp,
+      |    count(*) OVER (PARTITION BY doc_id, grp) AS len
+      |  FROM ns
+      |), mem4 AS (
+      |  SELECT * FROM mem WHERE len <= 4
+      |), ws AS (
+      |  SELECT tok AS w,
+      |    CAST((1000000 * sum(len)) // count(*) AS BIGINT) AS wscore_micro
+      |  FROM mem4 GROUP BY tok
+      |), ph AS (
+      |  SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY i) AS phrase
+      |  FROM mem4 GROUP BY doc_id, grp
+      |), pc AS (
+      |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ FROM ph GROUP BY phrase
+      |), pw AS (
+      |  SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w FROM pc
+      |), sc AS (
+      |  SELECT phrase, n_occ, CAST(sum(ws.wscore_micro) AS BIGINT) AS score_micro
+      |  FROM pw JOIN ws USING (w) GROUP BY phrase, n_occ
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, phrase)
+      |    AS BIGINT) AS rk, phrase, n_occ, score_micro
+      |FROM sc ORDER BY rk LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_rake", textRake, Some(textRakeSql)),
     Q("text_backoff_lm", textBackoffLm, Some(textBackoffLmSql)),
     Q("text_nb_classifier", textNbClassifier, Some(textNbClassifierSql)),
     Q("text_sentence_split", textSentenceSplit, Some(textSentenceSplitSql)),

@@ -132,4 +132,33 @@ class MiningSpec extends SparkSpec {
     rows.foreach(r =>
       assert(r.getAs[String]("first_type") != r.getAs[String]("then_type")))
   }
+
+  test("top paths: session-opening sequences match a local sessionizer") {
+    val rows = qTopPaths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ms = functions.TimeFunctions.nsToMs("ts")
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), ms.as("ms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val paths = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer[String]())
+      var prev = Long.MinValue
+      var first = true
+      sorted.foreach { e =>
+        if (!first && e._4 - prev > 30L * 60 * 1000)
+          sessions += scala.collection.mutable.ArrayBuffer[String]()
+        sessions.last += e._3
+        prev = e._4; first = false
+      }
+      sessions.map(_.take(3).mkString(">"))
+    }.toSeq
+    val counts = paths.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(rows.length)
+    val got = rows.sortBy(_.getAs[Long]("rk"))
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions"))).toSeq
+    assert(got == expect)
+  }
 }

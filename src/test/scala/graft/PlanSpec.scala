@@ -92,6 +92,8 @@ class PlanSpec extends SparkSpec {
       "text_zipf_fit" -> TextAnalysis.textZipfFit(spark, sf),
       "q_label_propagation" -> Graph.qLabelPropagation(spark, sf),
       "q_link_predict" -> Graph.qLinkPredict(spark, sf),
+      "text_rake" -> TextAnalysis.textRake(spark, sf),
+      "q_top_paths" -> Mining.qTopPaths(spark, sf),
       "sim_rank_fusion" -> Similarity.simRankFusion(spark, sf))
     val missing = globalTopK.collect {
       case (name, df) if {

@@ -48,6 +48,37 @@ class StatTestsSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap ci: resample means recompute from the portable hash weights") {
+    val rows = qBootstrapCi(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val base = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        round(col("l_discount") * 1000).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def nib(s0: String): Long = {
+      val h = md.digest(s0.getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xf).toLong % 4
+    }
+    val point = 1000000L * base.map(_._3).sum / base.length
+    assert(r.getAs[Long]("point_micro") == point)
+    assert(r.getAs[Long]("n_boot") == 32L)
+    val means = (1 to 32).map { b =>
+      var sw = 0L; var swv = 0L
+      base.foreach { case (ok, ln, v) =>
+        val m = nib(s"graft-boot-$b:$ok-$ln")
+        val w = if (m == 0) 0L else if (m == 3) 2L else 1L
+        sw += w; swv += w * v
+      }
+      1000000L * swv / sw
+    }.sorted
+    assert(r.getAs[Long]("lo_micro") == means(1), "2nd order statistic")
+    assert(r.getAs[Long]("hi_micro") == means(30), "31st order statistic")
+    assert(r.getAs[Long]("lo_micro") <= point && point <= r.getAs[Long]("hi_micro"),
+      "CI brackets the point estimate")
+  }
+
   test("ks binned: sup of binned CDF gap matches a local recompute") {
     val rows = qKsBinned(spark, sf).collect()
     assert(rows.length == 1)

@@ -5,6 +5,45 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import operators.TextAnalysis._
 
+  test("rake: word and phrase scores recompute from a local pass") {
+    val rows = textRake(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val stops = Set("a", "an", "the", "of", "and", "to", "in", "is", "for",
+      "on", "at", "by", "with")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    // candidate phrases: maximal stopword-free runs, capped at 4 words
+    val phrases = docs.flatMap { case (_, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val runs = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer[String]())
+      toks.foreach { t =>
+        if (stops(t)) { if (runs.last.nonEmpty) runs += runs.last.take(0) }
+        else runs.last += t
+      }
+      runs.filter(r => r.nonEmpty && r.length <= 4).map(_.toSeq)
+    }
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    val deg = scala.collection.mutable.Map.empty[String, Long]
+    phrases.foreach { p =>
+      p.foreach { w =>
+        freq(w) = freq.getOrElse(w, 0L) + 1
+        deg(w) = deg.getOrElse(w, 0L) + p.length
+      }
+    }
+    def wscore(w: String): Long = 1000000L * deg(w) / freq(w)
+    val phraseScores = phrases.map(_.mkString(" ")).groupBy(identity)
+      .map { case (ph, occ) =>
+        (ph, occ.size.toLong, ph.split(" ").map(wscore).sum)
+      }.toSeq
+    val expect = phraseScores.sortBy { case (p, _, s0) => (-s0, p) }
+      .take(rows.length)
+    val got = rows.sortBy(_.getAs[Long]("rk")).map(r =>
+      (r.getAs[String]("phrase"), r.getAs[Long]("n_occ"),
+        r.getAs[Long]("score_micro"))).toSeq
+    assert(got == expect)
+  }
+
   test("backoff lm: levels partition scored tokens; every odd doc scored tri-gram-wide") {
     val rows = operators.TextAnalysis.textBackoffLm(spark, sf).collect()
     assert(rows.nonEmpty)
