@@ -127,14 +127,20 @@ object Mining {
       .drop("minsup")
       .cache()
     val freqPairs = pairs.select("i1", "i2")
+    // a-priori prune ORDERING matters for the plan: the (i1,i2) arm of a
+    // candidate is screened BEFORE the third basket join, so the basket³
+    // expansion only ever materializes for frequent-pair prefixes — the
+    // candidate relation stays collapsed instead of exploding then
+    // filtering (12.3 s → the prune-early plan at sf0.1)
     val triples = baskets.as("a").join(baskets.as("b"),
         col("a.ok") === col("b.ok") && col("a.item") < col("b.item"))
-      .join(baskets.as("c"),
-        col("a.ok") === col("c.ok") && col("b.item") < col("c.item"))
       .select(col("a.ok").as("ok"), col("a.item").as("i1"),
-        col("b.item").as("i2"), col("c.item").as("i3"))
-      // a-priori prune: every 2-subset of a surviving candidate is frequent
+        col("b.item").as("i2"))
       .join(broadcast(freqPairs), Seq("i1", "i2"), "left_semi")
+      .join(baskets.as("c").select(col("c.ok").as("ok"),
+        col("c.item").as("i3")), "ok")
+      .filter(col("i2") < col("i3"))
+      // remaining 2-subsets of the surviving candidate must be frequent too
       .join(broadcast(freqPairs.select(col("i1"), col("i2").as("i3"))),
         Seq("i1", "i3"), "left_semi")
       .join(broadcast(freqPairs.select(col("i1").as("i2"), col("i2").as("i3"))),

@@ -811,7 +811,118 @@ object Sessionize {
       |FROM framed
       |ORDER BY event_type, minute_ms""".stripMargin
 
+  /** q_cohort_ltv — the LTV TRIANGLE: per acquisition cohort (first-activity
+    * day), purchase revenue by days-since-acquisition and its running
+    * cumulative — the lifetime-value curve marketing reads cohort payback
+    * from; the revenue sibling of q_events_retention's user counts.
+    *
+    * Exactness: revenue in integer cents (round once per event, sum
+    * integers); the cumulative is a rows-frame window over each cohort's
+    * observed offsets (sparse offsets — the curve is read at observed
+    * points; a zero-revenue day adds nothing to a cumulative).
+    *
+    * Scale shape: first-touch cohorts from one (user, day) distinct, the
+    * cohort join shuffles on user_id, then the triangle aggregate is
+    * (cohort × offset) metadata; the window runs on that metadata. */
+  def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val dayMs = 86400000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        ((ms - pmod(ms, lit(dayMs))) / dayMs).cast("long").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day").agg(count(lit(1)).as("cohort_users"))
+    val tri = ev.filter(col("event_type") === "purchase")
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(sum("cents").as("rev_cents"))
+    val w = Window.partitionBy("cohort_day").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tri.withColumn("cum_rev_cents", sum("rev_cents").over(w))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("rev_cents"),
+        col("cum_rev_cents"), col("cohort_users"),
+        expr("cum_rev_cents div cohort_users").as("ltv_cents_per_user"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val qCohortLtvSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), cohorts AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+      |), sizes AS (
+      |  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_users
+      |  FROM cohorts GROUP BY cohort_day
+      |), tri AS (
+      |  SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+      |    CAST(sum(e.cents) AS BIGINT) AS rev_cents
+      |  FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT cohort_day, day_offset, rev_cents,
+      |    CAST(sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY day_offset
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+      |  FROM tri
+      |)
+      |SELECT t.cohort_day, t.day_offset, t.rev_cents, t.cum_rev_cents,
+      |  s.cohort_users, t.cum_rev_cents // s.cohort_users AS ltv_cents_per_user
+      |FROM cum t JOIN sizes s ON t.cohort_day = s.cohort_day
+      |ORDER BY t.cohort_day, t.day_offset""".stripMargin
+
+  /** q_funnel_time — CONVERSION LATENCY distribution: for users whose first
+    * view precedes their first purchase, the view→purchase latency, reported
+    * as exact interpolated percentiles (p50/p90) plus mean — the "how long
+    * does conversion take" number next to q_events_funnel's "how many
+    * convert". Percentile idiom = q_percentiles' matched
+    * percentile/quantile_cont pair on integer-ms latencies, rounded once.
+    *
+    * Scale shape: one (user × type) first-touch aggregate (user_id
+    * shuffle), a self-join per user bounded by the two types involved,
+    * then ONE global aggregate over user-grain latencies. */
+  def qFunnelTime(s: SparkSession, d: String): DataFrame = {
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val ft = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(ms).as("fms"))
+    val lat = ft.filter(col("event_type") === "view")
+      .select(col("user_id"), col("fms").as("vms"))
+      .join(ft.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("fms").as("pms")), "user_id")
+      .filter(col("vms") < col("pms"))
+      .select((col("pms") - col("vms")).as("lat_ms"))
+    lat.agg(count(lit(1)).as("n_converted"),
+        expr("sum(lat_ms) div count(1)").as("mean_ms"),
+        round(expr("percentile(lat_ms, 0.5)"), 2).as("p50_ms"),
+        round(expr("percentile(lat_ms, 0.9)"), 2).as("p90_ms"))
+  }
+
+  private val qFunnelTimeSql =
+    """WITH ft AS (
+      |  SELECT user_id, event_type, min(epoch_ms(ts)) AS fms
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY 1, 2
+      |), lat AS (
+      |  SELECT p.fms - v.fms AS lat_ms
+      |  FROM (SELECT user_id, fms FROM ft WHERE event_type = 'view') v
+      |  JOIN (SELECT user_id, fms FROM ft WHERE event_type = 'purchase') p
+      |    ON v.user_id = p.user_id
+      |  WHERE v.fms < p.fms
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+      |  CAST(sum(lat_ms) // count(*) AS BIGINT) AS mean_ms,
+      |  round(CAST(quantile_cont(lat_ms, 0.5) AS DOUBLE), 2) AS p50_ms,
+      |  round(CAST(quantile_cont(lat_ms, 0.9) AS DOUBLE), 2) AS p90_ms
+      |FROM lat""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_cohort_ltv", qCohortLtv, Some(qCohortLtvSql)),
+    Q("q_funnel_time", qFunnelTime, Some(qFunnelTimeSql)),
     Q("q_seasonal_baseline", qSeasonalBaseline, Some(qSeasonalBaselineSql)),
     Q("q_time_decay", qTimeDecay, Some(qTimeDecaySql)),
     Q("q_anomaly_mad", qAnomalyMad, Some(qAnomalyMadSql)),

@@ -1811,7 +1811,72 @@ object TextAnalysis {
       |    AS BIGINT) AS rk, phrase, n_occ, score_micro
       |FROM sc ORDER BY rk LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // text_tfidf_top — per-document TF-IDF keywords: each doc's top-5 terms
+  // by tf·idf with smoothed idf_milli = round(1000·ln((N+1)/(df+1))). The
+  // per-doc keyword labeler (RAKE's corpus-global sibling) and the
+  // classic sparse-retrieval weight next to text_bm25's query scorer.
+  //
+  // Determinism: idf is ONE shared double ln quantized to milli (bm25
+  // precedent); scores are then integer products; the per-doc top-5
+  // ranks (score desc, tok asc).
+  //
+  // Scale shape: one token-explode aggregate to (doc, tok, tf); df and N
+  // are corpus aggregates broadcast back; the top-5 is a PARTITIONED
+  // rank window — WindowGroupLimit applies per doc, nothing global.
+  // ---------------------------------------------------------------------
+  def textTfidfTop(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(wsTrim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")).cache()
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"),
+        expr("CAST(round(1000 * ln((n_docs + 1) / (df + 1.0))) AS BIGINT)")
+          .as("idf_milli"))
+      .withColumn("score_milli", col("tf") * col("idf_milli"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_milli").desc, col("tok").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tf"),
+        col("idf_milli"), col("score_milli"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val textTfidfTopSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(
+      |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks WHERE length(tok) > 0 GROUP BY doc_id, tok
+      |), df AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+      |), n AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf,
+      |    CAST(round(1000 * ln((n.n_docs + 1) / (df.df + 1.0))) AS BIGINT)
+      |      AS idf_milli
+      |  FROM tf JOIN df USING (tok) CROSS JOIN n
+      |), rk AS (
+      |  SELECT doc_id, tok, tf, idf_milli, tf * idf_milli AS score_milli,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tf * idf_milli DESC, tok) AS rk
+      |  FROM scored
+      |)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, idf_milli, score_milli
+      |FROM rk WHERE rk <= 5
+      |ORDER BY doc_id, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_tfidf_top", textTfidfTop, Some(textTfidfTopSql)),
     Q("text_rake", textRake, Some(textRakeSql)),
     Q("text_backoff_lm", textBackoffLm, Some(textBackoffLmSql)),
     Q("text_nb_classifier", textNbClassifier, Some(textNbClassifierSql)),

@@ -206,6 +206,63 @@ class SessionizeSpec extends SparkSpec {
       assert(math.abs(bp - 10000L) <= rs.length, s"$ft rows sum to $bp bp")
     }
   }
+  test("cohort ltv: triangle recomputes from raw events; cumulative monotone") {
+    val rows = qCohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ms = functions.TimeFunctions.nsToMs("ts")
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        (ms / 86400000L).cast("long").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val cohort = ev.groupBy(_._1).map { case (u, es) => (u, es.map(_._3).min) }
+    val tri = ev.filter(_._2 == "purchase")
+      .groupBy(e => (cohort(e._1), e._3 - cohort(e._1)))
+      .map { case (k, es) => (k, es.map(_._4).sum) }
+    assert(rows.length == tri.size)
+    rows.groupBy(_.getAs[Long]("cohort_day")).foreach { case (cd, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getAs[Long]("day_offset")).foreach { r =>
+        val off = r.getAs[Long]("day_offset")
+        assert(r.getAs[Long]("rev_cents") == tri((cd, off)), s"rev at ($cd,$off)")
+        cum += r.getAs[Long]("rev_cents")
+        assert(r.getAs[Long]("cum_rev_cents") == cum)
+        val users = cohort.values.count(_ == cd).toLong
+        assert(r.getAs[Long]("cohort_users") == users)
+        assert(r.getAs[Long]("ltv_cents_per_user") == cum / users)
+      }
+    }
+  }
+
+  test("funnel time: latency stats recompute from first-touch pairs") {
+    val rows = qFunnelTime(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val ms = functions.TimeFunctions.nsToMs("ts")
+    val ft = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"), col("event_type")).agg(min(ms).as("f"))
+      .collect().map(x => ((x.getLong(0), x.getString(1)), x.getLong(2))).toMap
+    val lats = ft.keys.map(_._1).toSeq.distinct.flatMap { u =>
+      for {
+        v <- ft.get((u, "view")); p <- ft.get((u, "purchase")) if v < p
+      } yield p - v
+    }.sorted
+    assert(r.getAs[Long]("n_converted") == lats.length.toLong)
+    assert(r.getAs[Long]("mean_ms") == lats.sum / lats.length)
+    def pct(q: Double): Double = {
+      val idx = q * (lats.length - 1)
+      val i = idx.toInt
+      val frac = idx - i
+      val raw = if (i + 1 < lats.length) lats(i) + frac * (lats(i + 1) - lats(i))
+      else lats(i).toDouble
+      math.rint(raw * 100) / 100
+    }
+    assert(math.abs(r.getAs[Double]("p50_ms") - pct(0.5)) < 0.011)
+    assert(math.abs(r.getAs[Double]("p90_ms") - pct(0.9)) < 0.011)
+  }
+
   test("seasonal baseline: profile means and residuals recompute by hand") {
     val rows = qSeasonalBaseline(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -5,6 +5,35 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import operators.TextAnalysis._
 
+  test("tfidf top: per-doc top-5 matches a local tf/df recompute") {
+    val rows = textTfidfTop(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val tfs = docs.map { case (id, t) =>
+      (id, t.trim.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (k, v) => (k, v.length.toLong) })
+    }.toMap
+    val df = tfs.values.flatMap(_.keys).groupBy(identity)
+      .map { case (k, v) => (k, v.size.toLong) }
+    val nDocs = docs.length.toLong
+    def idf(tok: String): Long =
+      math.round(1000.0 * math.log((nDocs + 1) / (df(tok) + 1.0)))
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rs) =>
+      val expect = tfs(id).toSeq
+        .map { case (tok, tf) => (tok, tf, idf(tok), tf * idf(tok)) }
+        .sortBy { case (tok, _, _, s0) => (-s0, tok) }
+        .take(rs.length)
+      val got = rs.sortBy(_.getAs[Long]("rk")).map(r =>
+        (r.getAs[String]("tok"), r.getAs[Long]("tf"),
+          r.getAs[Long]("idf_milli"), r.getAs[Long]("score_milli"))).toSeq
+      assert(got == expect, s"top terms of doc $id")
+      assert(rs.length == math.min(5, tfs(id).size))
+    }
+    assert(byDoc.size == docs.count(_._2.trim.nonEmpty))
+  }
+
   test("rake: word and phrase scores recompute from a local pass") {
     val rows = textRake(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
