@@ -23,10 +23,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanosecond LONG instead —
-    * downstream operators do exact integer arithmetic on it
-    * (TimeFunctions.nsToMs; double math would lose precision above 2^53).
+  /** Downstream operators treat `events.ts` as a raw nanosecond LONG and do
+    * exact integer arithmetic on it (TimeFunctions.nsToMs; double math would
+    * lose precision above 2^53). The parquet physical type has varied across
+    * testdata generations — TIMESTAMP(NANOS) (which Spark 4 rejects without
+    * nanosAsLong) and plain TIMESTAMP(MICROS) (which Spark reads as
+    * TIMESTAMP_NTZ when isAdjustedToUTC=false) — so normalize whatever
+    * arrives to the long-nanos convention here, at the single load site.
+    *
+    * The NTZ→instant cast uses the session time zone; every graft session
+    * (GraftSession, Verify, Bench, tests) pins UTC, matching the DuckDB
+    * oracle's epoch_ms semantics on the same files.
     *
     * DELIBERATE side effect: nanosAsLong is a session conf, so after the
     * first events read, any TIMESTAMP(NANOS) parquet column in this session
@@ -35,7 +42,14 @@ object Tables {
     * (spark.newSession()) isolate callers that need nanos-as-timestamp. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => // TIMESTAMP or TIMESTAMP_NTZ: exact micros → nanos
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

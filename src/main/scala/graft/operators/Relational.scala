@@ -1361,7 +1361,56 @@ object Relational {
       |    AND (q.price_cents < p.price_cents OR q.size < p.size))
       |ORDER BY price_cents, size, p_partkey""".stripMargin
 
+  /** Decile lift table (the gains chart of direct-marketing analytics):
+    * customers ranked by total spend, cut into 10 equal-frequency buckets
+    * with `ntile`, each decile reporting its size, spend, and CUMULATIVE
+    * revenue share in basis points. Exact integer cents; ntile ties are
+    * broken deterministically by custkey. One customer-grain aggregate
+    * (shuffle on o_custkey), then a global ntile over the customer
+    * relation — |customers| ≪ |orders|, and at 100 TB the rank would ride
+    * the same two-pass percentile machinery as q_percentiles; the decile
+    * summary itself is a 10-row aggregate. */
+  def qDecileLift(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val tiles = spend.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("cents").desc, col("o_custkey").asc))
+        .cast("long"))
+    val per = tiles.groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("decile_cents"))
+    val wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    per
+      .withColumn("cum_cents", sum("decile_cents").over(wc))
+      .withColumn("total_cents", sum("decile_cents").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("cum_share_bp", expr("(10000 * cum_cents) div total_cents"))
+      .select("decile", "n_customers", "decile_cents", "cum_share_bp")
+      .orderBy("decile")
+  }
+
+  private val qDecileLiftSql =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey
+      |), tiles AS (
+      |  SELECT cents,
+      |    CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS decile
+      |  FROM spend
+      |), per AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+      |    CAST(sum(cents) AS BIGINT) AS decile_cents
+      |  FROM tiles GROUP BY decile
+      |)
+      |SELECT decile, n_customers, decile_cents,
+      |  CAST((10000 * CAST(sum(decile_cents) OVER (ORDER BY decile
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT))
+      |    // CAST(sum(decile_cents) OVER () AS BIGINT) AS BIGINT) AS cum_share_bp
+      |FROM per ORDER BY decile""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_decile_lift", qDecileLift, Some(qDecileLiftSql)),
     Q("q_skyline", qSkyline, Some(qSkylineSql)),
     Q("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
     Q("q_window_distribution", qWindowDistribution, Some(qWindowDistributionSql)),

@@ -920,7 +920,97 @@ object Sessionize {
       |  round(CAST(quantile_cont(lat_ms, 0.9) AS DOUBLE), 2) AS p90_ms
       |FROM lat""".stripMargin
 
+  /** Rolling 7-day active users (WAU) per day, with DAU and the DAU/WAU
+    * stickiness ratio in basis points. A COUNT(DISTINCT) over a trailing
+    * range window is unbounded per-day state, so it is rewritten as the
+    * CONTRIBUTION-EXPLODE pattern: each distinct (user, active-day) row
+    * contributes to the 7 report days [day, day+6] via sequence+explode,
+    * then one distinct-aggregate at (report_day, user) grain counts each
+    * user once per window. Linear in events, a bounded 7× fan-out on the
+    * user-day relation (≪ events), and no range join — the shape that
+    * holds at 100 TB where a per-day self-join over a week of history
+    * re-reads 7× the data. Report days are semi-joined to observed days so
+    * the grid never extends past the data. */
+  def qRollingWau(s: SparkSession, d: String): DataFrame = {
+    val dayMs = 86400000L
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        ((ms - pmod(ms, lit(dayMs))) / dayMs).cast("long").as("day"))
+      .distinct()
+    val days = ud.select("day").distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .distinct() // same user active on 2 days of one window counts once
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stick_bp", expr("(10000 * dau) div wau"))
+      .select("day", "dau", "wau", "stick_bp")
+      .orderBy("day")
+  }
+
+  private val qRollingWauSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+      |), days AS (
+      |  SELECT DISTINCT day FROM ud
+      |), contrib AS (
+      |  SELECT DISTINCT ud.user_id, ud.day + g.o AS day
+      |  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) g
+      |  WHERE ud.day + g.o IN (SELECT day FROM days)
+      |), wau AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS wau FROM contrib GROUP BY day
+      |), dau AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+      |)
+      |SELECT dau.day, dau.dau, wau.wau,
+      |  CAST((10000 * dau.dau) // wau.wau AS BIGINT) AS stick_bp
+      |FROM dau JOIN wau ON dau.day = wau.day
+      |ORDER BY dau.day""".stripMargin
+
+  /** Inter-event gap distribution on power-of-two second bands — the
+    * diagnostic a pipeline runs BEFORE choosing a sessionization gap
+    * threshold. The log2 bucket is computed exactly in integers as
+    * `length(bin(gap_s + 1)) - 1` (bit length, never floating log). One
+    * shuffle on user_id for the lead window, then a tiny (≤40 buckets)
+    * aggregate. */
+  def qGapHistogram(s: SparkSession, d: String): DataFrame = {
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val w = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), ms.as("ms"))
+      .withColumn("next_ms", lead("ms", 1).over(w))
+      .filter(col("next_ms").isNotNull)
+      .withColumn("gap_s", expr("(next_ms - ms) div 1000"))
+    gaps
+      .withColumn("bucket", (length(bin(col("gap_s") + 1)) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_gaps"),
+        min("gap_s").as("min_gap_s"),
+        max("gap_s").as("max_gap_s"))
+      .orderBy("bucket")
+  }
+
+  private val qGapHistogramSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+      |), g AS (
+      |  SELECT (lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms)
+      |    // 1000 AS gap_s
+      |  FROM ev
+      |)
+      |SELECT CAST(length(bin(gap_s + 1)) - 1 AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_gaps,
+      |  min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_rolling_wau", qRollingWau, Some(qRollingWauSql)),
+    Q("q_gap_histogram", qGapHistogram, Some(qGapHistogramSql)),
     Q("q_cohort_ltv", qCohortLtv, Some(qCohortLtvSql)),
     Q("q_funnel_time", qFunnelTime, Some(qFunnelTimeSql)),
     Q("q_seasonal_baseline", qSeasonalBaseline, Some(qSeasonalBaselineSql)),

@@ -1126,7 +1126,62 @@ object Similarity {
        |ORDER BY rk
        |LIMIT 20""".stripMargin
 
+  /** BINARIZED (sign-bit) Hamming-distance top-k — the memory-side scale
+    * path next to PQ: each 64-dim float vector compresses to TWO 32-bit
+    * sign words (16 bytes → the whole 100 TB corpus's index fits in RAM at
+    * 1/16 the float32 footprint), and candidate scoring is two XOR+popcount
+    * integer ops, fully codegen'd — no float math in the scan. The query
+    * side is a broadcast; the per-query top-5 is a partitioned rank window
+    * (map-side WindowGroupLimit, same shape PlanSpec asserts for the other
+    * sim queries). Integer distances make the oracle hash-exact. */
+  def simHammingTopk(s: SparkSession, d: String): DataFrame = {
+    def packWord(v: Column, lo: Int): Column =
+      (lo until lo + 32).map { i =>
+        when(element_at(v, i + 1) > 0d, lit(1L << (i - lo))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val packed = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        packWord(col("v"), 0).as("w0"), packWord(col("v"), 32).as("w1"))
+    val queries = packed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("w0").as("q0"), col("w1").as("q1"))
+    val scored = packed.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        expr("bit_count(w0 ^ q0) + bit_count(w1 ^ q1)").cast("long").as("hamming"))
+    val w = Window.partitionBy("qid").orderBy(col("hamming").asc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("qid", "rk")
+  }
+
+  private val simHammingTopkSql = {
+    def pack(lo: Int) =
+      (lo until lo + 32).map(i =>
+        s"(CASE WHEN e[${i + 1}] > 0 THEN ${1L << (i - lo)} ELSE 0 END)")
+        .mkString("(", " + ", ")::BIGINT")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |), packed AS (
+       |  SELECT vec_id, ${pack(0)} AS w0, ${pack(32)} AS w1 FROM v
+       |), q AS (
+       |  SELECT vec_id AS qid, w0 AS q0, w1 AS q1 FROM packed WHERE vec_id < 10
+       |), scored AS (
+       |  SELECT q.qid, p.vec_id AS cand_id,
+       |    CAST(bit_count(xor(p.w0, q.q0)) + bit_count(xor(p.w1, q.q1)) AS BIGINT)
+       |      AS hamming
+       |  FROM packed p JOIN q ON p.vec_id <> q.qid
+       |), ranked AS (
+       |  SELECT qid, cand_id, hamming,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming, cand_id)
+       |      AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT qid, cand_id, hamming, rk FROM ranked WHERE rk <= 5
+       |ORDER BY qid, rk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("sim_hamming_topk", simHammingTopk, Some(simHammingTopkSql)),
     Q("sim_range_search", simRangeSearch, Some(simRangeSearchSql)),
     Q("sim_rank_fusion", simRankFusion, Some(simRankFusionSql)),
     Q("sim_diversity_sample", simDiversitySample, Some(simDiversitySampleSql)),

@@ -1875,7 +1875,85 @@ object TextAnalysis {
       |FROM rk WHERE rk <= 5
       |ORDER BY doc_id, rk""".stripMargin
 
+  /** Per-document n-gram NOVELTY against the whole corpus: the share of a
+    * document's distinct word trigrams whose corpus-FIRST occurrence (by
+    * doc_id) is this document — the memorization/contribution profile a
+    * pretraining curator reads before keeping a near-duplicate-heavy
+    * source. Shape: window-lead trigrams (no self-join), distinct at
+    * (doc, ngram) grain, one hash-aggregate per ngram for the first-doc
+    * relation, one shuffle-join back on the ngram key. All relations are
+    * ngram-grain — never pairwise — so it scales like the inverted index,
+    * not like dedup. */
+  def textNovelty(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(normalizeText(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val ngrams = toks
+      .select(col("doc_id"),
+        col("tok"), lead("tok", 1).over(w).as("t2"), lead("tok", 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t2"), col("t3")).as("ng"))
+      .distinct()
+    val first = ngrams.groupBy("ng").agg(min("doc_id").as("first_doc"))
+    ngrams.join(first, Seq("ng"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("(10000 * n_novel) div n_ngrams"))
+      .orderBy("doc_id")
+  }
+
+  private val textNoveltySql =
+    s"""WITH ${Dedup.toksCte}, idx AS (
+       |  SELECT doc_id, t, unnest(generate_series(1, array_length(t) - 2)) AS i
+       |  FROM toks WHERE array_length(t) >= 3
+       |), ngr AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ng
+       |  FROM idx
+       |), fst AS (
+       |  SELECT ng, min(doc_id) AS first_doc FROM ngr GROUP BY ng
+       |)
+       |SELECT ngr.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       |  CAST(sum(CASE WHEN fst.first_doc = ngr.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel,
+       |  CAST((10000 * sum(CASE WHEN fst.first_doc = ngr.doc_id THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS novelty_bp
+       |FROM ngr JOIN fst USING (ng)
+       |GROUP BY ngr.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Classifier EVALUATION as a relational aggregate: the langid
+    * heuristic's confusion matrix against the corpus's labeled `lang`
+    * column — per (actual, predicted) cell count and row-share in basis
+    * points (the diagonal cells are per-class recall). The eval is one
+    * tiny aggregate over the per-doc prediction relation; at 100 TB the
+    * matrix stays |langs|² rows however big the corpus. */
+  def textLangidEval(s: SparkSession, d: String): DataFrame = {
+    val cells = textLangid(s, d)
+      .groupBy("actual_lang", "predicted_lang").agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("row_total", sum("n").over(Window.partitionBy("actual_lang")))
+      .withColumn("cell_bp", expr("(10000 * n) div row_total"))
+      .select("actual_lang", "predicted_lang", "n", "cell_bp")
+      .orderBy("actual_lang", "predicted_lang")
+  }
+
+  private val textLangidEvalSql =
+    s"""WITH pred AS (
+       |${textLangidSql}
+       |), cells AS (
+       |  SELECT actual_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2
+       |)
+       |SELECT actual_lang, predicted_lang, n,
+       |  CAST((10000 * n) // CAST(sum(n) OVER (PARTITION BY actual_lang) AS BIGINT)
+       |    AS BIGINT) AS cell_bp
+       |FROM cells ORDER BY actual_lang, predicted_lang""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_novelty", textNovelty, Some(textNoveltySql)),
+    Q("text_langid_eval", textLangidEval, Some(textLangidEvalSql)),
     Q("text_tfidf_top", textTfidfTop, Some(textTfidfTopSql)),
     Q("text_rake", textRake, Some(textRakeSql)),
     Q("text_backoff_lm", textBackoffLm, Some(textBackoffLmSql)),

@@ -323,9 +323,10 @@ object EventStream {
     val maxNs = ev.agg(max("ts")).head().getLong(0)
     val farNs = maxNs + 10L * 3600L * 1000000000L
     val staged = java.nio.file.Files.createTempDirectory("graft_outer")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events_b1.parquet"))
+    // stage a NORMALIZED copy (Tables.events converts ts to long nanos
+    // whatever the physical parquet type) so the readStream schema below
+    // is always the long-ns eventsSchema
+    stageNormalized(s, dir, staged, "events_b1.parquet")
     val sentinelDir = staged.resolve("sent").toString
     s.createDataFrame(
         java.util.Arrays.asList(
@@ -388,6 +389,22 @@ object EventStream {
     * every query anyway). A production deployment writes the same `build`
     * pipeline to a files sink or foreachBatch — nothing upstream of the
     * sink changes. */
+  /** Write one long-ns-normalized single-file copy of the events table into
+    * `staged/<name>` (FileStreamSource needs a directory of files, and the
+    * physical ts type of the source parquet varies across testdata
+    * generations — see Tables.events). */
+  private def stageNormalized(
+      s: SparkSession, dir: String,
+      staged: java.nio.file.Path, name: String): Unit = {
+    val tmp = staged.resolve("norm_tmp").toString
+    graft.Tables.events(s, dir).coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    java.nio.file.Files.move(part, staged.resolve(name))
+    val d = new java.io.File(tmp)
+    d.listFiles().foreach(_.delete()); d.delete()
+  }
+
   def runOnBatch(
       s: SparkSession,
       dir: String,
@@ -399,9 +416,7 @@ object EventStream {
     // so stage events.parquet into a temp dir. One file = one micro-batch,
     // which also means no cross-batch late data to fight the watermark.
     val staged = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events.parquet"))
+    stageNormalized(s, dir, staged, "events.parquet")
     val src = s.readStream
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")

@@ -241,4 +241,20 @@ class RelationalSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("decile lift: covers all customers, shares are monotone to 10000") {
+    val rows = operators.Relational.qDecileLift(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    // equal-frequency: sizes differ by at most 1
+    val sizes = rows.map(_.getAs[Long]("n_customers"))
+    assert(sizes.max - sizes.min <= 1)
+    // top decile concentrates the most revenue; cumulative share ends at 100%
+    val cents = rows.map(_.getAs[Long]("decile_cents"))
+    assert(cents.head == cents.max)
+    val shares = rows.map(_.getAs[Long]("cum_share_bp"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.last == 10000L)
+  }
 }

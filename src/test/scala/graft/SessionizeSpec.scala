@@ -321,4 +321,44 @@ class SessionizeSpec extends SparkSpec {
       }
     }
   }
+
+  test("rolling wau: matches a naive per-day 7-day distinct recount") {
+    val rows = qRollingWau(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ud = Tables.events(spark, sf)
+      .withColumn("ms", graft.functions.TimeFunctions.nsToMs("ts"))
+      .select(col("user_id"),
+        ((col("ms") - pmod(col("ms"), lit(86400000L))) / 86400000L)
+          .cast("long").as("day"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")))
+    val byDay = ud.groupBy(_._2)
+    rows.foreach { r =>
+      val day = r.getAs[Long]("day")
+      val wantDau = byDay(day).size
+      val wantWau = ud.filter { case (_, d) => d >= day - 6 && d <= day }
+        .map(_._1).distinct.size
+      assert(r.getAs[Long]("dau") == wantDau, s"dau at $day")
+      assert(r.getAs[Long]("wau") == wantWau, s"wau at $day")
+      assert(r.getAs[Long]("stick_bp") == 10000L * wantDau / wantWau)
+    }
+    // every observed day reports
+    assert(rows.map(_.getAs[Long]("day")).toSet == byDay.keySet)
+  }
+
+  test("gap histogram: buckets are powers of two and conserve gap count") {
+    val rows = qGapHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum == nEvents - nUsers,
+      "one gap per consecutive event pair per user")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val lo = (1L << b) - 1 // gap_s+1 in [2^b, 2^(b+1)) → gap_s ≥ 2^b − 1
+      val hi = (1L << (b + 1)) - 2
+      assert(r.getAs[Long]("min_gap_s") >= lo && r.getAs[Long]("max_gap_s") <= hi,
+        s"bucket $b bounds")
+    }
+  }
 }

@@ -258,4 +258,25 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("hamming topk: matches a local sign-bit brute force with tie rule") {
+    val rows = operators.Similarity.simHammingTopk(spark, sf).collect()
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+      .toMap
+    def bits(v: Array[Float]): Array[Boolean] = v.map(_ > 0f)
+    def ham(a: Array[Boolean], b: Array[Boolean]): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == embs.keySet.filter(_ < 10))
+    byQ.foreach { case (qid, rs) =>
+      val want = embs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (ham(bits(embs(qid)), bits(v)), id) }
+        .sorted.take(5)
+      val got = rs.sortBy(_.getAs[Long]("rk"))
+        .map(r => (r.getAs[Long]("hamming").toInt, r.getAs[Long]("cand_id")))
+      assert(got.toSeq == want, s"query $qid top-5")
+    }
+  }
 }

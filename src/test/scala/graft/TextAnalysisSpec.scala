@@ -463,4 +463,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(by.get("t1").map(_.size).getOrElse(0) == cumAtCut(k1))
     assert(by.get("t1").map(_.size).getOrElse(0) + by.get("t2").map(_.size).getOrElse(0) == cumAtCut(k2))
   }
+
+  test("novelty: novel counts partition the distinct-ngram space") {
+    val rows = operators.TextAnalysis.textNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bp = r.getAs[Long]("novelty_bp")
+      assert(bp >= 0 && bp <= 10000)
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_ngrams"))
+    }
+    // the earliest doc in the result sees everything first
+    val firstDoc = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(firstDoc.getAs[Long]("novelty_bp") == 10000L)
+    // Σ n_novel over docs = |distinct ngrams in corpus| (each ngram is
+    // novel in exactly one doc)
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.normalizeText(col("text")).as("t"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("t").split("\\s+").toSeq)
+    val allNg = toks.flatMap { case (_, ts) => ts.sliding(3).filter(_.size == 3)
+      .map(_.mkString(" ")) }.toSet
+    assert(rows.map(_.getAs[Long]("n_novel")).sum == allNg.size)
+  }
+
+  test("langid eval: cells sum to labeled doc counts per language") {
+    val rows = operators.TextAnalysis.textLangidEval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val actualCounts = Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val byActual = rows.groupBy(_.getAs[String]("actual_lang"))
+    // every labeled language appears and its cells exactly cover its docs
+    assert(byActual.keySet == actualCounts.keySet)
+    byActual.foreach { case (lang, cells) =>
+      assert(cells.map(_.getAs[Long]("n")).sum == actualCounts(lang))
+      cells.foreach { c =>
+        assert(c.getAs[Long]("cell_bp") ==
+          10000L * c.getAs[Long]("n") / actualCounts(lang))
+      }
+    }
+  }
 }
