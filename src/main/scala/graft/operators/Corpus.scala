@@ -1383,7 +1383,50 @@ object Corpus {
       |FROM per_source CROSS JOIN totals
       |ORDER BY source""".stripMargin
 
+  /** Deterministic HASH-SHARD assignment with a balance audit: documents
+    * route to 16 shards by a Knuth multiplicative hash of doc_id (splitter-
+    * friendly — NOT doc_id % 16, which would stripe correlated neighbors
+    * into the same shard), and the audit reports each shard's row/char
+    * mass plus its deviation from the ideal 1/16 share in basis points —
+    * the check a 100 TB writer runs before committing a layout. One scan,
+    * one 16-row aggregate; the hash is plain integer arithmetic so the
+    * oracle is hash-exact. */
+  def corpusShardAssign(s: SparkSession, d: String): DataFrame = {
+    val sharded = Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("chars"))
+      .withColumn("shard", expr("pmod((doc_id * 2654435761) div 65536, 16)"))
+    val totals = broadcast(sharded.agg(
+      count(lit(1)).as("n_total"), sum("chars").as("chars_total")))
+    sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("chars"))
+      .crossJoin(totals)
+      .select(col("shard"), col("n_docs"), col("chars"),
+        expr("(10000 * n_docs * 16) div n_total - 10000").as("row_skew_bp"),
+        expr("(10000 * chars * 16) div chars_total - 10000").as("char_skew_bp"))
+      .orderBy("shard")
+  }
+
+  private val corpusShardAssignSql =
+    """WITH sh AS (
+      |  SELECT (doc_id * 2654435761 // 65536) % 16 AS shard,
+      |    CAST(length(text) AS BIGINT) AS chars
+      |  FROM documents
+      |), tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+      |    CAST(sum(chars) AS BIGINT) AS chars_total
+      |  FROM sh
+      |)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(chars) AS BIGINT) AS chars,
+      |  CAST((10000 * count(*) * 16) // t.n_total - 10000 AS BIGINT) AS row_skew_bp,
+      |  CAST((10000 * sum(chars) * 16) // t.chars_total - 10000 AS BIGINT)
+      |    AS char_skew_bp
+      |FROM sh CROSS JOIN tot t
+      |GROUP BY shard, t.n_total, t.chars_total
+      |ORDER BY shard""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("corpus_shard_assign", corpusShardAssign, Some(corpusShardAssignSql)),
     Q("corpus_mix_weights", corpusMixWeights, Some(corpusMixWeightsSql)),
     Q("corpus_pipeline_e2e", corpusPipelineE2e, Some(corpusPipelineE2eSql)),
     Q("corpus_url_normalize", corpusUrlNormalize, Some(corpusUrlNormalizeSql)),

@@ -563,7 +563,45 @@ object Graph {
       |ORDER BY rk
       |LIMIT 100""".stripMargin
 
+  /** Degree DISTRIBUTION of the co-purchase graph on power-of-two bands —
+    * the first diagnostic before any graph algorithm choice (hub skew
+    * decides salting, orientation, and broadcast strategy). The log2 band
+    * is exact-integer (`length(bin(deg)) - 1`, never floating log). Cost:
+    * the edge derivation (same per-order basket² shape as PageRank, never
+    * table²) plus one node-grain aggregate into ≤64 bands. */
+  def qDegreeHist(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    deg
+      .withColumn("band", (length(bin(col("deg"))) - 1).cast("long"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("deg").as("min_deg"), max("deg").as("max_deg"),
+        sum("deg").as("band_edges"))
+      .orderBy("band")
+  }
+
+  private val qDegreeHistSql =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      |), e AS (
+      |  SELECT DISTINCT a.p AS src, b.p AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p
+      |), deg AS (
+      |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+      |)
+      |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS band,
+      |  CAST(count(*) AS BIGINT) AS n_nodes,
+      |  min(deg) AS min_deg, max(deg) AS max_deg,
+      |  CAST(sum(deg) AS BIGINT) AS band_edges
+      |FROM deg GROUP BY 1 ORDER BY band""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_degree_hist", qDegreeHist, Some(qDegreeHistSql)),
     Q("q_sssp_weighted", qSsspWeighted, Some(qSsspWeightedSql)),
     Q("q_link_predict", qLinkPredict, Some(qLinkPredictSql)),
     Q("q_pagerank_copurchase", qPagerankCopurchase, Some(qPagerankCopurchaseSql)),

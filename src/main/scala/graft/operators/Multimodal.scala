@@ -247,6 +247,63 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Per-source BYTE-VALUE histogram over the raw binary payloads: the
+    * top-8 most frequent byte values plus the distinct-byte-value count —
+    * the file-type / corruption fingerprint a media-ingest pipeline runs
+    * before dispatching decoders (uniform byte spread ⇒ compressed or
+    * encrypted junk; a spiky profile ⇒ text or structured media). The
+    * payload is byte-exploded DECLARATIVELY via hex + sequence + substring
+    * (no UDF touches the bytes); the per-source top-8 is a partitioned
+    * rank window. The oracle reconstructs the identical byte stream from
+    * the header formula + UTF-8 text, so the hash match proves the whole
+    * binary round trip byte-for-byte. */
+  def mmByteHistogram(s: SparkSession, d: String): DataFrame = {
+    val bytes = withPayload(s, d)
+      .select(col("source"), hex(col("payload")).as("hx"))
+      .select(col("source"), col("hx"),
+        explode(expr("sequence(0L, length(hx) div 2 - 1)")).as("i"))
+      .select(col("source"),
+        expr("substring(hx, cast(2 * i + 1 as int), 2)").as("byte_hex"))
+    val counts = bytes.groupBy("source", "byte_hex").agg(count(lit(1)).as("n"))
+    val bySource = Window.partitionBy("source")
+    val rk = Window.partitionBy("source").orderBy(col("n").desc, col("byte_hex").asc)
+    counts
+      .withColumn("n_distinct_bytes", count(lit(1)).over(bySource))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .filter(col("rk") <= 8)
+      .select("source", "rk", "byte_hex", "n", "n_distinct_bytes")
+      .orderBy("source", "rk")
+  }
+
+  private val mmByteHistogramSql =
+    """WITH hx AS (
+      |  SELECT source,
+      |    '47524654'
+      |    || lpad(hex((doc_id % 512 + 16) // 256), 2, '0')
+      |    || lpad(hex((doc_id % 512 + 16) % 256), 2, '0')
+      |    || lpad(hex((doc_id * 7 % 512 + 16) // 256), 2, '0')
+      |    || lpad(hex((doc_id * 7 % 512 + 16) % 256), 2, '0')
+      |    || hex(encode(text)) AS hx
+      |  FROM documents
+      |), idx AS (
+      |  SELECT source, hx, unnest(generate_series(0, length(hx) // 2 - 1)) AS i
+      |  FROM hx
+      |), b AS (
+      |  SELECT source, substr(hx, CAST(2 * i + 1 AS INT), 2) AS byte_hex FROM idx
+      |), counts AS (
+      |  SELECT source, byte_hex, CAST(count(*) AS BIGINT) AS n
+      |  FROM b GROUP BY source, byte_hex
+      |), ranked AS (
+      |  SELECT source, byte_hex, n,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_distinct_bytes,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, byte_hex)
+      |      AS BIGINT) AS rk
+      |  FROM counts
+      |)
+      |SELECT source, rk, byte_hex, n, n_distinct_bytes
+      |FROM ranked WHERE rk <= 8
+      |ORDER BY source, rk""".stripMargin
+
   private val mmAhashSql =
     """WITH meta AS (
       |  SELECT doc_id, text,
@@ -727,6 +784,7 @@ object Multimodal {
       |ORDER BY doc_id""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("mm_byte_histogram", mmByteHistogram, Some(mmByteHistogramSql)),
     Q("mm_audio_fingerprint", mmAudioFingerprint, Some(mmAudioFingerprintSql)),
     Q("mm_audio_vad", mmAudioVad, Some(mmAudioVadSql)),
     Q("mm_phash", mmPhash, Some(mmPhashSql)),

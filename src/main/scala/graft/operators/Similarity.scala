@@ -1180,7 +1180,69 @@ object Similarity {
        |ORDER BY qid, rk""".stripMargin
   }
 
+  /** Dominant principal direction of the SIGN-QUANTIZED embedding matrix by
+    * three MATRIX-FREE power iterations — the embedding-drift / dominant-
+    * direction diagnostic run before whitening or ANN index training.
+    *
+    * The Gram matrix G = QᵀQ (Q = ±1 sign matrix) is never materialized:
+    * v_{k+1} = G·v_k is computed as Σ_r q_r·(q_r·v_k) — one row-grain dot
+    * with the (broadcast, d-row) iterate, then one dim-grain aggregate.
+    * Three passes over the exploded (row, dim, sign) relation; no d²
+    * shuffle, no driver-side matrix. Each iterate is rescaled
+    * (×1000, div n) so magnitudes stay ~64000× per round INDEPENDENT of
+    * corpus size — BIGINT-safe to n ≈ 3×10⁷ rows; past that the
+    * accumulator becomes DECIMAL(38,0), nothing else changes. All
+    * arithmetic is integer (both engines truncate division toward zero),
+    * so the oracle is hash-exact. */
+  def simPowerIteration(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("i"), // 1-based like SQL arrays
+        when(col("x") > 0f, 1L).otherwise(-1L).as("q"))
+      .cache()
+    val n = broadcast(ex.select(countDistinct("vec_id").as("n")))
+    def step(v: DataFrame): DataFrame = {
+      val t = ex.join(broadcast(v), Seq("i"))
+        .groupBy("vec_id").agg(sum(expr("q * v")).as("t"))
+      ex.join(t, Seq("vec_id"))
+        .groupBy("i").agg(sum(expr("q * t")).as("raw"))
+        .crossJoin(n)
+        .select(col("i"), expr("(1000 * raw) div n").as("v"))
+    }
+    val v0 = ex.select(col("i")).distinct().select(col("i"), lit(1L).as("v"))
+    val v3 = step(step(step(v0)))
+    v3.withColumn("maxabs", max(abs(col("v"))).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("i").cast("long").as("dim"), col("v").as("v3"),
+        expr("(10000 * v) div maxabs").as("load_bp"))
+      .orderBy("dim")
+  }
+
+  private val simPowerIterationSql = {
+    def step(k: Int) =
+      s"""t$k AS (
+         |  SELECT e.vec_id, sum(e.q * v.v) AS t
+         |  FROM ex e JOIN v${k - 1} v ON e.i = v.i GROUP BY e.vec_id
+         |), v$k AS (
+         |  SELECT e.i,
+         |    CAST((1000 * sum(e.q * t.t)) // (SELECT n FROM nn) AS BIGINT) AS v
+         |  FROM ex e JOIN t$k t ON e.vec_id = t.vec_id GROUP BY e.i
+         |)""".stripMargin
+    s"""WITH ex AS (
+       |  SELECT vec_id, i.i, CASE WHEN embedding[i.i] > 0 THEN 1 ELSE -1 END AS q
+       |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+       |), nn AS (
+       |  SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM ex
+       |), v0 AS (
+       |  SELECT DISTINCT i, CAST(1 AS BIGINT) AS v FROM ex
+       |), ${step(1)}, ${step(2)}, ${step(3)}
+       |SELECT CAST(i AS BIGINT) AS dim, v AS v3,
+       |  CAST((10000 * v) // max(abs(v)) OVER () AS BIGINT) AS load_bp
+       |FROM v3 ORDER BY dim""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("sim_power_iteration", simPowerIteration, Some(simPowerIterationSql)),
     Q("sim_hamming_topk", simHammingTopk, Some(simHammingTopkSql)),
     Q("sim_range_search", simRangeSearch, Some(simRangeSearchSql)),
     Q("sim_rank_fusion", simRankFusion, Some(simRankFusionSql)),

@@ -267,7 +267,93 @@ object StatTests {
       |  CAST(count(*) AS BIGINT) AS n_boot
       |FROM rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_cuped — CUPED variance reduction (Deng et al., WSDM'13): adjust the
+  // experiment metric y by the pre-period covariate x, y' = y − θ(x − x̄),
+  // with θ = cov(x,y)/var(x) estimated POOLED across arms. Everything is
+  // exact integer arithmetic: per-user sums in whole value-units, θ in
+  // milli-units via the moment identity θ = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
+  // and per-arm adjusted means cleared of the rational x̄ by multiplying
+  // through by n_total before the one truncating division (both engines
+  // truncate toward zero, so negatives agree).
+  //
+  // Scale shape: one user-grain conditional aggregate (shuffle on
+  // user_id), then a single metadata-sized moment row cross-joined back —
+  // no second pass over events. BIGINT headroom holds through sf1; at
+  // 100 TB θ would come from a hash-sample of users (the same sampling
+  // stance as IVF's Lloyd step), leaving the per-arm pass unchanged.
+  // ---------------------------------------------------------------------
+  def qCuped(s: SparkSession, d: String): DataFrame = {
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        ((ms - pmod(ms, lit(86400000L))) / 86400000L).cast("long").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val mid = broadcast(ev.agg(
+      expr("(min(day) + max(day) + 1) div 2").as("mid")))
+    val perUser = ev.crossJoin(mid)
+      .groupBy("user_id")
+      .agg(
+        expr("sum(CASE WHEN day < mid THEN cents ELSE 0 END) div 100").as("x"),
+        expr("sum(CASE WHEN day >= mid THEN cents ELSE 0 END) div 100").as("y"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("long"))
+    val mom = broadcast(perUser.agg(
+      count(lit(1)).as("n_all"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx")))
+    perUser
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum("x").as("x_units"), sum("y").as("y_units"))
+      .crossJoin(mom)
+      .withColumn("theta_milli",
+        expr("((n_all * sxy - sx * sy) * 1000) div (n_all * sxx - sx * sx)"))
+      .select(col("arm"), col("n_users"), col("x_units"), col("y_units"),
+        col("theta_milli"),
+        expr("(1000 * y_units) div n_users").as("mean_y_milli"),
+        expr("(1000 * n_all * y_units - theta_milli * (n_all * x_units - n_users * sx))"
+          + " div (n_all * n_users)").as("mean_yadj_milli"))
+      .orderBy("arm")
+  }
+
+  private val qCupedSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), mid AS (
+      |  SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev
+      |), pu AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN day < (SELECT mid FROM mid) THEN cents ELSE 0 END)
+      |      // 100 AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN day >= (SELECT mid FROM mid) THEN cents ELSE 0 END)
+      |      // 100 AS BIGINT) AS y,
+      |    user_id % 2 AS arm
+      |  FROM ev GROUP BY user_id
+      |), mom AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM pu
+      |), arms AS (
+      |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(x) AS BIGINT) AS x_units, CAST(sum(y) AS BIGINT) AS y_units
+      |  FROM pu GROUP BY arm
+      |)
+      |SELECT CAST(a.arm AS BIGINT) AS arm, a.n_users, a.x_units, a.y_units,
+      |  CAST(((m.n_all * m.sxy - m.sx * m.sy) * 1000)
+      |    // (m.n_all * m.sxx - m.sx * m.sx) AS BIGINT) AS theta_milli,
+      |  CAST((1000 * a.y_units) // a.n_users AS BIGINT) AS mean_y_milli,
+      |  CAST((1000 * m.n_all * a.y_units
+      |      - (((m.n_all * m.sxy - m.sx * m.sy) * 1000)
+      |         // (m.n_all * m.sxx - m.sx * m.sx))
+      |        * (m.n_all * a.x_units - a.n_users * m.sx))
+      |    // (m.n_all * a.n_users) AS BIGINT) AS mean_yadj_milli
+      |FROM arms a CROSS JOIN mom m
+      |ORDER BY arm""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_cuped", qCuped, Some(qCupedSql)),
     Q("q_mannwhitney", qMannwhitney, Some(qMannwhitneySql)),
     Q("q_ks_binned", qKsBinned, Some(qKsBinnedSql)),
     Q("q_bootstrap_ci", qBootstrapCi, Some(qBootstrapCiSql)))

@@ -189,4 +189,26 @@ class GraphSpec extends SparkSpec {
         col("e.src") === col("r.dst") && col("e.dst") === col("r.src"), "left_anti")
     assert(asym.count() == 0, "every edge must have its reverse")
   }
+
+  test("degree hist: bands partition nodes and conserve edge endpoints") {
+    val rows = operators.Graph.qDegreeHist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct().collect().map(r => (r.getAs[Long]("ok"), r.getAs[Long]("p")))
+    val byOrder: Seq[Set[Long]] =
+      li.groupBy(_._1).values.map(_.map(_._2).toSet).toSeq
+    val edges: Set[(Long, Long)] = byOrder.flatMap { parts =>
+      parts.toSeq.flatMap(a => parts.toSeq.filter(_ != a).map(b => (a, b)))
+    }.toSet
+    val deg: Map[Long, Int] =
+      edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == deg.size)
+    assert(rows.map(_.getAs[Long]("band_edges")).sum == deg.values.map(_.toLong).sum)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("band")
+      assert(r.getAs[Long]("min_deg") >= (1L << b) &&
+        r.getAs[Long]("max_deg") < (1L << (b + 1)), s"band $b bounds")
+    }
+  }
 }

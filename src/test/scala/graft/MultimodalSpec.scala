@@ -224,4 +224,25 @@ class MultimodalSpec extends SparkSpec {
         s"doc $id: a chunk does not start at the exact byte offset")
     }
   }
+
+  test("byte histogram: matches a local recount of raw payload bytes") {
+    val rows = operators.Multimodal.mmByteHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val payloads = operators.Multimodal.withPayload(spark, sf)
+      .select("source", "payload").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Array[Byte]]("payload"))
+    val counts = payloads.groupBy(_._1).map { case (src, ps) =>
+      src -> ps.flatMap(_._2).groupBy(b => b & 0xFF).map { case (b, a) => b -> a.length }
+    }
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val want = counts(src)
+      val top = want.toSeq
+        .map { case (b, n) => (n.toLong, f"$b%02X") }
+        .sortBy { case (n, h) => (-n, h) }.take(8)
+      val got = rs.sortBy(_.getAs[Long]("rk"))
+        .map(r => (r.getAs[Long]("n"), r.getAs[String]("byte_hex")))
+      assert(got.toSeq == top, s"$src top bytes")
+      rs.foreach(r => assert(r.getAs[Long]("n_distinct_bytes") == want.size))
+    }
+  }
 }

@@ -279,4 +279,27 @@ class SimilaritySpec extends SparkSpec {
       assert(got.toSeq == want, s"query $qid top-5")
     }
   }
+
+  test("power iteration: matches an exact local integer recompute") {
+    val rows = operators.Similarity.simPowerIteration(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("dim")).toSeq == (1L to 64L))
+    val q = Tables.embeddings(spark, sf).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => if (x > 0f) 1L else -1L).toArray)
+    val n = q.length.toLong
+    def step(v: Array[Long]): Array[Long] = {
+      val t = q.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      (0 until 64).map { i =>
+        val raw = q.zip(t).map { case (row, tr) => row(i) * tr }.sum
+        1000L * raw / n // both engines truncate toward zero; / does too
+      }.toArray
+    }
+    val v3 = step(step(step(Array.fill(64)(1L))))
+    val maxabs = v3.map(math.abs).max
+    rows.foreach { r =>
+      val i = r.getAs[Long]("dim").toInt - 1
+      assert(r.getAs[Long]("v3") == v3(i), s"v3 at dim ${i + 1}")
+      assert(r.getAs[Long]("load_bp") == 10000L * v3(i) / maxabs)
+    }
+  }
 }

@@ -105,4 +105,37 @@ class StatTestsSpec extends SparkSpec {
     // KS distance is a genuine sup: every bucket's gap is <= the reported one
     gaps.foreach { case (_, g) => assert(g <= dmax) }
   }
+
+  test("cuped: matches an exact local integer recompute of theta and means") {
+    val rows = qCuped(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("arm")).toSeq == Seq(0L, 1L))
+    val ev = Tables.events(spark, sf)
+      .withColumn("ms", graft.functions.TimeFunctions.nsToMs("ts"))
+      .select(col("user_id"),
+        ((col("ms") - pmod(col("ms"), lit(86400000L))) / 86400000L)
+          .cast("long").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day"), r.getAs[Long]("cents")))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max + 1) / 2
+    val pu = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.filter(_._2 < mid).map(_._3).sum / 100,
+        es.filter(_._2 >= mid).map(_._3).sum / 100)
+    }.toSeq
+    val n = pu.size.toLong
+    val sx = pu.map(_._2).sum; val sy = pu.map(_._3).sum
+    val sxy = pu.map(p => p._2 * p._3).sum; val sxx = pu.map(p => p._2 * p._2).sum
+    val theta = ((n * sxy - sx * sy) * 1000L) / (n * sxx - sx * sx)
+    rows.foreach { r =>
+      val arm = r.getAs[Long]("arm")
+      val grp = pu.filter(_._1 % 2 == arm)
+      val (na, xa, ya) = (grp.size.toLong, grp.map(_._2).sum, grp.map(_._3).sum)
+      assert(r.getAs[Long]("n_users") == na)
+      assert(r.getAs[Long]("x_units") == xa && r.getAs[Long]("y_units") == ya)
+      assert(r.getAs[Long]("theta_milli") == theta)
+      assert(r.getAs[Long]("mean_y_milli") == 1000L * ya / na)
+      assert(r.getAs[Long]("mean_yadj_milli") ==
+        (1000L * n * ya - theta * (n * xa - na * sx)) / (n * na))
+    }
+  }
 }
