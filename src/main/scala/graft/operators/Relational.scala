@@ -593,6 +593,110 @@ object Relational {
        |FROM est ORDER BY ship_year""".stripMargin
   }
 
+  /** KMV sketch MERGEABILITY as a user-visible rollup — the property that
+    * makes cardinality sketches work at 100 TB: per-year k-minimum-value
+    * "partial sketches" (the k smallest distinct portable hashes, a rank
+    * window — no custom aggregate needed at this level) are UNIONED and
+    * re-cut to k, and the union's estimate is provably identical to
+    * sketching the full data directly (k-min of ∪ survivors = k-min of
+    * the union). The all-years row is computed WITHOUT re-scanning
+    * lineitem — only the ≤ k·|years| survivor hashes move — exactly how a
+    * datacube serves "distinct users, any date range" from per-day
+    * sketches. Same portable md5-prefix hash and closed-form estimator as
+    * q_kmv_distinct, so fully oracled. */
+  def qKmvUnion(s: SparkSession, d: String): DataFrame = {
+    val k = 256
+    val v = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val hv = Tables.lineitem(s, d)
+      .select(year(col("l_shipdate")).cast("long").as("ship_year"),
+        col("l_orderkey"), v.as("v"))
+      .distinct()
+    val exact = hv.groupBy("ship_year")
+      .agg(countDistinct("l_orderkey").as("exact_n"))
+    val exactAll = hv.agg(countDistinct("l_orderkey").as("exact_n"))
+      .withColumn("scope", lit("all"))
+    // per-year partial sketches: the k smallest distinct hashes
+    val wYear = Window.partitionBy("ship_year").orderBy("v")
+    val perYear = hv.select("ship_year", "v").distinct()
+      .withColumn("rk", row_number().over(wYear))
+      .filter(col("rk") <= k)
+    def estimate(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+      val grp = if (keyCols.isEmpty) df.groupBy() else df.groupBy(keyCols.head)
+      grp.agg(count(lit(1)).as("n_seen"),
+          max(when(col("rk") === k, col("v"))).as("kth"))
+        .withColumn("kmv_n",
+          when(col("kth").isNull, col("n_seen"))
+            .otherwise(expr(s"CAST(round(${k - 1}.0 * 1152921504606846976.0 / kth) AS BIGINT)")))
+    }
+    val yearEst = estimate(perYear, Seq("ship_year"))
+      .join(exact, "ship_year")
+      .select(lit("year").as("scope"), col("ship_year").cast("string").as("key"),
+        col("exact_n"), col("kmv_n"))
+    // merge: union of the per-year survivors, re-cut to the k smallest
+    val wAll = Window.orderBy("v")
+    val merged = perYear.select("v").distinct()
+      .withColumn("rk", row_number().over(wAll))
+      .filter(col("rk") <= k)
+    val allEst = estimate(merged, Seq.empty)
+      .crossJoin(broadcast(exactAll.select("exact_n")))
+      .select(lit("all").as("scope"), lit("*").as("key"),
+        col("exact_n"), col("kmv_n"))
+    yearEst.unionByName(allEst)
+      .withColumn("err_bp", expr("(abs(kmv_n - exact_n) * 10000) div exact_n"))
+      .orderBy("scope", "key")
+  }
+
+  private val qKmvUnionSql: String = {
+    val v = (0 until 15).map { j =>
+      s"(strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) * ${BigInt(16).pow(14 - j)}"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT DISTINCT CAST(year(l_shipdate) AS BIGINT) AS ship_year, l_orderkey
+       |  FROM lineitem
+       |), hv AS (
+       |  SELECT ship_year, l_orderkey, $v AS v
+       |  FROM (SELECT ship_year, l_orderkey,
+       |          md5(CAST(l_orderkey AS VARCHAR)) AS h FROM base)
+       |), py AS (
+       |  SELECT ship_year, v, row_number() OVER (PARTITION BY ship_year ORDER BY v) AS rk
+       |  FROM (SELECT DISTINCT ship_year, v FROM hv)
+       |), pyk AS (
+       |  SELECT * FROM py WHERE rk <= 256
+       |), yest AS (
+       |  SELECT 'year' AS scope, CAST(ship_year AS VARCHAR) AS key,
+       |    ex.exact_n,
+       |    CASE WHEN kth IS NULL THEN CAST(n_seen AS BIGINT)
+       |         ELSE CAST(round(255.0 * 1152921504606846976.0 / kth) AS BIGINT)
+       |    END AS kmv_n
+       |  FROM (
+       |    SELECT ship_year, count(*) AS n_seen,
+       |      max(CASE WHEN rk = 256 THEN v END) AS kth
+       |    FROM pyk GROUP BY ship_year
+       |  ) a JOIN (
+       |    SELECT ship_year, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_n
+       |    FROM hv GROUP BY ship_year
+       |  ) ex USING (ship_year)
+       |), mg AS (
+       |  SELECT v, row_number() OVER (ORDER BY v) AS rk
+       |  FROM (SELECT DISTINCT v FROM pyk)
+       |), aest AS (
+       |  SELECT 'all' AS scope, '*' AS key,
+       |    (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM hv) AS exact_n,
+       |    CASE WHEN kth IS NULL THEN CAST(n_seen AS BIGINT)
+       |         ELSE CAST(round(255.0 * 1152921504606846976.0 / kth) AS BIGINT)
+       |    END AS kmv_n
+       |  FROM (
+       |    SELECT count(*) AS n_seen, max(CASE WHEN rk = 256 THEN v END) AS kth
+       |    FROM mg WHERE rk <= 256
+       |  )
+       |)
+       |SELECT scope, key, exact_n, kmv_n,
+       |  (abs(kmv_n - exact_n) * 10000) // exact_n AS err_bp
+       |FROM (SELECT * FROM yest UNION ALL SELECT * FROM aest)
+       |ORDER BY scope, key""".stripMargin
+  }
+
   /** Robust statistics: per-group median, MAD, and 3σ-equivalent outlier
     * counts (|x − med| > 3·1.4826·MAD, the robust z-score rule) — the
     * outlier-screening companion to q_describe's mean/stddev, which a
@@ -1410,6 +1514,7 @@ object Relational {
       |FROM per ORDER BY decile""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q_kmv_union", qKmvUnion, Some(qKmvUnionSql)),
     Q("q_decile_lift", qDecileLift, Some(qDecileLiftSql)),
     Q("q_skyline", qSkyline, Some(qSkylineSql)),
     Q("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),

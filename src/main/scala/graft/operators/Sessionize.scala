@@ -1008,7 +1008,69 @@ object Sessionize {
       |FROM g WHERE gap_s IS NOT NULL
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** TIME-CONSTRAINED funnel (the ClickHouse windowFunnel semantic, greedy
+    * first-anchor variant): the chain view → click → purchase must
+    * COMPLETE within 1 hour of the user's first view — unlike
+    * q_events_funnel, where any-time later stages count. Deterministic
+    * greedy semantics: anchor = first view; each stage = first qualifying
+    * event at-or-after the previous stage and within the anchor window.
+    * Same tiny per-user frontier aggregates as q_events_funnel (no
+    * event-grain self-join), plus per-stage conversion from stage 1 in
+    * basis points. */
+  def qFunnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val winMs = 3600000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        graft.functions.TimeFunctions.nsToMs("ts").as("ms"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ms").as("v_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, "user_id")
+      .filter(col("ms") >= col("v_ms") && col("ms") <= col("v_ms") + winMs)
+      .groupBy("user_id").agg(min("ms").as("c_ms"), min("v_ms").as("v_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("ms") >= col("c_ms") && col("ms") <= col("v_ms") + winMs)
+      .groupBy("user_id").agg(min("ms").as("p_ms"))
+    val stages = views.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"))
+      .unionByName(clicks.agg(lit("2_click_1h").as("stage"), count(lit(1)).as("n_users")))
+      .unionByName(purchases.agg(lit("3_purchase_1h").as("stage"), count(lit(1)).as("n_users")))
+    stages
+      .withColumn("base", max(when(col("stage") === "1_view", col("n_users")))
+        .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("stage"), col("n_users"),
+        expr("(10000 * n_users) div base").as("conv_bp"))
+      .orderBy("stage")
+  }
+
+  private val qFunnelWindowedSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+      |), views AS (
+      |  SELECT user_id, min(ms) AS v_ms FROM ev WHERE event_type = 'view' GROUP BY user_id
+      |), clicks AS (
+      |  SELECT e.user_id, min(ms) AS c_ms, min(v_ms) AS v_ms
+      |  FROM ev e JOIN views USING (user_id)
+      |  WHERE event_type = 'click' AND ms >= v_ms AND ms <= v_ms + 3600000
+      |  GROUP BY e.user_id
+      |), purchases AS (
+      |  SELECT e.user_id, min(ms) AS p_ms
+      |  FROM ev e JOIN clicks USING (user_id)
+      |  WHERE event_type = 'purchase' AND ms >= c_ms AND ms <= v_ms + 3600000
+      |  GROUP BY e.user_id
+      |), stages AS (
+      |  SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM views
+      |  UNION ALL SELECT '2_click_1h', count(*) FROM clicks
+      |  UNION ALL SELECT '3_purchase_1h', count(*) FROM purchases
+      |)
+      |SELECT stage, n_users,
+      |  CAST((10000 * n_users)
+      |    // max(CASE WHEN stage = '1_view' THEN n_users END) OVER () AS BIGINT)
+      |    AS conv_bp
+      |FROM stages ORDER BY stage""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_funnel_windowed", qFunnelWindowed, Some(qFunnelWindowedSql)),
     Q("q_rolling_wau", qRollingWau, Some(qRollingWauSql)),
     Q("q_gap_histogram", qGapHistogram, Some(qGapHistogramSql)),
     Q("q_cohort_ltv", qCohortLtv, Some(qCohortLtvSql)),

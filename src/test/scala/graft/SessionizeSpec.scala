@@ -346,6 +346,39 @@ class SessionizeSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("day")).toSet == byDay.keySet)
   }
 
+  test("windowed funnel: matches a local greedy chain and bounds the open funnel") {
+    val rows = qFunnelWindowed(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("1_view", "2_click_1h", "3_purchase_1h"))
+    val Array(n1, n2, n3) = rows.map(_.getAs[Long]("n_users"))
+    assert(n1 >= n2 && n2 >= n3)
+    assert(rows.head.getAs[Long]("conv_bp") == 10000L)
+    // local greedy recompute
+    val ev = Tables.events(spark, sf)
+      .withColumn("ms", graft.functions.TimeFunctions.nsToMs("ts"))
+      .select("user_id", "event_type", "ms").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"), r.getAs[Long]("ms")))
+    val byUser = ev.groupBy(_._1)
+    var (c1, c2, c3) = (0L, 0L, 0L)
+    byUser.values.foreach { es =>
+      val vs = es.filter(_._2 == "view").map(_._3)
+      if (vs.nonEmpty) {
+        c1 += 1
+        val v = vs.min
+        val cs = es.filter(e => e._2 == "click" && e._3 >= v && e._3 <= v + 3600000L).map(_._3)
+        if (cs.nonEmpty) {
+          c2 += 1
+          val c = cs.min
+          if (es.exists(e => e._2 == "purchase" && e._3 >= c && e._3 <= v + 3600000L)) c3 += 1
+        }
+      }
+    }
+    assert((n1, n2, n3) == ((c1, c2, c3)))
+    // the 1h window can only lose users vs the open funnel
+    val open = eventsFunnel(spark, sf).collect().map(_.getAs[Long]("n_users"))
+    assert(n2 <= open(1) && n3 <= open(2))
+  }
+
   test("gap histogram: buckets are powers of two and conserve gap count") {
     val rows = qGapHistogram(spark, sf).collect()
     assert(rows.nonEmpty)
