@@ -25,7 +25,8 @@ object SparkEntry {
       operators.TimeSeries.all ++
       operators.StatTests.all ++
       operators.Multimodal.all ++
-      sources.JsonlSource.all :+
+      sources.JsonlSource.all ++
+      sources.CsvSource.all :+
       Q("streaming_sessionize", streaming.EventStream.streamingSessionize,
         Some(streaming.EventStream.streamingSessionizeSql)) :+
       Q("streaming_dedup", streaming.EventStream.streamingDedup,

@@ -346,7 +346,32 @@ object TimeSeries {
       |FROM counts c CROSS JOIN tot t
       |ORDER BY c.event_type""".stripMargin
 
+  /** ISO-8601 calendar rollup: order revenue by (ISO year, ISO week) —
+    * the week-boundary semantics both engines implement per the standard
+    * (week 1 = the week containing the first Thursday; the Dec-29→Jan-3
+    * days belong to the NEIGHBORING iso year, which naive
+    * year(date)+weekofyear(date) silently mis-buckets). Exact integer
+    * cents; one aggregate, grain = calendar weeks. */
+  def qWeekAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(
+        expr("extract(YEAROFWEEK FROM o_orderdate)").cast("long").as("iso_year"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"))
+      .orderBy("iso_year", "iso_week")
+
+  private val qWeekAggSql =
+    """SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+      |  CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM orders
+      |GROUP BY 1, 2 ORDER BY iso_year, iso_week""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_week_agg", qWeekAgg, Some(qWeekAggSql)),
     Q("q_trend_fit", qTrendFit, Some(qTrendFitSql)),
     Q("q_autocorr", qAutocorr, Some(qAutocorrSql)),
     Q("q_cusum_changepoint", qCusumChangepoint, Some(qCusumChangepointSql)),

@@ -131,4 +131,24 @@ class TimeSeriesSpec extends SparkSpec {
       assert(r.getAs[Long]("psi_micro") >= 0L, "(p-q) and ln(p/q) share sign")
     }
   }
+
+  test("week agg: conserves orders/revenue and matches a local ISO recompute") {
+    val rows = operators.TimeSeries.qWeekAgg(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderdate").cast("timestamp").as("d"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("d").toLocalDateTime.toLocalDate,
+        math.round(r.getAs[Double]("o_totalprice") * 100)))
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == orders.length)
+    assert(rows.map(_.getAs[Long]("revenue_cents")).sum == orders.map(_._2).sum)
+    val wf = java.time.temporal.WeekFields.ISO
+    val local = orders.groupBy { case (d, _) =>
+      (d.get(wf.weekBasedYear()).toLong, d.get(wf.weekOfWeekBasedYear()).toLong)
+    }.map { case (k, os) => k -> (os.size.toLong, os.map(_._2).sum) }
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("iso_year"), r.getAs[Long]("iso_week"))
+      assert(local(k) == ((r.getAs[Long]("n_orders"), r.getAs[Long]("revenue_cents"))),
+        s"ISO bucket $k")
+    }
+  }
 }
