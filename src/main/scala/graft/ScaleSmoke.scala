@@ -140,7 +140,13 @@ object ScaleSmoke {
       "q_label_propagation" -> operators.Graph.qLabelPropagation,
       "dedup_overlap_sketch" -> operators.Dedup.dedupOverlapSketch,
       "sim_ann_ivfpq" -> operators.Similarity.simAnnIvfpq,
-      "q_interval_overlap" -> operators.Sessionize.qIntervalOverlap)
+      "q_interval_overlap" -> operators.Sessionize.qIntervalOverlap,
+      "q_degree_hist" -> operators.Graph.qDegreeHist,
+      "q_kmv_union" -> operators.Relational.qKmvUnion,
+      "sim_power_iteration" -> operators.Similarity.simPowerIteration,
+      "text_novelty" -> operators.TextAnalysis.textNovelty,
+      "mm_byte_histogram" -> operators.Multimodal.mmByteHistogram,
+      "q_rolling_wau" -> operators.Sessionize.qRollingWau)
     val queries =
       if (args.isEmpty) allQueries else allQueries.filter(q => args.contains(q._1))
 

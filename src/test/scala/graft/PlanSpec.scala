@@ -94,7 +94,10 @@ class PlanSpec extends SparkSpec {
       "q_link_predict" -> Graph.qLinkPredict(spark, sf),
       "text_rake" -> TextAnalysis.textRake(spark, sf),
       "q_top_paths" -> Mining.qTopPaths(spark, sf),
-      "sim_rank_fusion" -> Similarity.simRankFusion(spark, sf))
+      "sim_rank_fusion" -> Similarity.simRankFusion(spark, sf),
+      // partitioned rank-limit sites: WindowGroupLimit is the per-group cap
+      "sim_hamming_topk" -> Similarity.simHammingTopk(spark, sf),
+      "mm_byte_histogram" -> Multimodal.mmByteHistogram(spark, sf))
     val missing = globalTopK.collect {
       case (name, df) if {
         val p = planOf(df)
