@@ -121,8 +121,37 @@ object JsonlSource {
       |FROM events WHERE value > 0.5
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Driver-contract query through the connector's AGGREGATE PUSHDOWN
+    * (sources/JsonlV2 SupportsPushDownAggregates, partial mode): the
+    * count/sum/min/max over bare BIGINT columns translate, so each file
+    * partition emits ONE pre-aggregated row per event_type and Spark only
+    * merges partials — the connector-side map-side combine that turns a
+    * 1000-file scan into |groups| rows per file on the wire. The oracle
+    * runs on the ORIGINAL events parquet, so the hash match proves the
+    * pushed partial semantics equal the unpushed plan exactly. PlanSpec
+    * asserts PushedAggregation appears in the scan. */
+  def jsonlV2Agg(s: SparkSession, d: String): DataFrame = {
+    val staged = stageFlatJsonl(s, d)
+    s.read.format("graft-jsonl").load(staged)
+      .groupBy("event_type")
+      .agg(count(col("event_id")).as("n_events"),
+        sum(col("user_id")).as("sum_user"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .orderBy("event_type")
+  }
+
+  private val jsonlV2AggSql =
+    """SELECT event_type, CAST(count(event_id) AS BIGINT) AS n_events,
+      |  CAST(sum(user_id) AS BIGINT) AS sum_user,
+      |  CAST(min(event_id) AS BIGINT) AS min_event_id,
+      |  CAST(max(event_id) AS BIGINT) AS max_event_id
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("jsonl_normalize", jsonlNormalize, Some(jsonlNormalizeSql)),
-    Q("jsonl_v2_scan", jsonlV2Scan, Some(jsonlV2ScanSql))
+    Q("jsonl_v2_scan", jsonlV2Scan, Some(jsonlV2ScanSql)),
+    Q("jsonl_v2_agg", jsonlV2Agg, Some(jsonlV2AggSql))
   )
 }

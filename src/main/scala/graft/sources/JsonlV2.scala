@@ -11,7 +11,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -63,10 +65,12 @@ class GraftJsonlTable(tblSchema: StructType, path: String)
 
 class GraftJsonlScanBuilder(fullSchema: StructType, path: String)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[JsonlAgg] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -80,17 +84,74 @@ class GraftJsonlScanBuilder(fullSchema: StructType, path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftJsonlScan(fullSchema, required, pushed, path)
+  /** PARTIAL aggregate pushdown (supportCompletePushDown stays false): each
+    * partition emits one pre-aggregated row per group and Spark runs the
+    * final merge (sum-of-counts, sum-of-sums, min-of-mins…). This is the
+    * connector-side version of map-side combine: a 1000-file scan ships
+    * |groups| rows per file instead of every line. Only translations this
+    * reader can hold exactly are accepted — COUNT(*)/COUNT(col)/SUM/MIN/MAX
+    * over single BIGINT fields (and COUNT over any field); anything else
+    * (double sums would reorder float addition, expressions, DISTINCT)
+    * refuses pushdown and falls back to a plain scan. */
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    def fieldOf(e: connector.expressions.Expression): Option[StructField] = e match {
+      case nr: connector.expressions.NamedReference if nr.fieldNames.length == 1 =>
+        fullSchema.fields.find(_.name == nr.fieldNames.head)
+      case _ => None
+    }
+    val groups = agg.groupByExpressions.toSeq.map(fieldOf)
+    if (groups.exists(_.isEmpty)) return false
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: aggregate.CountStar => Some(JsonlAggCol("count_star", ""))
+      case c: aggregate.Count if !c.isDistinct =>
+        fieldOf(c.column).map(f => JsonlAggCol("count", f.name))
+      case s: aggregate.Sum if !s.isDistinct =>
+        fieldOf(s.column).filter(_.dataType == LongType)
+          .map(f => JsonlAggCol("sum", f.name))
+      case m: aggregate.Min =>
+        fieldOf(m.column).filter(_.dataType == LongType)
+          .map(f => JsonlAggCol("min", f.name))
+      case m: aggregate.Max =>
+        fieldOf(m.column).filter(_.dataType == LongType)
+          .map(f => JsonlAggCol("max", f.name))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return false
+    pushedAgg = Some(JsonlAgg(groups.map(_.get.name), specs.map(_.get)))
+    true
+  }
+
+  override def build(): Scan =
+    new GraftJsonlScan(fullSchema, required, pushed, pushedAgg, path)
+}
+
+/** One accepted aggregate column: kind ∈ count_star|count|sum|min|max. */
+case class JsonlAggCol(kind: String, field: String)
+
+/** The pushed (partial) aggregation: group field names + agg columns. */
+case class JsonlAgg(groupFields: Seq[String], aggs: Seq[JsonlAggCol]) {
+  /** Scan output schema Spark expects: group columns first, then one
+    * BIGINT per aggregate (count/sum/min/max of BIGINT are all BIGINT). */
+  def schema(full: StructType): StructType = StructType(
+    groupFields.map(g => full.fields.find(_.name == g).get) ++
+      aggs.zipWithIndex.map { case (a, i) =>
+        StructField(s"${a.kind}_${if (a.field.isEmpty) "star" else a.field}_$i",
+          LongType, nullable = true)
+      })
 }
 
 class GraftJsonlScan(fullSchema: StructType, required: StructType,
-    pushed: Array[Filter], path: String) extends Scan with Batch {
+    pushed: Array[Filter], agg: Option[JsonlAgg], path: String)
+    extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    agg.map(_.schema(fullSchema)).getOrElse(required)
 
   override def description(): String =
     s"GraftJsonlScan PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+      agg.map(a => s"PushedAggregation: [${a.aggs.map(c => s"${c.kind}(${c.field})")
+        .mkString(", ")}], PushedGroupBy: [${a.groupFields.mkString(", ")}], ").getOrElse("") +
+      s"ReadSchema: ${readSchema().catalogString}"
 
   override def toBatch: Batch = this
 
@@ -98,7 +159,7 @@ class GraftJsonlScan(fullSchema: StructType, required: StructType,
     JsonlV2.listFiles(path).map(f => GraftJsonlPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftJsonlReaderFactory(fullSchema.json, required.json, pushed)
+    new GraftJsonlReaderFactory(fullSchema.json, required.json, pushed, agg)
 }
 
 case class GraftJsonlPartition(file: String) extends InputPartition
@@ -106,12 +167,84 @@ case class GraftJsonlPartition(file: String) extends InputPartition
 /** Ships as (schema-json, filters) — StructType itself is not serializable
   * across all Spark versions, its JSON form always is. */
 class GraftJsonlReaderFactory(fullJson: String, requiredJson: String,
-    pushed: Array[Filter]) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftJsonlPartitionReader(
-      DataType.fromJson(fullJson).asInstanceOf[StructType],
-      DataType.fromJson(requiredJson).asInstanceOf[StructType],
-      pushed, p.asInstanceOf[GraftJsonlPartition].file)
+    pushed: Array[Filter], agg: Option[JsonlAgg]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val full = DataType.fromJson(fullJson).asInstanceOf[StructType]
+    val file = p.asInstanceOf[GraftJsonlPartition].file
+    agg match {
+      case Some(a) => new GraftJsonlAggReader(full, pushed, a, file)
+      case None => new GraftJsonlPartitionReader(full,
+        DataType.fromJson(requiredJson).asInstanceOf[StructType], pushed, file)
+    }
+  }
+}
+
+/** Per-partition PRE-AGGREGATION reader: streams the file once, holds one
+  * accumulator row per group (|groups| ≪ |lines| memory), then emits the
+  * partial rows. Spark's final aggregate merges partials across partitions,
+  * so semantics equal the unpushed plan exactly — integers only, no float
+  * reorder. */
+class GraftJsonlAggReader(full: StructType, pushed: Array[Filter],
+    agg: JsonlAgg, file: String) extends PartitionReader[InternalRow] {
+
+  private val inner = new GraftJsonlPartitionReader(full, full, pushed, file)
+
+  // per group: (counts/sums seeded 0; min/max seeded null via hasValue=false)
+  private final class Acc {
+    val vals = new Array[Long](agg.aggs.length)
+    val has = new Array[Boolean](agg.aggs.length)
+  }
+
+  private lazy val rows: Iterator[InternalRow] = {
+    val fieldIdx = full.fields.map(_.name).zipWithIndex.toMap
+    val gIdx = agg.groupFields.map(fieldIdx)
+    val aIdx = agg.aggs.map(a => if (a.field.isEmpty) -1 else fieldIdx(a.field))
+    val groups = scala.collection.mutable.LinkedHashMap[Seq[Any], Acc]()
+    while (inner.next()) {
+      val row = inner.get()
+      // safe to hold across lines: the inner reader builds a fresh
+      // GenericInternalRow (fresh UTF8Strings) per line, no buffer reuse
+      val key = gIdx.map(i => row.get(i, full.fields(i).dataType))
+      val acc = groups.getOrElseUpdate(key, new Acc)
+      var j = 0
+      while (j < agg.aggs.length) {
+        val spec = agg.aggs(j)
+        val isNull = aIdx(j) >= 0 && row.isNullAt(aIdx(j))
+        spec.kind match {
+          case "count_star" => acc.vals(j) += 1; acc.has(j) = true
+          case "count" => if (!isNull) { acc.vals(j) += 1 }; acc.has(j) = true
+          case "sum" => if (!isNull) { acc.vals(j) += row.getLong(aIdx(j)); acc.has(j) = true }
+          case "min" => if (!isNull) {
+            val v = row.getLong(aIdx(j))
+            if (!acc.has(j) || v < acc.vals(j)) acc.vals(j) = v
+            acc.has(j) = true
+          }
+          case "max" => if (!isNull) {
+            val v = row.getLong(aIdx(j))
+            if (!acc.has(j) || v > acc.vals(j)) acc.vals(j) = v
+            acc.has(j) = true
+          }
+        }
+        j += 1
+      }
+    }
+    inner.close()
+    groups.iterator.map { case (key, acc) =>
+      val aggVals: Seq[Any] = agg.aggs.indices.map { j =>
+        agg.aggs(j).kind match {
+          case "count_star" | "count" => acc.vals(j)
+          case _ => if (acc.has(j)) acc.vals(j) else null
+        }
+      }
+      new GenericInternalRow((key ++ aggVals).toArray[Any])
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
 }
 
 class GraftJsonlPartitionReader(full: StructType, required: StructType,

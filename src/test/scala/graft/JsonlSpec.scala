@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.JsonlSource
+import org.apache.spark.sql.functions._
 
 class JsonlSpec extends SparkSpec {
 
@@ -65,5 +66,35 @@ class JsonlSpec extends SparkSpec {
     val builtin = spark.read.json(dir.toString)
       .filter(col("score") > 1.0).agg(sum("id")).collect().head.getLong(0)
     assert(builtin == 4L)
+  }
+
+  test("v2 aggregate pushdown: partials reach the scan and merge exactly") {
+    val q = sources.JsonlSource.jsonlV2Agg(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      s"aggregate did not reach the v2 scan:\n$plan")
+    assert(plan.contains("PushedGroupBy: [event_type]"))
+    // pushed partial semantics must equal the plain (unpushed) computation
+    val got = q.collect()
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(col("event_id")).as("n_events"),
+        sum(col("user_id")).as("sum_user"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .orderBy("event_type").collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
+
+  test("v2 aggregate pushdown refuses unsafe translations (double sum, expr)") {
+    val staged = sources.JsonlSource.stageFlatJsonl(spark, sf)
+    // sum over a DOUBLE column must NOT push (float merge order) — plan
+    // falls back to a plain scan and still computes correctly
+    val q = spark.read.format("graft-jsonl").load(staged)
+      .groupBy("event_type").agg(sum("value").as("s"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregation"),
+      s"double sum must not push down:\n$plan")
+    assert(q.collect().nonEmpty)
   }
 }
