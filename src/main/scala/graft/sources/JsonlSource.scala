@@ -149,9 +149,49 @@ object JsonlSource {
       |FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Driver-contract query through the connector's WRITE path: events →
+    * `df.write.format("graft-jsonl")` (two-phase task commit: temp file per
+    * task, driver rename on job commit) → read back through the same
+    * connector (schema inferred) → aggregate with a props md5 checksum.
+    * The oracle runs on the ORIGINAL parquet, so the hash match proves the
+    * whole write-commit-read cycle value-exact — including JSON string
+    * escaping of the props column in BOTH directions. */
+  def jsonlV2Write(s: SparkSession, d: String): DataFrame = {
+    val staged = System.getProperty("java.io.tmpdir") +
+      "/graft_jsonl_w_" + d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")
+    val dir = new java.io.File(staged)
+    if (dir.exists()) { // fresh target: the writer is append-only
+      dir.listFiles().filter(_.isFile).foreach(_.delete())
+      val t = new java.io.File(dir, "_temporary")
+      if (t.exists()) { t.listFiles().flatMap(f =>
+        if (f.isDirectory) f.listFiles().toSeq :+ f else Seq(f)).foreach(_.delete()) }
+    }
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"), col("props"))
+      .write.format("graft-jsonl").mode(SaveMode.Append).save(staged)
+    s.read.format("graft-jsonl").load(staged)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("cents").as("total_cents"),
+        sum(conv(substring(md5(col("props")), 1, 8), 16, 10).cast("long"))
+          .as("props_checksum"))
+      .orderBy("event_type")
+  }
+
+  private val jsonlV2WriteSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+      |  CAST(sum(CAST(('0x' || substr(md5(props), 1, 8))::BIGINT AS BIGINT))
+      |    AS BIGINT) AS props_checksum
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("jsonl_normalize", jsonlNormalize, Some(jsonlNormalizeSql)),
     Q("jsonl_v2_scan", jsonlV2Scan, Some(jsonlV2ScanSql)),
-    Q("jsonl_v2_agg", jsonlV2Agg, Some(jsonlV2AggSql))
+    Q("jsonl_v2_agg", jsonlV2Agg, Some(jsonlV2AggSql)),
+    Q("jsonl_v2_write", jsonlV2Write, Some(jsonlV2WriteSql))
   )
 }

@@ -44,6 +44,10 @@ class GraftJsonlSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-jsonl"
 
+  // writes land in empty directories, where inference has nothing to read:
+  // accept the dataframe's schema from Spark instead of inferring
+  override def supportsExternalMetadata(): Boolean = true
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     JsonlV2.inferSchema(JsonlV2.pathOf(options))
 
@@ -54,13 +58,111 @@ class GraftJsonlSource extends TableProvider with DataSourceRegister {
 }
 
 class GraftJsonlTable(tblSchema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-jsonl $path"
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftJsonlScanBuilder(tblSchema, path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftJsonlWriteBuilder(info.schema(), path, info.queryId())
+}
+
+/** BATCH WRITE with the standard two-phase task-commit protocol: each task
+  * writes to `path/_temporary/<query>/<task-uuid>.jsonl`, task commit()
+  * reports the temp file, and the DRIVER-side job commit() renames every
+  * reported file into `path/` — a failed/speculative task's file is simply
+  * never reported, and abort() sweeps the temp dir. That is the same
+  * visibility contract the built-in file sources give (output appears
+  * all-or-nothing on job success) without requiring a rename-atomic store.
+  * Append-only: like the read side, a fresh directory per staging run. */
+class GraftJsonlWriteBuilder(schema: StructType, path: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write._
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftJsonlBatchWrite(schema.json, path, queryId)
+  }
+}
+
+case class GraftJsonlCommit(tempFile: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class GraftJsonlBatchWrite(schemaJson: String, path: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private def fs = FileSystem.get(new java.net.URI(path),
+    SparkSession.active.sessionState.newHadoopConf())
+  private def tempDir = new Path(path, s"_temporary/$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftJsonlWriterFactory(schemaJson, path, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs
+    f.mkdirs(new Path(path))
+    messages.foreach { case GraftJsonlCommit(tmp) =>
+      val src = new Path(tmp)
+      f.rename(src, new Path(path, src.getName))
+    }
+    f.delete(tempDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    fs.delete(tempDir, true)
+}
+
+class GraftJsonlWriterFactory(schemaJson: String, path: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftJsonlDataWriter(
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      path, queryId, partitionId, taskId)
+}
+
+class GraftJsonlDataWriter(schema: StructType, path: String, queryId: String,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val fs = FileSystem.get(new java.net.URI(path),
+    new org.apache.hadoop.conf.Configuration())
+  // taskId in the name keeps speculative/retried attempts from colliding
+  private val tempFile =
+    new Path(path, s"_temporary/$queryId/part-$partitionId-$taskId.jsonl")
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(tempFile, true), "UTF-8"))
+  private val mapper = new ObjectMapper
+
+  override def write(row: InternalRow): Unit = {
+    val node = mapper.createObjectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case LongType => node.put(f.name, row.getLong(i))
+        case DoubleType => node.put(f.name, row.getDouble(i))
+        case _ => node.put(f.name, row.getUTF8String(i).toString)
+      }
+    }
+    out.write(mapper.writeValueAsString(node))
+    out.write("\n")
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    GraftJsonlCommit(tempFile.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(tempFile, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 class GraftJsonlScanBuilder(fullSchema: StructType, path: String)

@@ -86,6 +86,29 @@ class JsonlSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
   }
 
+  test("v2 write: two-phase commit leaves only final files; roundtrip exact") {
+    val got = sources.JsonlSource.jsonlV2Write(spark, sf).collect()
+    val staged = new java.io.File(System.getProperty("java.io.tmpdir") +
+      "/graft_jsonl_w_" + sf.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_"))
+    // hadoop local FS adds .crc sidecars; readers skip dotfiles by contract
+    val files = staged.listFiles().filter(_.isFile).map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(files.nonEmpty && files.forall(f => f.startsWith("part-") && f.endsWith(".jsonl")),
+      s"unexpected files after commit: ${files.mkString(",")}")
+    val tmp = new java.io.File(staged, "_temporary")
+    assert(!tmp.exists() || tmp.listFiles().forall(d =>
+      !d.isDirectory || d.listFiles().isEmpty),
+      "job commit must sweep the temp dir")
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("total_cents"),
+        sum(conv(substring(md5(col("props")), 1, 8), 16, 10).cast("long"))
+          .as("props_checksum"))
+      .orderBy("event_type").collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
+
   test("v2 aggregate pushdown refuses unsafe translations (double sum, expr)") {
     val staged = sources.JsonlSource.stageFlatJsonl(spark, sf)
     // sum over a DOUBLE column must NOT push (float merge order) — plan
