@@ -118,7 +118,91 @@ object AsOf {
         (col("pms") - col("cms")).as("gap_ms"))
       .orderBy("purchase_id")
 
+  /** NEAREST-direction as-of join (pandas merge_asof direction='nearest'
+    * with tolerance — the sensor-fusion/alignment semantic, vs the
+    * backward-only q_asof_join): each purchase matches its closest click
+    * within ±1 h, ties broken toward the PRECEDING click. Same sort-carry
+    * shape as the composed join run in BOTH directions over one union sort
+    * — two window passes on the same (user, ms, tag) ordering, so Catalyst
+    * reuses the exchange and sort; no self-join, no range join. */
+  def asofNearest(s: SparkSession, d: String): DataFrame = {
+    val tolMs = 3600000L
+    val p = purchases(s, d)
+      .select(col("user_id"), col("pms").as("ms"), lit(1).as("tag"),
+        col("purchase_id"), lit(null).cast("long").as("click_id"),
+        lit(null).cast("long").as("click_ms"))
+    val c = dedupedClicks(s, d)
+      .select(col("c_user_id").as("user_id"), col("cms").as("ms"), lit(0).as("tag"),
+        lit(null).cast("long").as("purchase_id"), col("click_id"),
+        col("cms").as("click_ms"))
+    val ord = Window.partitionBy("user_id").orderBy(col("ms").asc, col("tag").asc)
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    p.unionByName(c)
+      .withColumn("b_id", last("click_id", ignoreNulls = true).over(wb))
+      .withColumn("b_ms", last("click_ms", ignoreNulls = true).over(wb))
+      .withColumn("f_id", first("click_id", ignoreNulls = true).over(wf))
+      .withColumn("f_ms", first("click_ms", ignoreNulls = true).over(wf))
+      .filter(col("tag") === 1)
+      .select(col("purchase_id"), col("user_id"), col("ms"),
+        col("b_id"), col("b_ms"), col("f_id"), col("f_ms"))
+      .withColumn("pick", expr(
+        s"""CASE
+           |  WHEN b_ms IS NOT NULL AND ms - b_ms <= $tolMs
+           |   AND (f_ms IS NULL OR f_ms - ms > $tolMs OR ms - b_ms <= f_ms - ms)
+           |  THEN 'backward'
+           |  WHEN f_ms IS NOT NULL AND f_ms - ms <= $tolMs THEN 'forward'
+           |  ELSE 'none' END""".stripMargin))
+      .select(col("purchase_id"), col("user_id"), col("ms").as("purchase_ms"),
+        expr("CASE pick WHEN 'backward' THEN b_id WHEN 'forward' THEN f_id END")
+          .as("click_id"),
+        expr("CASE pick WHEN 'backward' THEN b_ms - ms WHEN 'forward' THEN f_ms - ms END")
+          .as("offset_ms"),
+        col("pick").as("direction"))
+      .orderBy("purchase_id")
+  }
+
+  private val asofNearestSql =
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_ms(ts)
+      |), u AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms, 1 AS tag, event_id AS purchase_id,
+      |    CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS click_ms
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, ms, 0 AS tag, NULL, click_id, ms FROM clicks
+      |), carried AS (
+      |  SELECT user_id, ms, tag, purchase_id,
+      |    last_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ms, tag ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_id,
+      |    last_value(click_ms IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ms, tag ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_ms,
+      |    first_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ms, tag ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_id,
+      |    first_value(click_ms IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ms, tag ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_ms
+      |  FROM u
+      |), picked AS (
+      |  SELECT purchase_id, user_id, ms,
+      |    b_id, b_ms, f_id, f_ms,
+      |    CASE
+      |      WHEN b_ms IS NOT NULL AND ms - b_ms <= 3600000
+      |       AND (f_ms IS NULL OR f_ms - ms > 3600000 OR ms - b_ms <= f_ms - ms)
+      |      THEN 'backward'
+      |      WHEN f_ms IS NOT NULL AND f_ms - ms <= 3600000 THEN 'forward'
+      |      ELSE 'none' END AS pick
+      |  FROM carried WHERE tag = 1
+      |)
+      |SELECT purchase_id, user_id, ms AS purchase_ms,
+      |  CASE pick WHEN 'backward' THEN b_id WHEN 'forward' THEN f_id END AS click_id,
+      |  CASE pick WHEN 'backward' THEN b_ms - ms WHEN 'forward' THEN f_ms - ms END
+      |    AS offset_ms,
+      |  pick AS direction
+      |FROM picked ORDER BY purchase_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_asof_nearest", asofNearest, Some(asofNearestSql)),
     Q("q_asof_join", asofJoinComposed, Some(asofJoinSql)),
     Q("q_asof_custom", asofJoinCustom, Some(asofJoinSql))
   )

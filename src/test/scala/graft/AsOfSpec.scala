@@ -57,4 +57,47 @@ class AsOfSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
   }
+
+  test("nearest as-of: matches a local nearest-within-tolerance recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = AsOf.asofNearest(spark, sf).collect()
+    val tol = 3600000L
+    val ev = Tables.events(spark, sf)
+      .withColumn("ms", graft.functions.TimeFunctions.nsToMs("ts"))
+      .select("event_id", "user_id", "event_type", "ms").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("ms")))
+    // deduped clicks: per (user, ms) keep max event_id
+    val clicks = ev.filter(_._3 == "click").groupBy(e => (e._2, e._4))
+      .map { case ((u, ms), es) => (u, ms, es.map(_._1).max) }.toSeq
+    val byUser = clicks.groupBy(_._1)
+    val purchases = ev.filter(_._3 == "purchase")
+    assert(rows.length == purchases.length)
+    val want = purchases.map { case (pid, u, _, pms) =>
+      val cs = byUser.getOrElse(u, Seq.empty)
+      val back = cs.filter(_._2 <= pms).sortBy(c => (-c._2, -c._3)).headOption
+        .filter(c => pms - c._2 <= tol)
+      val fwd = cs.filter(_._2 > pms).sortBy(c => (c._2, -c._3)).headOption
+        .filter(c => c._2 - pms <= tol)
+      val pick = (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (pms - b._2 <= f._2 - pms) ("backward", b) else ("forward", f)
+        case (Some(b), None) => ("backward", b)
+        case (None, Some(f)) => ("forward", f)
+        case _ => ("none", null)
+      }
+      pid -> pick
+    }.toMap
+    rows.foreach { r =>
+      val pid = r.getAs[Long]("purchase_id")
+      val (dir, c) = want(pid)
+      assert(r.getAs[String]("direction") == dir, s"direction at $pid")
+      if (dir != "none") {
+        assert(r.getAs[Long]("click_id") == c._3, s"click at $pid")
+        assert(r.getAs[Long]("offset_ms") == c._2 - r.getAs[Long]("purchase_ms"))
+        if (dir == "backward") assert(r.getAs[Long]("offset_ms") <= 0)
+        else assert(r.getAs[Long]("offset_ms") > 0)
+      }
+    }
+  }
 }
