@@ -1069,7 +1069,53 @@ object Sessionize {
       |    AS conv_bp
       |FROM stages ORDER BY stage""".stripMargin
 
+  /** User LIFESPAN distribution with churn split: per-user active span in
+    * days (first→last activity) bucketed on power-of-two bands, each band
+    * split into still-active vs churned (no activity in the trailing 7
+    * days of the dataset) — the retention-health histogram next to
+    * q_events_retention's cohort matrix. One user-grain aggregate, then a
+    * ≤16-row summary; the churn cutoff is a broadcast scalar. */
+  def qUserLifespan(s: SparkSession, d: String): DataFrame = {
+    val dayMs = 86400000L
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"),
+        ((ms - pmod(ms, lit(dayMs))) / dayMs).cast("long").as("day"))
+      .groupBy("user_id")
+      .agg(min("day").as("first_day"), max("day").as("last_day"))
+    val cutoff = broadcast(perUser.agg(max("last_day").as("max_day")))
+    perUser.crossJoin(cutoff)
+      .withColumn("lifespan_days", col("last_day") - col("first_day") + 1)
+      .withColumn("band", (length(bin(col("lifespan_days"))) - 1).cast("long"))
+      .withColumn("churned", col("max_day") - col("last_day") > 7)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"),
+        min("lifespan_days").as("min_days"),
+        max("lifespan_days").as("max_days"))
+      .orderBy("band")
+  }
+
+  private val qUserLifespanSql =
+    """WITH pu AS (
+      |  SELECT user_id, min(epoch_ms(ts) // 86400000) AS first_day,
+      |    max(epoch_ms(ts) // 86400000) AS last_day
+      |  FROM events GROUP BY user_id
+      |), cut AS (
+      |  SELECT max(last_day) AS max_day FROM pu
+      |), b AS (
+      |  SELECT last_day - first_day + 1 AS lifespan_days,
+      |    (SELECT max_day FROM cut) - last_day > 7 AS churned
+      |  FROM pu
+      |)
+      |SELECT CAST(length(bin(lifespan_days)) - 1 AS BIGINT) AS band,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+      |  min(lifespan_days) AS min_days, max(lifespan_days) AS max_days
+      |FROM b GROUP BY 1 ORDER BY band""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_user_lifespan", qUserLifespan, Some(qUserLifespanSql)),
     Q("q_funnel_windowed", qFunnelWindowed, Some(qFunnelWindowedSql)),
     Q("q_rolling_wau", qRollingWau, Some(qRollingWauSql)),
     Q("q_gap_histogram", qGapHistogram, Some(qGapHistogramSql)),

@@ -379,6 +379,32 @@ class SessionizeSpec extends SparkSpec {
     assert(n2 <= open(1) && n3 <= open(2))
   }
 
+  test("user lifespan: bands conserve users and churn matches a local recount") {
+    val rows = qUserLifespan(spark, sf).collect()
+    val ud = Tables.events(spark, sf)
+      .withColumn("ms", graft.functions.TimeFunctions.nsToMs("ts"))
+      .select(col("user_id"),
+        ((col("ms") - pmod(col("ms"), lit(86400000L))) / 86400000L)
+          .cast("long").as("day"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")))
+    val perUser = ud.groupBy(_._1).map { case (u, ds) =>
+      (u, ds.map(_._2).min, ds.map(_._2).max) }.toSeq
+    val maxDay = perUser.map(_._3).max
+    assert(rows.map(_.getAs[Long]("n_users")).sum == perUser.size)
+    assert(rows.map(_.getAs[Long]("n_churned")).sum ==
+      perUser.count(p => maxDay - p._3 > 7))
+    rows.foreach { r =>
+      val b = r.getAs[Long]("band")
+      val want = perUser.filter { case (_, f, l) =>
+        val span = l - f + 1
+        java.lang.Long.toBinaryString(span).length - 1 == b
+      }
+      assert(r.getAs[Long]("n_users") == want.size, s"band $b size")
+      assert(r.getAs[Long]("min_days") == want.map(p => p._3 - p._2 + 1).min)
+      assert(r.getAs[Long]("max_days") == want.map(p => p._3 - p._2 + 1).max)
+    }
+  }
+
   test("gap histogram: buckets are powers of two and conserve gap count") {
     val rows = qGapHistogram(spark, sf).collect()
     assert(rows.nonEmpty)
