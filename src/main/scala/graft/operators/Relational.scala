@@ -1381,18 +1381,46 @@ object Relational {
   /** The window DISTRIBUTION-function family (percent_rank, cume_dist) —
     * the rank-normalizing complement of q_window_running's
     * row_number/ntile/lag: each customer's balance position within its
-    * market segment as exact basis points. The ordering key carries a
-    * custkey tie-break so ranks are total and both engines compute the
-    * IDENTICAL rational (rank−1)/(n−1) — one correctly-rounded IEEE
-    * division each, so the ×10000 quantization matches bit-exactly. */
+    * market segment as exact basis points. The oracle states it with the
+    * window functions; the plan does NOT — partitioning only by
+    * c_mktsegment (~5 values) would sort n/5 of the customer table on one
+    * task. Instead the q_mannwhitney count-grid identity: ranks from
+    * CUMULATIVE COUNTS over the (segment × bal_cents) grid, which is
+    * bounded by the VALUE DOMAIN (≤ ~1.1M distinct cents), not the row
+    * count. The ordering key carries a custkey tie-break so ranks are
+    * total: rank = (#rows below my balance in my segment, from the grid)
+    * + (my row_number within the tie group — a window partitioned at
+    * (segment, balance) grain, reused as the join key so the rows shuffle
+    * ONCE). percent_rank = (rank−1)/(n−1) and cume_dist = rank/n (peers
+    * are single rows under the total order) — the identical rationals the
+    * window functions compute, one correctly-rounded IEEE division each,
+    * so the ×10000 quantization matches bit-exactly. */
   def qWindowDistribution(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("c_mktsegment")
-      .orderBy(col("bal_cents").asc, col("c_custkey").asc)
-    Tables.customer(s, d)
+    val rows = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"),
         round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
-      .withColumn("pr_bp", round(percent_rank().over(w) * 10000).cast("long"))
-      .withColumn("cd_bp", round(cume_dist().over(w) * 10000).cast("long"))
+    val grid = rows.groupBy("c_mktsegment", "bal_cents")
+      .agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy("c_mktsegment").orderBy("bal_cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val below = grid.withColumn("below", coalesce(sum("c").over(wg), lit(0L)))
+      .select("c_mktsegment", "bal_cents", "below")
+    val segN = grid.groupBy("c_mktsegment").agg(sum("c").as("n")) // ~5 rows
+    val wTie = Window.partitionBy("c_mktsegment", "bal_cents")
+      .orderBy("c_custkey")
+    rows
+      .withColumn("tie_rn", row_number().over(wTie).cast("long"))
+      .join(below, Seq("c_mktsegment", "bal_cents"))
+      .join(broadcast(segN), Seq("c_mktsegment"))
+      .withColumn("rk", col("below") + col("tie_rn"))
+      .withColumn("pr_bp",
+        when(col("n") === 1, lit(0L)).otherwise(
+          round((col("rk") - 1).cast("double") / (col("n") - 1).cast("double")
+            * 10000).cast("long")))
+      .withColumn("cd_bp",
+        round(col("rk").cast("double") / col("n").cast("double") * 10000)
+          .cast("long"))
+      .select("c_custkey", "c_mktsegment", "bal_cents", "pr_bp", "cd_bp")
       .orderBy("c_mktsegment", "bal_cents", "c_custkey")
   }
 
@@ -1467,20 +1495,51 @@ object Relational {
 
   /** Decile lift table (the gains chart of direct-marketing analytics):
     * customers ranked by total spend, cut into 10 equal-frequency buckets
-    * with `ntile`, each decile reporting its size, spend, and CUMULATIVE
-    * revenue share in basis points. Exact integer cents; ntile ties are
-    * broken deterministically by custkey. One customer-grain aggregate
-    * (shuffle on o_custkey), then a global ntile over the customer
-    * relation — |customers| ≪ |orders|, and at 100 TB the rank would ride
-    * the same two-pass percentile machinery as q_percentiles; the decile
-    * summary itself is a 10-row aggregate. */
+    * (ntile(10) semantics: the first n%10 buckets take one extra row), each
+    * decile reporting its size, spend, and CUMULATIVE revenue share in
+    * basis points. Exact integer cents; ties broken deterministically by
+    * custkey. The oracle states it with a global `ntile` — the plan does
+    * NOT: a global ntile is a single-partition sort of the whole customer
+    * relation (`WindowExec` with no partition spec), the classic 100 TB
+    * killer. Instead, exact DISTRIBUTED ranking:
+    *   1. range-shuffle the customer-grain spend relation into contiguous
+    *      slices of the (cents DESC, custkey) order (`repartitionByRange` —
+    *      sampled balanced bounds, equal keys co-located);
+    *   2. rank locally within each slice (window partitioned by slice id —
+    *      every task sorts only its ~n/P rows);
+    *   3. global rank = local rank + the broadcast cumulative offset of the
+    *      preceding slices (a ≤P-row relation);
+    *   4. decile = closed-form ntile arithmetic on (rank, n) — no second
+    *      window over the data.
+    * The decile summary itself is a 10-row aggregate. Rank is exact (total
+    * order, custkey tie-break), so this matches the oracle's ntile
+    * bit-for-bit while every window runs partitioned. */
   def qDecileLift(s: SparkSession, d: String): DataFrame = {
     val spend = Tables.orders(s, d)
       .groupBy("o_custkey")
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
-    val tiles = spend.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("cents").desc, col("o_custkey").asc))
-        .cast("long"))
+    val sliced = spend
+      .repartitionByRange(32, col("cents").desc, col("o_custkey").asc)
+      .withColumn("slice", spark_partition_id().cast("long"))
+    val counts = sliced.groupBy("slice").agg(count(lit(1)).as("c"))
+    val wOff = Window.orderBy("slice").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts // ≤ 32 rows: slice → rows ahead of it, global n
+      .withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+      .withColumn("n", sum("c").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("slice", "off", "n")
+    val wLocal = Window.partitionBy("slice")
+      .orderBy(col("cents").desc, col("o_custkey").asc)
+    val tiles = sliced
+      .withColumn("lrn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("slice"))
+      .withColumn("rk", col("off") + col("lrn"))
+      .withColumn("decile", expr(
+        """CASE WHEN n < 10 THEN rk
+          |     WHEN rk <= (n % 10) * (n DIV 10 + 1)
+          |       THEN (rk - 1) DIV (n DIV 10 + 1) + 1
+          |     ELSE n % 10 + (rk - (n % 10) * (n DIV 10 + 1) - 1) DIV (n DIV 10) + 1
+          |END""".stripMargin))
     val per = tiles.groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum("cents").as("decile_cents"))
     val wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)

@@ -108,6 +108,36 @@ class PlanSpec extends SparkSpec {
       s"global top-k without a distributed top-k plan (full single-partition sort!): $missing")
   }
 
+  test("NO query plans an unpartitioned ntile/percent_rank/cume_dist window") {
+    // The rank-filter guard above can't see these: ntile/percent_rank/
+    // cume_dist are not rank-limits, so Spark has no distributed rewrite
+    // for them — an unpartitioned window with any of the three ALWAYS
+    // means a single-partition sort of its whole input. That input is
+    // data-grain in every plausible use (the r6 q_decile_lift escape), so
+    // the allowlist is empty by design: a bounded-input use should derive
+    // the statistic from counts instead (q_window_distribution's count
+    // grid, q_decile_lift's sliced ranking). Streaming queries execute on
+    // construction and can't host these functions — skipped by name.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    import org.apache.spark.sql.catalyst.expressions.{CumeDist, NTile, PercentRank}
+    val offenders = SparkEntry.allQueries
+      .filterNot(_.name.startsWith("streaming_"))
+      .flatMap { q =>
+        val plan = q.build(spark, sf).queryExecution.optimizedPlan
+        val hit = plan.collect {
+          case w: LogicalWindow if w.partitionSpec.isEmpty &&
+            w.windowExpressions.exists(_.exists {
+              case _: NTile | _: PercentRank | _: CumeDist => true
+              case _ => false
+            }) => w
+        }
+        if (hit.nonEmpty) Some(q.name) else None
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned distribution-function window (single-partition sort " +
+        s"of a data-grain input!): $offenders")
+  }
+
   /** The low-cardinality qid window must NOT receive the full scored
     * relation: a PARTIAL WindowGroupLimit below the qid exchange caps what
     * the shuffle carries at k rows per (input partition, qid). With ~10
