@@ -26,6 +26,7 @@ object SparkEntry {
       operators.StatTests.all ++
       operators.Multimodal.all ++
       sources.JsonlSource.all ++
+      sources.Quarantine.all ++
       sources.CsvSource.all :+
       Q("streaming_sessionize", streaming.EventStream.streamingSessionize,
         Some(streaming.EventStream.streamingSessionizeSql)) :+

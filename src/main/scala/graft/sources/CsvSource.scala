@@ -26,14 +26,17 @@ import org.apache.spark.sql.types._
 object CsvSource {
 
   private[graft] def stageCsv(s: SparkSession, d: String): String = {
-    val staged = System.getProperty("java.io.tmpdir") +
-      "/graft_csv_" + d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")
+    val staged = Staging.dir("csv", d)
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"), col("props"))
       .write.mode(SaveMode.Overwrite)
       .option("header", "true")
       .option("quoteAll", "true") // every field quoted: the hostile profile
+      // Spark's CSV default escapes quotes with backslash; RFC 4180 doubles
+      // them. Doubled-quote files are what external readers (pandas, Excel,
+      // DuckDB read_csv defaults) parse correctly, so stage true RFC 4180.
+      .option("escape", "\"")
       .csv(staged)
     staged
   }
@@ -49,7 +52,9 @@ object CsvSource {
     * explicit schema, aggregate per event_type with a props checksum. */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val staged = stageCsv(s, d)
-    s.read.schema(csvSchema).option("header", "true").csv(staged)
+    s.read.schema(csvSchema).option("header", "true")
+      .option("escape", "\"") // match the RFC-4180 doubled-quote staging
+      .csv(staged)
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),

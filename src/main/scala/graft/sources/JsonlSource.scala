@@ -47,8 +47,7 @@ object JsonlSource {
     * record per line, a one-level `user` struct to exercise the flatten) —
     * a distributed text write, rewritten per call. */
   private[graft] def stageJsonl(s: SparkSession, d: String): String = {
-    val staged = System.getProperty("java.io.tmpdir") +
-      "/graft_jsonl_" + d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")
+    val staged = Staging.dir("jsonl", d)
     Tables.events(s, d)
       .select(to_json(struct(
         col("event_id"),
@@ -85,8 +84,7 @@ object JsonlSource {
     * reader is deliberately a FLAT-record source; nesting is the DataFrame
     * flatten's job, demonstrated by jsonl_normalize above). */
   private[graft] def stageFlatJsonl(s: SparkSession, d: String): String = {
-    val staged = System.getProperty("java.io.tmpdir") +
-      "/graft_jsonl_flat_" + d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")
+    val staged = Staging.dir("jsonl_flat", d)
     Tables.events(s, d)
       .select(to_json(struct(
         col("event_id"), col("user_id"), col("event_type"), col("value"))).as("line"))
@@ -157,15 +155,9 @@ object JsonlSource {
     * whole write-commit-read cycle value-exact — including JSON string
     * escaping of the props column in BOTH directions. */
   def jsonlV2Write(s: SparkSession, d: String): DataFrame = {
-    val staged = System.getProperty("java.io.tmpdir") +
-      "/graft_jsonl_w_" + d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")
+    val staged = Staging.dir("jsonl_w", d)
     val dir = new java.io.File(staged)
-    if (dir.exists()) { // fresh target: the writer is append-only
-      dir.listFiles().filter(_.isFile).foreach(_.delete())
-      val t = new java.io.File(dir, "_temporary")
-      if (t.exists()) { t.listFiles().flatMap(f =>
-        if (f.isDirectory) f.listFiles().toSeq :+ f else Seq(f)).foreach(_.delete()) }
-    }
+    if (dir.exists()) Staging.deleteRecursively(dir) // fresh target: the writer is append-only
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"), col("props"))

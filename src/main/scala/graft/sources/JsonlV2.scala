@@ -107,7 +107,12 @@ class GraftJsonlBatchWrite(schemaJson: String, path: String, queryId: String)
     f.mkdirs(new Path(path))
     messages.foreach { case GraftJsonlCommit(tmp) =>
       val src = new Path(tmp)
-      f.rename(src, new Path(path, src.getName))
+      val dst = new Path(path, src.getName)
+      // a false return (destination exists, permissions, cross-FS move)
+      // would silently drop this task's output — fail the job instead, so
+      // commit stays all-or-nothing
+      if (!f.rename(src, dst))
+        throw new java.io.IOException(s"jsonl commit: rename $src -> $dst failed")
     }
     f.delete(tempDir, true)
   }
@@ -202,7 +207,11 @@ class GraftJsonlScanBuilder(fullSchema: StructType, path: String)
       case _ => None
     }
     val groups = agg.groupByExpressions.toSeq.map(fieldOf)
-    if (groups.exists(_.isEmpty)) return false
+    // Global (no GROUP BY) aggregates don't push: a fully-filtered
+    // partition emits zero partial rows, so a pushed global COUNT over an
+    // all-filtered file would yield no row where the unpushed plan returns
+    // 0 — refuse rather than diverge on the empty case.
+    if (groups.isEmpty || groups.exists(_.isEmpty)) return false
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: aggregate.CountStar => Some(JsonlAggCol("count_star", ""))
       case c: aggregate.Count if !c.isDistinct =>

@@ -316,7 +316,14 @@ object EventStream {
     * is then the clean batch LEFT JOIN over the real events — no
     * watermark-boundary case analysis left in the contract. The sentinel
     * purchase itself never flushes (the watermark cannot pass its own
-    * expiry), so it does not appear in the output. */
+    * expiry), so it does not appear in the output.
+    *
+    * Unlike the aggregate-output streaming queries (bounded memory-sink
+    * results), this output is MATCH-GRAIN — so the sink is a FILES sink
+    * (parquet + checkpoint), never a driver-resident memory table: the
+    * result flows executor→files→scan without ever sitting on the driver,
+    * exactly as a production deployment would run it. The output dir is
+    * deterministic per dataset and overwritten per call. */
   def streamingJoinOuter(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = graft.Tables.events(s, dir)
@@ -340,11 +347,14 @@ object EventStream {
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged.toString)
-    val queryName = s"stream_join_outer_${System.nanoTime()}"
+    val outDir = graft.sources.Staging.dir("stream_outer_out", dir)
+    val outFile = new java.io.File(outDir)
+    if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
     val q = leftOuterClickPurchase(src).writeStream
       .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(queryName)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", staged.resolve("ckpt").toString)
       .trigger(Trigger.ProcessingTime(0))
       .start()
     try {
@@ -352,15 +362,9 @@ object EventStream {
       java.nio.file.Files.move(sentFile, staged.resolve("events_b2.parquet"))
       q.processAllAvailable() // phase 2: watermark jump flushes outer state
     } finally q.stop()
-    val sink = s.table(queryName)
-    val result = s.createDataFrame(
-      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-    s.catalog.dropTempView(queryName)
-    new java.io.File(staged.toString).listFiles().filter(_.isFile).foreach(_.delete())
-    val sd = new java.io.File(sentinelDir)
-    if (sd.exists()) { sd.listFiles().foreach(_.delete()); sd.delete() }
-    java.nio.file.Files.deleteIfExists(staged)
-    result.filter(col("purchase_id") >= 0).orderBy("purchase_id", "click_id")
+    graft.sources.Staging.deleteRecursively(staged.toFile)
+    s.read.parquet(outDir)
+      .filter(col("purchase_id") >= 0).orderBy("purchase_id", "click_id")
   }
 
   /** Batch restatement: the full LEFT interval join over the real events —
