@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Multimodal.all ++
       sources.JsonlSource.all ++
       sources.Quarantine.all ++
+      sources.Incremental.all ++
       sources.CsvSource.all :+
       Q("streaming_sessionize", streaming.EventStream.streamingSessionize,
         Some(streaming.EventStream.streamingSessionizeSql)) :+

@@ -425,13 +425,20 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Number of IVF coarse cells used to block `dedupEmbedding`. */
-  private[graft] val embCells = 32
+  /** IVF coarse-cell count for `dedupEmbedding`: ~2√n cells derived from
+    * the corpus count (cells of ~√n/2 vectors keep the within-cell pair
+    * fanout subquadratic), clamped to [32, 8192] so the anchor table stays
+    * broadcastable metadata. The oracle derives the identical value from
+    * count(*) in SQL. */
+  private[graft] def embCellsFor(n: Long): Int =
+    math.max(32L, math.min(8192L,
+      2L * math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
   /** IVF cell assignment for the embeddings table: anchors are the first
-    * `embCells` vectors (cell id = anchor vec_id), every vector goes to its
-    * nearest anchor by euclidean distance (argmax of dot(v,a) − |a|²/2 —
-    * same math as sim_ann_ivf's quantizer), ties to the smaller cell id.
+    * `embCellsFor(n)` vectors (cell id = anchor vec_id), every vector goes
+    * to its nearest anchor by euclidean distance (argmax of dot(v,a) −
+    * |a|²/2 — same math as sim_ann_ivf's quantizer), ties to the smaller
+    * cell id.
     *
     * The argmax is ONE hash-aggregate (`max_by` on a (aff, −cid) struct) over
     * narrow (vec_id, cid, aff) rows — map-side partial, no window sort, and
@@ -440,7 +447,7 @@ object Dedup {
     import graft.functions.VectorFunctions.{asDouble, vecDot}
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val anchors = emb.filter(col("vec_id") < embCells)
+    val anchors = emb.filter(col("vec_id") < embCellsFor(emb.count()))
       .select(col("vec_id").cast("int").as("cid"), col("v").as("a"))
     emb.join(broadcast(anchors), lit(true))
       .select(col("vec_id"), col("cid"),
@@ -480,8 +487,11 @@ object Dedup {
       |  SELECT vec_id, embedding::DOUBLE[] AS e,
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings
+      |), eparams AS (
+      |  SELECT GREATEST(32, LEAST(8192,
+      |    2 * CAST(ceil(sqrt(count(*))) AS BIGINT))) AS ecells FROM v
       |), anchors AS (
-      |  SELECT vec_id AS cid, e AS a FROM v WHERE vec_id < $embCells
+      |  SELECT vec_id AS cid, e AS a FROM v, eparams WHERE vec_id < ecells
       |), aff AS (
       |  SELECT v.vec_id, anchors.cid,
       |    list_dot_product(v.e, anchors.a)

@@ -116,9 +116,10 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer trained with
     * DISTRIBUTED Lloyd iterations (assignment + per-cluster means are Spark
-    * aggregations; only the 16×64 centroid table ever touches the driver),
-    * then queries probe their `nprobe` nearest cells and rank candidates by
-    * exact cosine.
+    * aggregations; only the nlist×64 centroid table ever touches the
+    * driver), then queries probe their `nprobe` nearest cells and rank
+    * candidates by exact cosine. nlist/nprobe derive from the corpus count
+    * (~√n cells, an eighth of them probed) — see the in-body comment.
     *
     * Lloyd trains on a deterministic HASH-SAMPLE (xxhash64(vec_id) mod
     * threshold, targeting ~64 vectors per centroid) rather than the full
@@ -144,14 +145,28 @@ object Similarity {
     * SimilaritySpec additionally bounds recall vs brute force and asserts
     * the probe actually restricts the candidate set. */
   def simAnnIvf(s: SparkSession, d: String): DataFrame = {
-    val nClusters = 16
-    val nIters = 3
-    val nProbe = 3
-    val trainTarget = 64L * nClusters
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
       .cache()
+    // Index parameters DERIVE from the corpus size (one bounded count()
+    // action, reused for the training-sample threshold below) instead of
+    // being toy constants: nlist ~ √n is the standard IVF sizing (cells of
+    // ~√n vectors balance quantizer cost against list length — FAISS
+    // guideline), clamped to [16, 4096] so tiny fixtures keep ≥16 cells
+    // and the centroid table stays broadcastable metadata at any n.
+    // nprobe = nlist/8 (≥3) probes a fixed ~12.5% of cells — the recall
+    // knob held at a constant fraction so recall stays stable as the
+    // index grows instead of collapsing (fixed nprobe over growing nlist
+    // would probe a shrinking fraction). sim_recall_eval MEASURES the
+    // recall this setting buys per round. The oracle derives the same
+    // numbers in SQL from count(*), so parameterization is hash-checked.
+    val n = emb.count()
+    val nClusters = math.max(16L, math.min(4096L,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    val nIters = 3
+    val nProbe = math.max(3L, math.ceil(nClusters / 8.0).toLong).toInt
+    val trainTarget = 64L * nClusters
 
     // centroid table as a small broadcast-join relation: (cid, cv)
     def assign(rel: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
@@ -170,8 +185,7 @@ object Similarity {
 
     // deterministic training sample: keep vec_ids whose PORTABLE hash (md5
     // prefix — replicable in the oracle, unlike xxhash64) falls under a
-    // threshold sized from ONE bounded count() action
-    val n = emb.count()
+    // threshold sized from the same bounded count
     val keepPerMille = math.min(1000L, trainTarget * 1000L / math.max(n, 1L) + 1L)
     val train = emb.filter(
       pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
@@ -375,15 +389,16 @@ object Similarity {
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Product-quantization ANN (Jégou et al.): compress each 64-dim vector to
-    * 8 one-byte codes (8 subspaces × 16-codeword codebooks — 32× smaller
-    * than float32), then answer queries by ASYMMETRIC DISTANCE: the query
-    * stays full-precision and scores against codewords, not vectors. This is
-    * the memory-side scale path for 100 TB embedding stores (IVF prunes the
-    * search space; PQ shrinks what's resident) — at scale the 8-byte codes
-    * live in memory while raw vectors stay on disk for optional re-rank.
+    * 8 one-byte codes (8 subspaces × k-codeword codebooks, k = √n clamped
+    * to [16, 256] — at the 256 cap, 32× smaller than float32), then answer
+    * queries by ASYMMETRIC DISTANCE: the query stays full-precision and
+    * scores against codewords, not vectors. This is the memory-side scale
+    * path for 100 TB embedding stores (IVF prunes the search space; PQ
+    * shrinks what's resident) — at scale the 8-byte codes live in memory
+    * while raw vectors stay on disk for optional re-rank.
     *
     * Codebooks are anchor-based like the IVF quantizer (codeword c of
-    * subspace s = subvector of corpus vector c, c < 16 — deterministic, no
+    * subspace s = subvector of corpus vector c, c < k — deterministic, no
     * trained k-means in the oracle path). Oracle-exactness: each per-subspace
     * dot is an 8-element sequential double dot (bit-identical cross-engine,
     * the sim_topk precedent), quantized to integer MICRO-units BEFORE the
@@ -396,9 +411,15 @@ object Similarity {
     * the shortlist only; SimilaritySpec asserts the shortlist at 50 always
     * contains the exact top-1 neighbor. */
   private[graft] def simAnnPqTopk(s: SparkSession, d: String, topk: Int): DataFrame = {
-    val m = 8; val dsub = 8; val k = 16
+    val m = 8; val dsub = 8
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // codebook size derives from the corpus (√n anchors per subspace,
+    // clamped to [16, 256]): tiny fixtures keep ≥16 codewords, and the cap
+    // IS the production PQ value — 256 codewords = one byte per code, the
+    // point of product quantization; a bounded count() action, like IVF
+    val k = math.min(256L, math.max(16L,
+      math.ceil(math.sqrt(emb.count().toDouble)).toLong)).toInt
     val subs = emb.select(col("vec_id"),
       posexplode(array((0 until m).map(sub =>
         slice(col("v"), sub * dsub + 1, dsub)): _*)).as(Seq("s", "vs")))
@@ -436,9 +457,12 @@ object Similarity {
       |), subs AS (
       |  SELECT vec_id, s, list_slice(e, s * 8 + 1, s * 8 + 8) AS vs
       |  FROM v CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) sub(s)
+      |), params AS (
+      |  SELECT LEAST(256, GREATEST(16,
+      |    CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k FROM v
       |), codebook AS (
       |  SELECT s AS cs, CAST(vec_id AS INT) AS ccode, vs AS cw
-      |  FROM subs WHERE vec_id < 16
+      |  FROM subs, params WHERE vec_id < k
       |), aff AS (
       |  SELECT sub.vec_id, sub.s, cb.ccode,
       |    list_dot_product(sub.vs, cb.cw)
@@ -562,11 +586,19 @@ object Similarity {
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |  FROM embeddings
        |), params AS (
-       |  SELECT LEAST(1000, CAST((1024 * 1000) // GREATEST(count(*), 1) AS BIGINT) + 1) AS kpm FROM v
+       |  SELECT GREATEST(16, LEAST(4096,
+       |      CAST(ceil(sqrt(count(*))) AS BIGINT))) AS nl,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM v
+       |), params2 AS (
+       |  SELECT nl,
+       |    GREATEST(3, CAST(ceil(nl / 8.0) AS BIGINT)) AS np,
+       |    LEAST(1000, CAST((64 * nl * 1000) // GREATEST(n, 1) AS BIGINT) + 1) AS kpm
+       |  FROM params
        |), train AS (
-       |  SELECT v.* FROM v, params WHERE ($hv) % 1000 < kpm
+       |  SELECT v.* FROM v, params2 WHERE ($hv) % 1000 < kpm
        |), cent0 AS (
-       |  SELECT CAST(vec_id AS INT) AS cid, e AS cl FROM v WHERE vec_id < 16
+       |  SELECT CAST(vec_id AS INT) AS cid, e AS cl FROM v, params2 WHERE vec_id < nl
        |), ${iter(1)}, ${iter(2)}, ${iter(3)},
        |member AS (
        |  SELECT vec_id, cid FROM (
@@ -583,7 +615,7 @@ object Similarity {
        |        list_dot_product(q.e, c.cl) - list_dot_product(c.cl, c.cl) / 2 DESC,
        |        c.cid) AS rk
        |    FROM v q CROSS JOIN cent3 c WHERE q.vec_id < 10
-       |  ) WHERE rk <= 3
+       |  ), params2 WHERE rk <= np
        |), cand AS (
        |  SELECT p.qid, m.vec_id AS cand_id,
        |    round(list_dot_product(q.e, x.e) / (q.nrm * x.nrm), 4) AS cosine
@@ -746,12 +778,35 @@ object Similarity {
   // accumulation is order-independent.
   // ---------------------------------------------------------------------
 
-  def simAnnIvfpq(s: SparkSession, d: String): DataFrame = {
-    val m = 8; val dsub = 8; val nCells = 16; val nCodes = 16
-    val nProbe = 2; val shortlist = 10; val topk = 3
+  /** The built IVFPQ index as relations + the knobs that sized it — the
+    * BUILD/SEARCH split mirrors production use (build once, search many)
+    * and lets ScaleSmoke measure the two paths' scaling separately. */
+  private[graft] final case class IvfpqIndex(
+      emb: DataFrame, cdf: DataFrame, codebook: DataFrame,
+      member: DataFrame, encoded: DataFrame, nProbe: Int)
+
+  def simAnnIvfpq(s: SparkSession, d: String): DataFrame =
+    ivfpqSearch(ivfpqBuild(s, d), shortlist = 10, topk = 3)
+
+  /** BUILD path: coarse assignment (n·nCells affinities) + residual PQ
+    * encoding (n·m·nCodes affinities) — the one-time index-construction
+    * cost every IVF system pays (FAISS `add`); linear in n once the
+    * codeword cap (256) and cell cap (4096) are reached. */
+  private[graft] def ivfpqBuild(s: SparkSession, d: String): IvfpqIndex = {
+    val m = 8; val dsub = 8
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
+    // Same corpus-derived sizing as sim_ann_ivf / sim_ann_pq (one bounded
+    // count): √n cells clamped [16, 4096], √n codewords clamped [16, 256]
+    // (256 = the production one-byte-code value), probe an eighth of the
+    // cells (≥2) so recall holds at a constant fraction as the index grows.
+    // The oracle derives identical values from count(*) in SQL.
+    val n = emb.count()
+    val root = math.ceil(math.sqrt(n.toDouble)).toLong
+    val nCells = math.max(16L, math.min(4096L, root)).toInt
+    val nCodes = math.max(16L, math.min(256L, root)).toInt
+    val nProbe = math.max(2L, math.ceil(nCells / 8.0).toLong).toInt
 
     // coarse quantizer: first nCells vectors as centroids (deterministic —
     // Lloyd training is demonstrated in sim_ann_ivf; here the new piece is
@@ -775,7 +830,8 @@ object Similarity {
             col("v").getItem(sub * dsub + j) - col("cv").getItem(sub * dsub + j)): _*)): _*))
           .as(Seq("s", "rs")))
 
-    // PQ codebook per subspace: residuals of training vectors [16, 32)
+    // PQ codebook per subspace: residuals of training vectors
+    // [nCells, nCells + nCodes)
     val codebook = resid
       .filter(col("vec_id") >= nCells && col("vec_id") < nCells + nCodes)
       .select(col("s").as("cs"), (col("vec_id") - nCells).cast("int").as("ccode"),
@@ -786,6 +842,17 @@ object Similarity {
         (vecDot(col("rs"), col("cw")) - vecDot(col("cw"), col("cw")) / 2).as("aff"))
       .groupBy("vec_id", "s")
       .agg(max_by(col("ccode"), struct(col("aff"), -col("ccode"))).as("code"))
+    IvfpqIndex(emb, cdf, codebook, member, encoded, nProbe)
+  }
+
+  /** SEARCH path: nProbe cell probing + broadcast ADC lookup table +
+    * shortlist re-rank — touches only probed-cell candidates, sublinear in
+    * the corpus; the per-query work is bounded by cells probed × cell size
+    * + shortlist. */
+  private[graft] def ivfpqSearch(ix: IvfpqIndex, shortlist: Int, topk: Int): DataFrame = {
+    val m = 8; val dsub = 8
+    val emb = ix.emb; val cdf = ix.cdf; val codebook = ix.codebook
+    val member = ix.member; val encoded = ix.encoded; val nProbe = ix.nProbe
 
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
@@ -837,8 +904,17 @@ object Similarity {
        |  SELECT vec_id, embedding::DOUBLE[] AS e,
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |  FROM embeddings
+       |), params AS (
+       |  SELECT GREATEST(16, LEAST(4096,
+       |      CAST(ceil(sqrt(count(*))) AS BIGINT))) AS ncells,
+       |    GREATEST(16, LEAST(256,
+       |      CAST(ceil(sqrt(count(*))) AS BIGINT))) AS ncodes,
+       |    GREATEST(2, CAST(ceil(GREATEST(16, LEAST(4096,
+       |      CAST(ceil(sqrt(count(*))) AS BIGINT))) / 8.0) AS BIGINT)) AS np
+       |  FROM v
        |), cdf AS (
-       |  SELECT CAST(vec_id AS INT) AS cid, e AS cv FROM v WHERE vec_id < 16
+       |  SELECT CAST(vec_id AS INT) AS cid, e AS cv FROM v, params
+       |  WHERE vec_id < ncells
        |), member AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
@@ -856,8 +932,9 @@ object Similarity {
        |    CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) sub(s)
        |  )
        |), codebook AS (
-       |  SELECT s AS cs, CAST(vec_id - 16 AS INT) AS ccode, rs AS cw
-       |  FROM resid WHERE vec_id >= 16 AND vec_id < 32
+       |  SELECT s AS cs, CAST(vec_id - ncells AS INT) AS ccode, rs AS cw
+       |  FROM resid, params
+       |  WHERE vec_id >= ncells AND vec_id < ncells + ncodes
        |), encoded AS (
        |  SELECT vec_id, s, ccode AS code FROM (
        |    SELECT r.vec_id, r.s, cb.ccode, row_number() OVER (
@@ -876,7 +953,7 @@ object Similarity {
        |        ORDER BY list_dot_product(q.qv, c.cv)
        |                 - list_dot_product(c.cv, c.cv) / 2 DESC, c.cid) AS rk
        |    FROM q CROSS JOIN cdf c
-       |  ) WHERE rk <= 2
+       |  ), params WHERE rk <= np
        |), lut AS (
        |  SELECT q.qid, cb.cs AS qs, cb.ccode,
        |    CAST(round(list_dot_product(

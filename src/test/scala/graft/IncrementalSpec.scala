@@ -94,6 +94,32 @@ class IncrementalSpec extends SparkSpec {
       (2L, "roads", false), (3L, "schools", false)))
   }
 
+  test("manifestDiff classifies new/removed/changed/unchanged exactly") {
+    import SparkSpec.spark.implicits._
+    val prev = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("id", "part")
+    val cur = Seq((1L, "a"), (2L, "a"), // a unchanged
+      (3L, "b"), (9L, "b"),             // b gained a row → changed
+      (7L, "d"))                        // d new; c removed
+      .toDF("id", "part")
+    val got = Incremental.manifestDiff(cur, prev, "part", "id")
+      .orderBy("part")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", "unchanged", 2L, 2L),
+      ("b", "changed", 1L, 2L),
+      ("c", "removed", 1L, 0L),
+      ("d", "new", 0L, 1L)))
+  }
+
+  test("manifestDiff hash is content-sensitive at equal row counts") {
+    import SparkSpec.spark.implicits._
+    val prev = Seq((1L, "a"), (2L, "a")).toDF("id", "part")
+    val cur = Seq((1L, "a"), (5L, "a")).toDF("id", "part") // same count, new id
+    val got = Incremental.manifestDiff(cur, prev, "part", "id").collect()
+    assert(got.length == 1 && got.head.getString(1) == "changed")
+  }
+
   test("partition hash is order-independent but value- and count-sensitive") {
     import SparkSpec.spark.implicits._
     val a = Seq((1L, "x", 1.0), (2L, "x", 2.0)).toDF("id", "part", "v")
