@@ -88,8 +88,7 @@ class JsonlSpec extends SparkSpec {
 
   test("v2 write: two-phase commit leaves only final files; roundtrip exact") {
     val got = sources.JsonlSource.jsonlV2Write(spark, sf).collect()
-    val staged = new java.io.File(System.getProperty("java.io.tmpdir") +
-      "/graft_jsonl_w_" + sf.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_"))
+    val staged = new java.io.File(sources.Staging.dir("jsonl_w", sf))
     // hadoop local FS adds .crc sidecars; readers skip dotfiles by contract
     val files = staged.listFiles().filter(_.isFile).map(_.getName)
       .filterNot(_.startsWith("."))
