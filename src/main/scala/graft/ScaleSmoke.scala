@@ -169,7 +169,10 @@ object ScaleSmoke {
       "q_rolling_wau" -> operators.Sessionize.qRollingWau,
       "q_bfs_layers" -> operators.Graph.qBfsLayers,
       "q_kcore" -> operators.Graph.qKcore,
-      "q_itemsets_apriori" -> operators.Mining.qItemsetsApriori)
+      "q_itemsets_apriori" -> operators.Mining.qItemsetsApriori,
+      "dedup_incremental" -> operators.Dedup.dedupIncremental,
+      "sim_ann_sq" -> operators.Similarity.simAnnSq,
+      "text_quality_auc" -> operators.TextAnalysis.textQualityAuc)
     val queries =
       if (args.isEmpty) allQueries else allQueries.filter(q => args.contains(q._1))
 

@@ -1318,7 +1318,75 @@ object Similarity {
        |FROM v3 ORDER BY dim""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // sim_ann_sq — INT8 SCALAR QUANTIZATION retrieval (the faiss SQ8 idea):
+  // every embedding is compressed 8× to 64 signed bytes via one global
+  // max-abs scale (cosine is scale-invariant, so a single scalar preserves
+  // the metric — no per-dim reweighting distortion), and retrieval ranks
+  // by the cosine of the QUANTIZED vectors. This is the memory rung below
+  // PQ: SQ keeps per-dim resolution (recall ≈ exact at 8 bits) where PQ's
+  // 8-byte codes trade recall for another 8× — sim_recall_eval-style specs
+  // pin both. At 100 TB the int8 corpus is what actually fits in executor
+  // memory / SSD cache, which is why every production vector store ships
+  // SQ8 as the default compression tier.
+  //
+  // Exactness/portability: the scale is ONE bounded aggregate (a scalar,
+  // broadcast back — never a driver round-trip); codes are
+  // round(x/s·127) — one exact IEEE division+multiply then HALF_UP round,
+  // identical in both engines; code dots and norms-squared are
+  // INTEGER-valued doubles (exact ≤ 2^53), so the only float steps are
+  // the final sqrt/divide/round-to-4, the same boundary discipline as
+  // sim_topk_bruteforce. The quantized top-5 is fully oracled; recall vs
+  // the exact ranking is asserted in SimilaritySpec.
+  // ---------------------------------------------------------------------
+  def simAnnSq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val scale = emb.select(posexplode(col("v")).as(Seq("j", "x")))
+      .agg(max(abs(col("x"))).as("s"))
+    val coded = emb.crossJoin(broadcast(scale))
+      .withColumn("c", transform(col("v"), x => round(x / col("s") * 127)))
+      .withColumn("cnrm", sqrt(vecDot(col("c"), col("c"))))
+      .select("vec_id", "c", "cnrm")
+    val q = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("c").as("qc"), col("cnrm").as("qnrm"))
+    val scored = coded.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        round(vecDot(col("qc"), col("c")) / (col("qnrm") * col("cnrm")), 4)
+          .as("qcosine"))
+    val w = Window.partitionBy("qid").orderBy(col("qcosine").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("qid", "rk")
+  }
+
+  private val simAnnSqSql =
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      |), s AS (
+      |  SELECT max(abs(x)) AS s FROM (SELECT unnest(e) AS x FROM v)
+      |), codes AS (
+      |  SELECT vec_id, list_transform(e, x -> round(x / s.s * 127)) AS c
+      |  FROM v CROSS JOIN s
+      |), nc AS (
+      |  SELECT vec_id, c, sqrt(list_dot_product(c, c)) AS cnrm FROM codes
+      |), q AS (
+      |  SELECT vec_id AS qid, c AS qc, cnrm AS qnrm FROM nc WHERE vec_id < 10
+      |), scored AS (
+      |  SELECT q.qid, nc.vec_id AS cand_id,
+      |    round(list_dot_product(q.qc, nc.c) / (q.qnrm * nc.cnrm), 4) AS qcosine
+      |  FROM nc JOIN q ON nc.vec_id <> q.qid
+      |)
+      |SELECT qid, cand_id, qcosine, rk FROM (
+      |  SELECT qid, cand_id, qcosine,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY qcosine DESC, cand_id) AS BIGINT) AS rk
+      |  FROM scored
+      |) WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("sim_ann_sq", simAnnSq, Some(simAnnSqSql)),
     Q("sim_power_iteration", simPowerIteration, Some(simPowerIterationSql)),
     Q("sim_hamming_topk", simHammingTopk, Some(simHammingTopkSql)),
     Q("sim_range_search", simRangeSearch, Some(simRangeSearchSql)),

@@ -174,6 +174,96 @@ object TextAnalysis {
       |FROM scored CROSS JOIN cuts
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // text_quality_auc — DOES THE QUALITY SCORE DISCRIMINATE? One-vs-rest
+  // AUC of the quality score against each language label, the standard
+  // "is my filter signal better than a coin flip" eval a pretraining
+  // pipeline runs before trusting a quality filter — and the per-language
+  // one-vs-rest framing doubles as a LANGUAGE-BIAS audit of the filter
+  // (on the synthetic shared-vocabulary corpus every AUC hovers near the
+  // 5000 bp null, the honest no-discrimination reading; on a real corpus
+  // an alpha-ratio score skews toward Latin-script languages and this is
+  // the query that shows it before the filter skews the training mix).
+  //
+  // AUC = U/(n₁n₀) computed by the q_mannwhitney COUNT-GRID identity, not
+  // a rank() sort: one hash-aggregate collapses the corpus to the
+  // (lang × bp) grid (≤ |langs|·10001 rows — bp is integer basis points,
+  // a bounded value domain), cumulative windows run per-lang over that
+  // metadata-sized grid, and ties contribute half via the doubled-U
+  // integer u2 = Σ c₁(v)·(2·C₀(<v) + c₀(v)). All integer arithmetic:
+  // auc_bp = 10000·u2 div 2n₁n₀ (NULL when a side is empty, both
+  // engines). At 100 TB: grid rows only ever shuffle, never documents.
+  // ---------------------------------------------------------------------
+  def textQualityAuc(s: SparkSession, d: String): DataFrame = {
+    val scored = qualityBp(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+    val grid = scored.groupBy("bp", "lang").agg(count(lit(1)).as("c"))
+    val tot = grid.groupBy("bp").agg(sum("c").as("ct"))
+    val dense = grid.select("bp").distinct()
+      .crossJoin(broadcast(grid.select("lang").distinct()))
+      .join(grid, Seq("bp", "lang"), "left")
+      .select(col("bp"), col("lang"), coalesce(col("c"), lit(0L)).as("c"))
+      .join(tot, "bp")
+    val w = Window.partitionBy("lang").orderBy("bp")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dense
+      .withColumn("cumc", sum("c").over(w))
+      .withColumn("cumt", sum("ct").over(w))
+    cum.groupBy("lang")
+      .agg(sum("c").as("n_pos"),
+        (sum("ct") - sum("c")).as("n_neg"),
+        sum(col("c") * ((col("cumt") - col("ct") - (col("cumc") - col("c"))) * 2
+          + (col("ct") - col("c")))).as("u2"))
+      .withColumn("auc_bp",
+        expr("CASE WHEN n_pos * n_neg > 0 THEN (10000 * u2) div (2 * n_pos * n_neg) END"))
+      .orderBy("lang")
+  }
+
+  private val textQualityAucSql =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+      |         ELSE array_length(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
+      |    length(text) AS len_chars,
+      |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+      |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+      |  FROM documents
+      |), scored AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN len_chars > 0 THEN
+      |      CAST((20000 * (least(n_tokens, 100) * len_chars + 60 * n_alpha
+      |                + 40 * (len_chars - n_punct)) + 200 * len_chars)
+      |      // (2 * 200 * len_chars) AS BIGINT)
+      |    ELSE least(n_tokens, 100) * 50 + 2000 END AS bp
+      |  FROM b
+      |), grid AS (
+      |  SELECT bp, lang, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT bp, CAST(sum(c) AS BIGINT) AS ct FROM grid GROUP BY bp
+      |), dense AS (
+      |  SELECT t.bp, l.lang, CAST(coalesce(g.c, 0) AS BIGINT) AS c, tot.ct
+      |  FROM (SELECT DISTINCT bp FROM grid) t
+      |  CROSS JOIN (SELECT DISTINCT lang FROM grid) l
+      |  LEFT JOIN grid g ON g.bp = t.bp AND g.lang = l.lang
+      |  JOIN tot ON tot.bp = t.bp
+      |), cum AS (
+      |  SELECT bp, lang, c, ct,
+      |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY bp
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc,
+      |    CAST(sum(ct) OVER (PARTITION BY lang ORDER BY bp
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumt
+      |  FROM dense
+      |), agg AS (
+      |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_pos,
+      |    CAST(sum(ct) - sum(c) AS BIGINT) AS n_neg,
+      |    CAST(sum(c * (((cumt - ct) - (cumc - c)) * 2 + (ct - c))) AS BIGINT) AS u2
+      |  FROM cum GROUP BY lang
+      |)
+      |SELECT lang, n_pos, n_neg, u2,
+      |  CASE WHEN n_pos * n_neg > 0
+      |    THEN CAST((10000 * u2) // (2 * n_pos * n_neg) AS BIGINT) END AS auc_bp
+      |FROM agg ORDER BY lang""".stripMargin
+
   private val textQualitySql =
     """WITH b AS (
       |  SELECT doc_id,
@@ -1976,6 +2066,7 @@ object TextAnalysis {
     Q("text_fuzzy_match", textFuzzyMatch, Some(textFuzzyMatchSql)),
     Q("text_token_stats", textTokenStats, Some(textTokenStatsSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
+    Q("text_quality_auc", textQualityAuc, Some(textQualityAucSql)),
     Q("text_quality_tercile", textQualityTercile, Some(textQualityTercileSql)),
     Q("text_langid", textLangid, Some(textLangidSql)),
     Q("text_fingerprint", textFingerprint, Some(textFingerprintSql)),

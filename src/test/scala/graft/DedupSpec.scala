@@ -215,4 +215,29 @@ class DedupSpec extends SparkSpec {
         s"doc ${r.getAs[Long]("doc_id")}: $got vs ${expected(r.getAs[Long]("doc_id"))}")
     }
   }
+
+  test("incremental dedup equals the cross-side subset of the full LSH pair set") {
+    // full-corpus LSH at j>=0.5, reoriented to (new, corpus); dedup_incremental
+    // must find exactly those pairs (same bands, cross-side candidate join)
+    // with identical jaccard values — and never a same-side pair.
+    val newIds = Tables.documents(spark, sf)
+      .filter(col("source").isin("src0", "src1"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    val expected = full.flatMap { case (a, b, j) =>
+      (newIds.contains(a), newIds.contains(b)) match {
+        case (true, false) => Some(((a, b), j))
+        case (false, true) => Some(((b, a), j))
+        case _             => None
+      }
+    }.toMap
+    val got = dedupIncremental(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("new_doc"), r.getAs[Long]("corpus_doc")),
+        r.getAs[Double]("jaccard"))).toMap
+    got.keys.foreach { case (n, c) =>
+      assert(newIds.contains(n) && !newIds.contains(c), s"not cross-side: ($n, $c)")
+    }
+    assert(got == expected, s"cross-side pair sets differ: got=$got expected=$expected")
+  }
 }

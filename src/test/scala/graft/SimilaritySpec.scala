@@ -302,4 +302,36 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("load_bp") == 10000L * v3(i) / maxabs)
     }
   }
+
+  test("SQ int8: 5 ranked rows per query, codes recall the exact top-5 almost perfectly") {
+    val sq = simAnnSq(spark, sf).collect()
+    val byQ = sq.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length == 5)
+      val cos = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("qcosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+    // 8-bit scalar quantization barely moves cosine: quantized top-5 must
+    // recall >= 80% of the exact top-5 pairs overall
+    val bf = simTopkBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand_id"))).toSet
+    val got = sq.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand_id"))).toSet
+    val recall = got.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"SQ recall vs exact top-5 too low: $recall")
+  }
+
+  test("SQ int8: quantized cosine sits within the 8-bit error band of the exact cosine") {
+    val bf = simTopkBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    simAnnSq(spark, sf).collect().foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("cand_id"))
+      bf.get(key).foreach { exact =>
+        assert(math.abs(exact - r.getAs[Double]("qcosine")) < 0.05,
+          s"$key: quantized ${r.getAs[Double]("qcosine")} vs exact $exact")
+      }
+    }
+  }
 }

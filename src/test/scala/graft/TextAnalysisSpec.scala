@@ -504,4 +504,31 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("quality AUC matches a brute-force pairwise recompute per language") {
+    // ground truth by O(n·n) pair counting on the driver: for lang L,
+    // u2 = Σ over (pos, neg) pairs of 2·[pos > neg] + 1·[pos == neg]
+    val scores = textQuality(spark, sf)
+      .select(col("doc_id"), round(col("quality_score") * 10000).cast("long").as("bp"))
+      .join(Tables.documents(spark, sf).select("doc_id", "lang"), "doc_id")
+      .select("lang", "bp").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = textQualityAuc(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSet == scores.map(_._1).toSet)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val pos = scores.collect { case (`lang`, bp) => bp }
+      val neg = scores.collect { case (l, bp) if l != lang => bp }
+      val u2 = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      assert(r.getAs[Long]("n_pos") == pos.length)
+      assert(r.getAs[Long]("n_neg") == neg.length)
+      assert(r.getAs[Long]("u2") == u2, s"$lang: u2")
+      assert(r.getAs[Long]("auc_bp") ==
+        10000L * u2 / (2L * pos.length * neg.length), s"$lang: auc_bp")
+    }
+    // sanity: every AUC is a probability in basis points
+    rows.foreach(r => assert(r.getAs[Long]("auc_bp") >= 0L &&
+      r.getAs[Long]("auc_bp") <= 10000L))
+  }
 }
