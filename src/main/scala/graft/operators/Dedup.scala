@@ -866,7 +866,72 @@ object Dedup {
        |WHERE round(n_common * 1.0 / (zn.n_sh + zc.n_sh - n_common), 4) >= 0.5
        |ORDER BY new_doc, corpus_doc""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dedup_retention_funnel — the PIPELINE RETENTION REPORT: how many
+  // documents survive each dedup stage (raw → exact content-hash → near-dup
+  // LSH), with basis-point retention vs raw — the dashboard number a
+  // training-data pipeline publishes per ingest batch (the reference's
+  // build_corpus.py:117 summary aggregations, composed over the real dedup
+  // operators instead of a single drop_duplicates). Near-dup survival
+  // policy: keep any doc that is never the LARGER id of a verified
+  // J ≥ 0.5 pair — the deterministic keep-first greedy of
+  // build_master_corpus.py:137's sort + keep-first.
+  //
+  // Scale shape: the stages reuse dedupExact's one md5 shuffle and
+  // dedupMinhashLsh's banded candidate machinery (both already
+  // subquadratic); the funnel itself is three bounded count aggregates +
+  // one broadcast of the raw count. The oracle recomputes the LSH stage
+  // from the UNBLOCKED all-pairs truth, so the funnel's hash match
+  // re-asserts full LSH recall end-to-end through the composition.
+  // ---------------------------------------------------------------------
+  def dedupRetentionFunnel(s: SparkSession, d: String): DataFrame = {
+    val nRaw = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val exact = dedupExact(s, d).filter(!col("is_dup")).select("doc_id")
+    val losers = dedupMinhashLsh(s, d).select(col("doc_b").as("doc_id")).distinct()
+    val near = exact.join(losers, Seq("doc_id"), "left_anti")
+    val stages = nRaw.select(lit(1L).as("stage_id"), lit("raw").as("stage"), col("n"))
+      .unionAll(exact.agg(count(lit(1)).as("n"))
+        .select(lit(2L), lit("exact_dedup"), col("n")))
+      .unionAll(near.agg(count(lit(1)).as("n"))
+        .select(lit(3L), lit("near_dedup"), col("n")))
+    stages.crossJoin(broadcast(nRaw.select(col("n").as("n0"))))
+      .select(col("stage_id"), col("stage"), col("n").as("n_docs"),
+        expr("(10000 * n) div n0").as("retained_bp"))
+      .orderBy("stage_id")
+  }
+
+  private val dedupRetentionFunnelSql =
+    s"""WITH $shingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes za ON za.doc_id = doc_a
+       |  JOIN sizes zb ON zb.doc_id = doc_b
+       |  WHERE round(n_common * 1.0 / (za.n_sh + zb.n_sh - n_common), 4) >= 0.5
+       |), exact AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS k
+       |    FROM documents
+       |  ) WHERE doc_id = k
+       |), near AS (
+       |  SELECT doc_id FROM exact WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+       |), n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |stages AS (
+       |  SELECT 1 AS stage_id, 'raw' AS stage, n AS n_docs FROM n0
+       |  UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT) FROM exact
+       |  UNION ALL SELECT 3, 'near_dedup', CAST(count(*) AS BIGINT) FROM near
+       |)
+       |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage, n_docs,
+       |  CAST((10000 * n_docs) // n0.n AS BIGINT) AS retained_bp
+       |FROM stages CROSS JOIN n0
+       |ORDER BY stage_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("dedup_retention_funnel", dedupRetentionFunnel, Some(dedupRetentionFunnelSql)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("dedup_overlap_sketch", dedupOverlapSketch, Some(dedupOverlapSketchSql)),
     Q("dedup_containment", dedupContainment, Some(dedupContainmentSql)),

@@ -142,7 +142,67 @@ object Skew {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** JOIN-KEY SKEW PROFILE — the measurement that decides whether the
+    * salted/bloom plans in this file are needed at all: per-key count
+    * distribution of the fact table's join key (events.user_id) reduced to
+    * the operational numbers a shuffle planner reads — key/row counts, the
+    * hottest key's absolute count and basis-point share, discrete p50/p99
+    * per-key counts, and skew_x100 = max/avg ×100 (100 = perfectly
+    * uniform). The pre-flight audit every 100 TB join deserves: a
+    * skew_x100 in the thousands says "salt or AQE-skew-join this key"
+    * BEFORE one reducer pins for hours.
+    *
+    * Scale shape: one hash-aggregate to per-key counts (the only
+    * data-sized step, map-side partial), then a COUNTS-OF-COUNTS grid —
+    * the cumulative window runs over distinct count VALUES (bounded
+    * metadata, the textQualityTercile discrete-quantile machinery), never
+    * a sort of keys. All-integer arithmetic; quantiles in exact
+    * multiply-form ceil compares. */
+  def qSkewProfile(s: SparkSession, d: String): DataFrame = {
+    val perKey = Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("c"))
+    val grid = perKey.groupBy("c").agg(count(lit(1)).as("n_keys"))
+    val tot = grid.agg(sum("n_keys").as("nk"),
+      sum(col("c") * col("n_keys")).as("n_rows"), max("c").as("max_c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid.withColumn("cum", sum("n_keys").over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max("nk").as("n_keys"), max("n_rows").as("n_rows"),
+        max("max_c").as("max_c"),
+        min(when(col("cum") * 2 >= col("nk"), col("c"))).as("p50_c"),
+        min(when(col("cum") * 100 >= col("nk") * 99, col("c"))).as("p99_c"))
+      .select(col("n_keys"), col("n_rows"), col("max_c"), col("p50_c"), col("p99_c"),
+        expr("(10000 * max_c) div n_rows").as("top_key_share_bp"),
+        expr("(100 * max_c * n_keys) div n_rows").as("skew_x100"))
+  }
+
+  private val qSkewProfileSql =
+    """WITH pk AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id
+      |), grid AS (
+      |  SELECT c, CAST(count(*) AS BIGINT) AS n_keys FROM pk GROUP BY c
+      |), tot AS (
+      |  SELECT CAST(sum(n_keys) AS BIGINT) AS nk,
+      |    CAST(sum(c * n_keys) AS BIGINT) AS n_rows,
+      |    CAST(max(c) AS BIGINT) AS max_c
+      |  FROM grid
+      |), cum AS (
+      |  SELECT c, CAST(sum(n_keys) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS cum
+      |  FROM grid
+      |), q AS (
+      |  SELECT CAST(min(CASE WHEN cum * 2 >= nk THEN c END) AS BIGINT) AS p50_c,
+      |    CAST(min(CASE WHEN cum * 100 >= nk * 99 THEN c END) AS BIGINT) AS p99_c
+      |  FROM cum CROSS JOIN tot
+      |)
+      |SELECT nk AS n_keys, n_rows, max_c, p50_c, p99_c,
+      |  CAST((10000 * max_c) // n_rows AS BIGINT) AS top_key_share_bp,
+      |  CAST((100 * max_c * nk) // n_rows AS BIGINT) AS skew_x100
+      |FROM tot CROSS JOIN q""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_skew_profile", qSkewProfile, Some(qSkewProfileSql)),
     Q("q_salted_join", qSaltedJoin, Some(qSaltedJoinSql)),
     Q("q_bloom_semi_prune", qBloomSemiPrune, Some(qBloomSemiPruneSql)),
     Q("q_salted_agg", qSaltedAgg, Some(qSaltedAggSql))

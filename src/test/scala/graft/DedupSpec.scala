@@ -240,4 +240,21 @@ class DedupSpec extends SparkSpec {
     }
     assert(got == expected, s"cross-side pair sets differ: got=$got expected=$expected")
   }
+
+  test("retention funnel recomputes from the stage relations it composes") {
+    val rows = dedupRetentionFunnel(spark, sf).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("retained_bp"))).toMap
+    val nRaw = Tables.documents(spark, sf).count()
+    val exact = dedupExact(spark, sf).collect()
+      .filter(!_.getAs[Boolean]("is_dup")).map(_.getAs[Long]("doc_id")).toSet
+    val losers = dedupMinhashLsh(spark, sf).collect()
+      .map(_.getAs[Long]("doc_b")).toSet
+    val near = exact -- losers
+    assert(rows("raw") == ((nRaw, 10000L)))
+    assert(rows("exact_dedup") == ((exact.size.toLong, 10000L * exact.size / nRaw)))
+    assert(rows("near_dedup") == ((near.size.toLong, 10000L * near.size / nRaw)))
+    // the funnel only ever narrows
+    assert(nRaw >= exact.size && exact.size >= near.size)
+  }
 }

@@ -97,4 +97,23 @@ class SkewSpec extends SparkSpec {
       v.fold(s.conf.unset(k))(s.conf.set(k, _))
     }
   }
+
+  test("skew profile matches a driver-side recompute of the key distribution") {
+    val counts = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(_.getAs[Long]("count")).sorted
+    val r = operators.Skew.qSkewProfile(spark, sf).collect().head
+    val nKeys = counts.length.toLong
+    val nRows = counts.sum
+    val maxC = counts.max
+    def quantile(q: Int, of: Int): Long = // smallest c with (keys ≤ c)·of ≥ q·nk
+      counts.zipWithIndex
+        .collectFirst { case (c, i) if (i + 1).toLong * of >= q * nKeys => c }.get
+    assert(r.getAs[Long]("n_keys") == nKeys)
+    assert(r.getAs[Long]("n_rows") == nRows)
+    assert(r.getAs[Long]("max_c") == maxC)
+    assert(r.getAs[Long]("p50_c") == quantile(1, 2))
+    assert(r.getAs[Long]("p99_c") == quantile(99, 100))
+    assert(r.getAs[Long]("top_key_share_bp") == 10000L * maxC / nRows)
+    assert(r.getAs[Long]("skew_x100") == 100L * maxC * nKeys / nRows)
+  }
 }
