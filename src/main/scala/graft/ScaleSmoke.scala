@@ -172,7 +172,9 @@ object ScaleSmoke {
       "q_itemsets_apriori" -> operators.Mining.qItemsetsApriori,
       "dedup_incremental" -> operators.Dedup.dedupIncremental,
       "sim_ann_sq" -> operators.Similarity.simAnnSq,
-      "text_quality_auc" -> operators.TextAnalysis.textQualityAuc)
+      "text_quality_auc" -> operators.TextAnalysis.textQualityAuc,
+      "q_skew_profile" -> operators.Skew.qSkewProfile,
+      "dedup_retention_funnel" -> operators.Dedup.dedupRetentionFunnel)
     val queries =
       if (args.isEmpty) allQueries else allQueries.filter(q => args.contains(q._1))
 
