@@ -615,6 +615,70 @@ object Dedup {
        |  doc = min(lbl) AS is_keeper
        |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dedup_cluster_canonical — KEEP-BEST canonical selection: real pipelines
+  // keep the highest-QUALITY member of each duplicate cluster, not the
+  // lowest id (the reference's priority-aware dedup, build_master_corpus
+  // .py:130-137 — sort by source priority, keep first — generalized to the
+  // quality score). Composes dedup_clusters' connected components with the
+  // shared integer quality score: per cluster, canonical = argmax bp with
+  // min-doc_id tie-break via a rank-1 window (partitioned by cluster —
+  // WindowGroupLimit-eligible, clusters are near-dup-sized, never
+  // corpus-sized partitions).
+  // ---------------------------------------------------------------------
+  def dedupClusterCanonical(s: SparkSession, d: String): DataFrame = {
+    val clusters = dedupClusters(s, d).select("doc_id", "cluster")
+    val q = TextAnalysis.qualityBp(s, d).select("doc_id", "bp")
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("bp").desc, col("doc_id").asc)
+    clusters.join(q, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("doc_id").as("canonical_doc"),
+        col("n_members"), col("bp").as("best_bp"))
+      .orderBy("cluster")
+  }
+
+  private val dedupClusterCanonicalSql =
+    s"""WITH RECURSIVE np AS (
+       |$trueJaccardSql
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM np
+       |  UNION ALL SELECT doc_b, doc_a FROM np
+       |), reach(doc, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc = e.src
+       |), clusters AS (
+       |  SELECT doc AS doc_id, min(lbl) AS cluster FROM reach GROUP BY doc
+       |), qb AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
+       |         ELSE array_length(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS n_tokens,
+       |    length(text) AS len_chars,
+       |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+       |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+       |  FROM documents
+       |), scored AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len_chars > 0 THEN
+       |      CAST((20000 * (least(n_tokens, 100) * len_chars + 60 * n_alpha
+       |                + 40 * (len_chars - n_punct)) + 200 * len_chars)
+       |      // (2 * 200 * len_chars) AS BIGINT)
+       |    ELSE least(n_tokens, 100) * 50 + 2000 END AS bp
+       |  FROM qb
+       |), ranked AS (
+       |  SELECT c.cluster, c.doc_id, s.bp,
+       |    row_number() OVER (PARTITION BY c.cluster
+       |      ORDER BY s.bp DESC, c.doc_id) AS rk,
+       |    CAST(count(*) OVER (PARTITION BY c.cluster) AS BIGINT) AS n_members
+       |  FROM clusters c JOIN scored s ON s.doc_id = c.doc_id
+       |)
+       |SELECT cluster, doc_id AS canonical_doc, n_members, bp AS best_bp
+       |FROM ranked WHERE rk = 1
+       |ORDER BY cluster""".stripMargin
+
   /** SemDeDup-style semantic duplicate clusters: connected components over
     * the embedding-cosine near-dup pair graph (pairs from IVF-cell blocking,
     * CC from the same pointer-jumping core as dedup_clusters — keep the
@@ -932,6 +996,7 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     Q("dedup_retention_funnel", dedupRetentionFunnel, Some(dedupRetentionFunnelSql)),
+    Q("dedup_cluster_canonical", dedupClusterCanonical, Some(dedupClusterCanonicalSql)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("dedup_overlap_sketch", dedupOverlapSketch, Some(dedupOverlapSketchSql)),
     Q("dedup_containment", dedupContainment, Some(dedupContainmentSql)),

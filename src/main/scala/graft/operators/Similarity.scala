@@ -1385,7 +1385,85 @@ object Similarity {
       |) WHERE rk <= 5
       |ORDER BY qid, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sim_matryoshka — TRUNCATED-DIMENSION retrieval eval (Matryoshka
+  // Representation Learning, Kusupati et al. 2022): rank by cosine over
+  // only the FIRST 16 of 64 dimensions — the 4× cheaper prefix embedding —
+  // and measure recall@5 against the full-dimension exact top-5 per query.
+  // The modern first-stage/re-rank dial: at 100 TB the prefix scan reads a
+  // quarter of the vector bytes (and at 16 B/vector fits RAM tiers the
+  // full vectors don't); this query IS the measurement of what that
+  // truncation costs on this corpus (random embeddings are the worst case
+  // — MRL-trained models front-load information; both facts belong in the
+  // eval, which is the point of running it). Same broadcast-queries ×
+  // one-corpus-scan shape as sim_topk_bruteforce for BOTH rankings;
+  // recall arithmetic in exact integers — fully oracled.
+  // ---------------------------------------------------------------------
+  def simMatryoshka(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("v16", slice(col("v"), 1, 16))
+      .withColumn("nrm", vecNorm(col("v")))
+      .withColumn("nrm16", vecNorm(col("v16")))
+    def top5(vc: String, nc: String): DataFrame = {
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col(vc).as("qv"), col(nc).as("qnrm"))
+      val scored = emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"),
+          round(vecDot(col("qv"), col(vc)) / (col("qnrm") * col(nc)), 4).as("cos"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand_id").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select("qid", "cand_id")
+    }
+    val full = top5("v", "nrm")
+    val trunc = top5("v16", "nrm16")
+    val hits = full.as("f").join(trunc.as("t"),
+        col("f.qid") === col("t.qid") && col("f.cand_id") === col("t.cand_id"))
+      .groupBy(col("f.qid").as("qid")).agg(count(lit(1)).as("n_hits"))
+    full.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("(coalesce(n_hits, 0) * 10000) div 5").as("recall_bp"))
+      .orderBy("qid")
+  }
+
+  private val simMatryoshkaSql =
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e, (embedding::DOUBLE[])[1:16] AS e16,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+      |    sqrt(list_dot_product((embedding::DOUBLE[])[1:16], (embedding::DOUBLE[])[1:16])) AS nrm16
+      |  FROM embeddings
+      |), qf AS (SELECT vec_id AS qid, e AS qv, nrm AS qnrm FROM v WHERE vec_id < 10),
+      |qt AS (SELECT vec_id AS qid, e16 AS qv, nrm16 AS qnrm FROM v WHERE vec_id < 10),
+      |full_r AS (
+      |  SELECT qid, cand_id FROM (
+      |    SELECT q.qid, v.vec_id AS cand_id,
+      |      row_number() OVER (PARTITION BY q.qid
+      |        ORDER BY round(list_dot_product(q.qv, v.e) / (q.qnrm * v.nrm), 4) DESC,
+      |          v.vec_id) AS rk
+      |    FROM v JOIN qf q ON v.vec_id <> q.qid
+      |  ) WHERE rk <= 5
+      |), trunc_r AS (
+      |  SELECT qid, cand_id FROM (
+      |    SELECT q.qid, v.vec_id AS cand_id,
+      |      row_number() OVER (PARTITION BY q.qid
+      |        ORDER BY round(list_dot_product(q.qv, v.e16) / (q.qnrm * v.nrm16), 4) DESC,
+      |          v.vec_id) AS rk
+      |    FROM v JOIN qt q ON v.vec_id <> q.qid
+      |  ) WHERE rk <= 5
+      |), hits AS (
+      |  SELECT f.qid, CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM full_r f JOIN trunc_r t ON t.qid = f.qid AND t.cand_id = f.cand_id
+      |  GROUP BY f.qid
+      |)
+      |SELECT s.qid, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+      |  CAST((coalesce(n_hits, 0) * 10000) // 5 AS BIGINT) AS recall_bp
+      |FROM (SELECT DISTINCT qid FROM full_r) s
+      |LEFT JOIN hits ON hits.qid = s.qid
+      |ORDER BY s.qid""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("sim_matryoshka", simMatryoshka, Some(simMatryoshkaSql)),
     Q("sim_ann_sq", simAnnSq, Some(simAnnSqSql)),
     Q("sim_power_iteration", simPowerIteration, Some(simPowerIterationSql)),
     Q("sim_hamming_topk", simHammingTopk, Some(simHammingTopkSql)),

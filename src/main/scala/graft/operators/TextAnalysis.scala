@@ -68,7 +68,7 @@ object TextAnalysis {
   /** (doc_id, n_tokens, bp): the integer-basis-point quality score shared by
     * textQuality (fixed thresholds) and textQualityTercile (data-driven
     * cutpoints). */
-  private def qualityBp(s: SparkSession, d: String): DataFrame = {
+  private[operators] def qualityBp(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.documents(s, d)
     val base = doc.select(
       col("doc_id"),

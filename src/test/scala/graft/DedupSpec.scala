@@ -257,4 +257,22 @@ class DedupSpec extends SparkSpec {
     // the funnel only ever narrows
     assert(nRaw >= exact.size && exact.size >= near.size)
   }
+
+  test("cluster canonical: argmax quality with min-id ties, recomputed per cluster") {
+    val members = dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+    val bp = operators.TextAnalysis.textQuality(spark, sf)
+      .select(col("doc_id"), round(col("quality_score") * 10000).cast("long").as("bp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = members.groupBy(_._2).map { case (cl, ms) =>
+      val docs = ms.map(_._1)
+      val best = docs.map(d => (-bp(d), d)).min // max bp, then min doc_id
+      cl -> (best._2, docs.length.toLong, -best._1)
+    }
+    val got = dedupClusterCanonical(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("canonical_doc"), r.getAs[Long]("n_members"),
+          r.getAs[Long]("best_bp"))).toMap
+    assert(got == expected)
+  }
 }

@@ -322,6 +322,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"SQ recall vs exact top-5 too low: $recall")
   }
 
+  test("matryoshka: recall recomputes from a local 16-dim vs 64-dim ranking") {
+    val emb = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until d).foreach { i => dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e4) / 1e4
+    }
+    def top5(qid: Long, d: Int): Set[Long] =
+      emb.keys.filter(_ != qid).toSeq
+        .sortBy(c => (-cos(emb(qid), emb(c), d), c)).take(5).toSet
+    val rows = simMatryoshka(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val hits = (top5(qid, 64) intersect top5(qid, 16)).size.toLong
+      assert(r.getAs[Long]("n_hits") == hits, s"q$qid")
+      assert(r.getAs[Long]("recall_bp") == hits * 10000L / 5L)
+    }
+  }
+
   test("SQ int8: quantized cosine sits within the 8-bit error band of the exact cosine") {
     val bf = simTopkBruteforce(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cand_id")) -> r.getAs[Double]("cosine"))
