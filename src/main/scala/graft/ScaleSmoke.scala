@@ -174,7 +174,9 @@ object ScaleSmoke {
       "sim_ann_sq" -> operators.Similarity.simAnnSq,
       "text_quality_auc" -> operators.TextAnalysis.textQualityAuc,
       "q_skew_profile" -> operators.Skew.qSkewProfile,
-      "dedup_retention_funnel" -> operators.Dedup.dedupRetentionFunnel)
+      "dedup_retention_funnel" -> operators.Dedup.dedupRetentionFunnel,
+      "dedup_cluster_canonical" -> operators.Dedup.dedupClusterCanonical,
+      "sim_matryoshka" -> operators.Similarity.simMatryoshka)
     val queries =
       if (args.isEmpty) allQueries else allQueries.filter(q => args.contains(q._1))
 
