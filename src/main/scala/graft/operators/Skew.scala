@@ -201,8 +201,68 @@ object Skew {
       |  CAST((100 * max_c * nk) // n_rows AS BIGINT) AS skew_x100
       |FROM tot CROSS JOIN q""".stripMargin
 
+  /** SELF-JOIN SIZE ESTIMATION from a mergeable sketch — the other number
+    * a shuffle planner wants next to q_skew_profile's max-key share: F₂ =
+    * Σ_k c(k)², the exact row count of the key's self-join (what a
+    * user_id⋈user_id pair operator — sessionize pairs, co-visit counts —
+    * would materialize). The estimate is the COUNT-MIN INNER PRODUCT
+    * (Cormode–Muthukrishnan 2005; the sketched second-moment idea of
+    * Alon–Matias–Szegedy 1996): min over the d=4 hash rows of Σ_b cell² on
+    * the same 4×256 counter grid textCmsFreq uses. Never an underestimate;
+    * collision mass inflates it and the query REPORTS that error in basis
+    * points next to the exact number — the measure-don't-guess contract.
+    * At 100 TB the grid is the only state: mergeable by addition (map-side
+    * partials are sub-sketches), 1 KB per partition, no per-key state —
+    * the exact Σc² needs the full per-key aggregate this sketch avoids.
+    * Portable md5-prefix hashing ⇒ the approximate structure is
+    * hash-exactly oracled. */
+  def qJoinSizeEstimate(s: SparkSession, d: String): DataFrame = {
+    val depth = 4
+    val keys = Tables.events(s, d).select(col("user_id").cast("string").as("k"))
+    def bucket(j: Int, k: Column): Column =
+      conv(substring(md5(concat(lit(s"js$j:"), k)), 1, 2), 16, 10).cast("long")
+    val exact = keys.groupBy("k").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_f2"),
+        count(lit(1)).as("n_keys"))
+    val grid = keys
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j.toLong).as("j"), bucket(j, col("k")).as("b"))): _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val est = grid.groupBy("j").agg(sum(col("c") * col("c")).as("f2j"))
+      .agg(min("f2j").as("est_f2"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_keys"), col("exact_f2"), col("est_f2"),
+        expr("(10000 * (est_f2 - exact_f2)) div exact_f2").as("overest_bp"))
+  }
+
+  private val qJoinSizeEstimateSql: String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+    s"""WITH k AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+       |), exact AS (
+       |  SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2,
+       |    CAST(count(*) AS BIGINT) AS n_keys
+       |  FROM (SELECT k, CAST(count(*) AS BIGINT) AS c FROM k GROUP BY k)
+       |), hashed AS (
+       |  SELECT j.j, md5('js' || j.j || ':' || k) AS h
+       |  FROM k CROSS JOIN (VALUES (0), (1), (2), (3)) AS j(j)
+       |), grid AS (
+       |  SELECT j, ${nib(1)} * 16 + ${nib(2)} AS b, CAST(count(*) AS BIGINT) AS c
+       |  FROM hashed GROUP BY 1, 2
+       |), est AS (
+       |  SELECT CAST(min(f2j) AS BIGINT) AS est_f2 FROM (
+       |    SELECT j, sum(c * c) AS f2j FROM grid GROUP BY j
+       |  )
+       |)
+       |SELECT n_keys, exact_f2, est_f2,
+       |  CAST((10000 * (est_f2 - exact_f2)) // exact_f2 AS BIGINT) AS overest_bp
+       |FROM exact CROSS JOIN est""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_skew_profile", qSkewProfile, Some(qSkewProfileSql)),
+    Q("q_join_size_estimate", qJoinSizeEstimate, Some(qJoinSizeEstimateSql)),
     Q("q_salted_join", qSaltedJoin, Some(qSaltedJoinSql)),
     Q("q_bloom_semi_prune", qBloomSemiPrune, Some(qBloomSemiPruneSql)),
     Q("q_salted_agg", qSaltedAgg, Some(qSaltedAggSql))

@@ -1339,6 +1339,78 @@ object TextAnalysis {
        |FROM est ORDER BY rk""".stripMargin
   }
 
+  /** CORPUS N-GRAM ENTROPY — the information-theoretic corpus-health metric
+    * next to the Zipf fit: Shannon entropy of the unigram and bigram
+    * distributions plus a redundancy share (1 − H/H_max). Template spam,
+    * boilerplate floods and synthetic junk all CRUSH bigram entropy long
+    * before they show up in document-level dedup — this is the one-scan
+    * screen a pretraining pipeline runs per ingest batch (cf. the
+    * compression-ratio/entropy filters of C4/Gopher lineage).
+    *
+    * Exactness: H = ln N − (Σ c·ln c)/N decomposed so every float op is
+    * quantized BEFORE any cross-row sum — each gram contributes
+    * c·round(1000·ln c) (an exact integer; the milli-nat idiom of
+    * text_bm25/text_zipf_fit), the Σ is over integers (order-independent
+    * under any partitioning), and the final div is integer floor division.
+    * Scale shape: one (gram) hash-aggregate per order — map-side partial,
+    * uniform gram keys — then a one-row reduction; the bigram relation
+    * rides the same per-doc window pass the shingle/co-occurrence family
+    * uses. */
+  def textNgramEntropy(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(normalizeText(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val uni = toks.select(col("tok").as("gram"))
+    val bi = toks
+      .select(col("doc_id"), col("tok"), lead("tok", 1).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .select(concat_ws(" ", col("tok"), col("t1")).as("gram"))
+    def ent(grams: DataFrame, n: Long): DataFrame =
+      grams.groupBy("gram").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_distinct"), sum("c").as("total"),
+          sum(col("c") * round(log(col("c")) * 1000).cast("long")).as("clnc"))
+        .select(lit(n).as("n"), col("n_distinct"), col("total"),
+          (round(log(col("total")) * 1000).cast("long") -
+            expr("clnc div total")).as("entropy_milli"))
+    ent(uni, 1L).unionAll(ent(bi, 2L))
+      .withColumn("max_entropy_milli",
+        round(log(col("n_distinct")) * 1000).cast("long"))
+      .withColumn("redundancy_bp",
+        expr("10000 - (10000 * entropy_milli) div greatest(max_entropy_milli, 1)"))
+      .orderBy("n")
+  }
+
+  private val textNgramEntropySql =
+    s"""WITH ${Dedup.toksCte}, uni AS (
+       |  SELECT unnest(t) AS gram FROM toks
+       |), idx AS (
+       |  SELECT t, unnest(generate_series(1, array_length(t) - 1)) AS i
+       |  FROM toks WHERE array_length(t) >= 2
+       |), bi AS (
+       |  SELECT t[i] || ' ' || t[i+1] AS gram FROM idx
+       |), e1 AS (
+       |  SELECT CAST(1 AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_distinct,
+       |    CAST(sum(c) AS BIGINT) AS total,
+       |    CAST(sum(c * CAST(round(ln(c) * 1000) AS BIGINT)) AS BIGINT) AS clnc
+       |  FROM (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY gram)
+       |), e2 AS (
+       |  SELECT CAST(2 AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_distinct,
+       |    CAST(sum(c) AS BIGINT) AS total,
+       |    CAST(sum(c * CAST(round(ln(c) * 1000) AS BIGINT)) AS BIGINT) AS clnc
+       |  FROM (SELECT gram, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY gram)
+       |), u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+       |h AS (
+       |  SELECT n, n_distinct, total,
+       |    CAST(round(ln(total) * 1000) AS BIGINT) - (clnc // total) AS entropy_milli,
+       |    CAST(round(ln(n_distinct) * 1000) AS BIGINT) AS max_entropy_milli
+       |  FROM u
+       |)
+       |SELECT n, n_distinct, total, entropy_milli, max_entropy_milli,
+       |  CAST(10000 - (10000 * entropy_milli) // greatest(max_entropy_milli, 1)
+       |    AS BIGINT) AS redundancy_bp
+       |FROM h ORDER BY n""".stripMargin
+
   /** Zipf-law fit over the token frequency table — the vocabulary-health
     * statistic (natural corpora fit slope ≈ −1; template spam and synthetic
     * junk deviate hard): least-squares slope of ln(freq) on ln(rank), plus
@@ -2067,6 +2139,7 @@ object TextAnalysis {
     Q("text_token_stats", textTokenStats, Some(textTokenStatsSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
     Q("text_quality_auc", textQualityAuc, Some(textQualityAucSql)),
+    Q("text_ngram_entropy", textNgramEntropy, Some(textNgramEntropySql)),
     Q("text_quality_tercile", textQualityTercile, Some(textQualityTercileSql)),
     Q("text_langid", textLangid, Some(textLangidSql)),
     Q("text_fingerprint", textFingerprint, Some(textFingerprintSql)),

@@ -116,4 +116,16 @@ class SkewSpec extends SparkSpec {
     assert(r.getAs[Long]("top_key_share_bp") == 10000L * maxC / nRows)
     assert(r.getAs[Long]("skew_x100") == 100L * maxC * nKeys / nRows)
   }
+
+  test("join-size estimate: exact F2 recomputes; CMS inner product never underestimates") {
+    val counts = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(_.getAs[Long]("count"))
+    val exactF2 = counts.map(c => c * c).sum
+    val r = operators.Skew.qJoinSizeEstimate(spark, sf).collect().head
+    assert(r.getAs[Long]("n_keys") == counts.length.toLong)
+    assert(r.getAs[Long]("exact_f2") == exactF2)
+    val est = r.getAs[Long]("est_f2")
+    assert(est >= exactF2, "CMS inner product must never underestimate F2")
+    assert(r.getAs[Long]("overest_bp") == 10000L * (est - exactF2) / exactF2)
+  }
 }

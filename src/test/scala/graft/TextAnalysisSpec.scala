@@ -531,4 +531,29 @@ class TextAnalysisSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("auc_bp") >= 0L &&
       r.getAs[Long]("auc_bp") <= 10000L))
   }
+
+  test("ngram entropy matches an exact local recompute with the same quantization") {
+    val tokArrays = Tables.documents(spark, sf)
+      .select(split(graft.functions.TextFunctions.normalizeText(col("text")), "\\s+").as("t"))
+      .collect().map(_.getSeq[String](0).toArray)
+    def entropyRow(grams: Seq[String]): (Long, Long, Long) = {
+      val counts = grams.groupBy(identity).map(_._2.size.toLong)
+      val total = counts.sum
+      val clnc = counts.map(c => c * math.round(math.log(c.toDouble) * 1000)).sum
+      (counts.size.toLong, total, math.round(math.log(total.toDouble) * 1000) - clnc / total)
+    }
+    val uni = entropyRow(tokArrays.toSeq.flatten)
+    val bi = entropyRow(tokArrays.toSeq.flatMap(t => t.sliding(2).filter(_.length == 2).map(_.mkString(" "))))
+    val rows = textNgramEntropy(spark, sf).collect()
+      .map(r => r.getAs[Long]("n") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Long]("total"), r.getAs[Long]("entropy_milli"))).toMap
+    assert(rows(1L) == uni, s"unigram: ${rows(1L)} vs $uni")
+    assert(rows(2L) == bi, s"bigram: ${rows(2L)} vs $bi")
+    // redundancy: bigram distribution of a small-vocab corpus is the more
+    // redundant one only relative to ITS max; both shares are valid bp
+    textNgramEntropy(spark, sf).collect().foreach { r =>
+      val red = r.getAs[Long]("redundancy_bp")
+      assert(red >= -10L && red <= 10000L)
+    }
+  }
 }
