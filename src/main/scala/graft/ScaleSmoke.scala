@@ -176,7 +176,9 @@ object ScaleSmoke {
       "q_skew_profile" -> operators.Skew.qSkewProfile,
       "dedup_retention_funnel" -> operators.Dedup.dedupRetentionFunnel,
       "dedup_cluster_canonical" -> operators.Dedup.dedupClusterCanonical,
-      "sim_matryoshka" -> operators.Similarity.simMatryoshka)
+      "sim_matryoshka" -> operators.Similarity.simMatryoshka,
+      "q_join_size_estimate" -> operators.Skew.qJoinSizeEstimate,
+      "text_ngram_entropy" -> operators.TextAnalysis.textNgramEntropy)
     val queries =
       if (args.isEmpty) allQueries else allQueries.filter(q => args.contains(q._1))
 
