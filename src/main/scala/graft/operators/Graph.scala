@@ -600,7 +600,93 @@ object Graph {
       |  CAST(sum(deg) AS BIGINT) AS band_edges
       |FROM deg GROUP BY 1 ORDER BY band""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_hits — HITS HUBS & AUTHORITIES (Kleinberg 1999) on the BIPARTITE
+  // customer→part purchase graph: a customer is a good hub if they buy
+  // authoritative parts, a part is authoritative if good hubs buy it —
+  // the mutual-reinforcement ranking next to PageRank's random-walk one
+  // (and the classic shopping application of HITS). Two full hub↔authority
+  // rounds, unrolled so the whole computation is closed-form SQL.
+  //
+  // Exactness: scores are integer micro-units; each half-step is a
+  // shuffle-join + SUM (exact BIGINT), followed by L∞ NORMALIZATION
+  // (1e6·x div max) — a one-row broadcast aggregate + truncating div,
+  // deterministic on both engines (the float L2 norm of textbook HITS
+  // would accumulate in engine-dependent order; L∞ keeps the fixpoint
+  // direction and stays integer). Headroom: scores ≤ 1e6, in-degrees ≤
+  // |customers|, so every product stays ≤ ~1e17 through sf1.
+  //
+  // Scale shape: the edge relation (distinct customer×part pairs) is
+  // cached and every half-iteration is ONE shuffle join + hash-aggregate
+  // on it, exactly the PageRank loop shape; normalizations are scalar
+  // broadcasts. Top-25 via rank-filter window (WindowGroupLimit — plans
+  // as distributed top-k, PlanSpec-guarded).
+  // ---------------------------------------------------------------------
+  def qHits(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+      .cache()
+    def normBy(df: DataFrame, key: String, v: String): DataFrame = {
+      val m = broadcast(df.agg(max(v).as("m")))
+      df.crossJoin(m).select(col(key), expr(s"(1000000 * $v) div m").as(v))
+    }
+    // a0 ≡ 1e6 ⇒ h1(c) = 1e6·outdeg(c)
+    val h1 = normBy(e.groupBy("c").agg((count(lit(1)) * 1000000L).as("h")),
+      "c", "h")
+    val a1 = normBy(e.join(h1, "c").groupBy("p").agg(sum("h").as("a")),
+      "p", "a")
+    val h2 = normBy(e.join(a1, "p").groupBy("c").agg(sum("a").as("h")),
+      "c", "h")
+    val a2 = e.join(h2, "c").groupBy("p")
+      .agg(sum("h").as("a"), count(lit(1)).as("in_deg"))
+    val a2m = broadcast(a2.agg(max("a").as("m")))
+    val scored = a2.crossJoin(a2m)
+      .select(col("p"), col("in_deg"),
+        expr("(1000000 * a) div m").as("auth_micro"))
+    val w = Window.orderBy(col("auth_micro").desc, col("p").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 25)
+      .select(col("rk"), col("p").as("p_partkey"), col("in_deg"),
+        col("auth_micro"))
+      .orderBy("rk")
+  }
+
+  private val qHitsSql =
+    """WITH e AS (
+      |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), h1 AS (
+      |  SELECT c, CAST(count(*) * 1000000 AS BIGINT) AS h FROM e GROUP BY c
+      |), h1n AS (
+      |  SELECT c, CAST((1000000 * h) // (SELECT max(h) FROM h1) AS BIGINT)
+      |    AS h FROM h1
+      |), a1 AS (
+      |  SELECT e.p, CAST(sum(h1n.h) AS BIGINT) AS a
+      |  FROM e JOIN h1n ON e.c = h1n.c GROUP BY e.p
+      |), a1n AS (
+      |  SELECT p, CAST((1000000 * a) // (SELECT max(a) FROM a1) AS BIGINT)
+      |    AS a FROM a1
+      |), h2 AS (
+      |  SELECT e.c, CAST(sum(a1n.a) AS BIGINT) AS h
+      |  FROM e JOIN a1n ON e.p = a1n.p GROUP BY e.c
+      |), h2n AS (
+      |  SELECT c, CAST((1000000 * h) // (SELECT max(h) FROM h2) AS BIGINT)
+      |    AS h FROM h2
+      |), a2 AS (
+      |  SELECT e.p, CAST(sum(h2n.h) AS BIGINT) AS a,
+      |    CAST(count(*) AS BIGINT) AS in_deg
+      |  FROM e JOIN h2n ON e.c = h2n.c GROUP BY e.p
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY
+      |    (1000000 * a) // (SELECT max(a) FROM a2) DESC, p) AS BIGINT) AS rk,
+      |  p AS p_partkey, in_deg,
+      |  CAST((1000000 * a) // (SELECT max(a) FROM a2) AS BIGINT) AS auth_micro
+      |FROM a2
+      |ORDER BY rk LIMIT 25""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_hits", qHits, Some(qHitsSql)),
     Q("q_degree_hist", qDegreeHist, Some(qDegreeHistSql)),
     Q("q_sssp_weighted", qSsspWeighted, Some(qSsspWeightedSql)),
     Q("q_link_predict", qLinkPredict, Some(qLinkPredictSql)),

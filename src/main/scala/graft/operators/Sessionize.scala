@@ -1114,7 +1114,116 @@ object Sessionize {
       |  min(lifespan_days) AS min_days, max(lifespan_days) AS max_days
       |FROM b GROUP BY 1 ORDER BY band""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_survival_km — KAPLAN–MEIER SURVIVAL CURVE for time-to-first-error:
+  // per user, the duration in days from their first event to their first
+  // `error` event; users who never error are RIGHT-CENSORED at the end of
+  // the observation window. The product-limit estimator (Kaplan & Meier
+  // 1958) handles the censoring correctly where a naive "mean time to
+  // error over erroring users" is biased — the churn/reliability analysis
+  // next to q_user_lifespan's raw lifespan bands.
+  //
+  // Exactness: Ŝ(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) is an order-dependent float
+  // product, so it rides the text_ngram_entropy ln-quantization identity:
+  // each per-step factor ln((nᵢ−dᵢ)/nᵢ) is milli-nat-quantized to an
+  // INTEGER before the cumulative sum (order-independent), and surv_bp
+  // re-exponentiates the already-integer log. dᵢ=nᵢ (everyone left dies)
+  // yields Ŝ=0: logsurv NULL, surv_bp 0, by the same CASE on both engines.
+  //
+  // Scale shape: one user-grain aggregate (shuffle on user_id) → duration
+  // rows → one grid aggregate to ≤|calendar days| rows; the at-risk
+  // cumulative window runs over that bounded duration grid, never a data
+  // sort. N and max-day are broadcast one-row aggregates.
+  // ---------------------------------------------------------------------
+  def qSurvivalKm(s: SparkSession, d: String): DataFrame = {
+    val dayMs = 86400000L
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        ((ms - pmod(ms, lit(dayMs))) / dayMs).cast("long").as("day"),
+        col("event_type"))
+    val mx = broadcast(ev.agg(max("day").as("mx")))
+    val users = ev.groupBy("user_id")
+      .agg(min("day").as("fd"),
+        min(when(col("event_type") === "error", col("day"))).as("ed"))
+    val dur = users.crossJoin(mx)
+      .select(
+        when(col("ed").isNotNull, col("ed") - col("fd"))
+          .otherwise(col("mx") - col("fd")).as("t"),
+        when(col("ed").isNotNull, lit(1L)).otherwise(lit(0L)).as("e"))
+    val n = broadcast(dur.agg(count(lit(1)).as("n_total")))
+    val grid = dur.groupBy("t")
+      .agg(count(lit(1)).as("n_all"), sum("e").as("d_t"))
+    val wc = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val steps = grid.crossJoin(n)
+      .withColumn("n_risk",
+        col("n_total") - (sum("n_all").over(wc) - col("n_all")))
+      .filter(col("d_t") > 0)
+      .withColumn("factor_milli",
+        when(col("d_t") < col("n_risk"),
+          expr("CAST(round(1000 * ln(CAST(n_risk - d_t AS DOUBLE) / n_risk))"
+            + " AS BIGINT)")))
+      .withColumn("logsurv_milli", sum("factor_milli").over(wc))
+    steps.select(col("t").as("t_days"), col("n_risk"),
+        col("d_t").as("n_events"),
+        (col("n_all") - col("d_t")).as("n_censored"),
+        when(col("d_t") === col("n_risk"), lit(null).cast("long"))
+          .otherwise(col("logsurv_milli")).as("logsurv_milli"),
+        when(col("d_t") === col("n_risk"), lit(0L))
+          .otherwise(expr(
+            "CAST(round(10000 * exp(logsurv_milli / 1000.0)) AS BIGINT)"))
+          .as("surv_bp"))
+      .orderBy("t_days")
+  }
+
+  private val qSurvivalKmSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, event_type
+      |  FROM events
+      |), mx AS (SELECT max(day) AS mx FROM ev
+      |), u AS (
+      |  SELECT user_id, min(day) AS fd,
+      |    min(CASE WHEN event_type = 'error' THEN day END) AS ed
+      |  FROM ev GROUP BY user_id
+      |), dur AS (
+      |  SELECT CASE WHEN ed IS NOT NULL THEN ed - fd
+      |    ELSE (SELECT mx FROM mx) - fd END AS t,
+      |    CASE WHEN ed IS NOT NULL THEN 1 ELSE 0 END AS e
+      |  FROM u
+      |), grid AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS n_all,
+      |    CAST(sum(e) AS BIGINT) AS d_t
+      |  FROM dur GROUP BY t
+      |), cum AS (
+      |  SELECT t, n_all, d_t,
+      |    CAST((SELECT count(*) FROM dur)
+      |      - (CAST(sum(n_all) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+      |           AS BIGINT) - n_all) AS BIGINT) AS n_risk
+      |  FROM grid
+      |), steps AS (
+      |  SELECT t, n_risk, d_t, n_all,
+      |    CASE WHEN d_t < n_risk THEN
+      |      CAST(round(1000 * ln(CAST(n_risk - d_t AS DOUBLE) / n_risk))
+      |        AS BIGINT) END AS factor_milli
+      |  FROM cum WHERE d_t > 0
+      |), ls AS (
+      |  SELECT t, n_risk, d_t, n_all,
+      |    CAST(sum(factor_milli) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS logsurv_milli
+      |  FROM steps
+      |)
+      |SELECT t AS t_days, n_risk, d_t AS n_events,
+      |  CAST(n_all - d_t AS BIGINT) AS n_censored,
+      |  CASE WHEN d_t = n_risk THEN NULL ELSE logsurv_milli END
+      |    AS logsurv_milli,
+      |  CASE WHEN d_t = n_risk THEN 0
+      |    ELSE CAST(round(10000 * exp(logsurv_milli / 1000.0)) AS BIGINT) END
+      |    AS surv_bp
+      |FROM ls ORDER BY t_days""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_survival_km", qSurvivalKm, Some(qSurvivalKmSql)),
     Q("q_user_lifespan", qUserLifespan, Some(qUserLifespanSql)),
     Q("q_funnel_windowed", qFunnelWindowed, Some(qFunnelWindowedSql)),
     Q("q_rolling_wau", qRollingWau, Some(qRollingWauSql)),

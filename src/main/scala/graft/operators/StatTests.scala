@@ -352,9 +352,151 @@ object StatTests {
       |FROM arms a CROSS JOIN mom m
       |ORDER BY arm""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_welch_ttest — WELCH'S UNEQUAL-VARIANCE t-TEST for every pair of
+  // customer market segments on account balance: the parametric sibling of
+  // q_mannwhitney (rank-based) and the per-pair drill-down under q_anova's
+  // omnibus F. Welch (1947) does not pool variances, so unequal group
+  // sizes/variances don't bias the statistic; df via Welch–Satterthwaite.
+  //
+  // Exactness: ONE hash-aggregate collapses customers to per-segment
+  // integer moments (n, Σv, Σv²; v = exact whole currency units). The
+  // pairwise join is segments² = 10 metadata rows; t and df are per-row
+  // scalar double expressions evaluated in IDENTICAL operand order on both
+  // engines and quantized (milli-t, centi-df) — no double AGGREGATION
+  // anywhere, so no summation-order hazard (the q_mannwhitney z-centi
+  // 1-ulp argument applies).
+  //
+  // Scale shape: data touched once (partial-agg to |segments| rows);
+  // everything after is constant-size. Σv² of whole units holds BIGINT
+  // headroom through sf1000.
+  // ---------------------------------------------------------------------
+  def qWelchTtest(s: SparkSession, d: String): DataFrame = {
+    val mom = Tables.customer(s, d)
+      .select(col("c_mktsegment").as("g"),
+        expr("CAST(round(c_acctbal) AS BIGINT)").as("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        sum(expr("v * v")).as("qv"))
+    mom.as("a").join(mom.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("g1"), col("b.g").as("g2"),
+        col("a.n").as("n1"), col("a.sv").as("s1"), col("a.qv").as("q1"),
+        col("b.n").as("n2"), col("b.sv").as("s2"), col("b.qv").as("q2"))
+      .withColumn("va", expr(
+        "((n1 * q1 - s1 * s1) / (n1 * (n1 - 1.0))) / n1"))
+      .withColumn("vb", expr(
+        "((n2 * q2 - s2 * s2) / (n2 * (n2 - 1.0))) / n2"))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        expr("s1 div n1").as("mean1_units"),
+        expr("s2 div n2").as("mean2_units"),
+        expr("""CAST(round(1000 * ((s1 / CAST(n1 AS DOUBLE)
+                - s2 / CAST(n2 AS DOUBLE)) / sqrt(va + vb))) AS BIGINT)""")
+          .as("t_milli"),
+        expr("""CAST(round(100 * ((va + vb) * (va + vb)
+                / (va * va / (n1 - 1.0) + vb * vb / (n2 - 1.0))))
+                AS BIGINT)""").as("df_centi"))
+      .orderBy("g1", "g2")
+  }
+
+  private val qWelchTtestSql =
+    """WITH mom AS (
+      |  SELECT c_mktsegment AS g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(c_acctbal) AS BIGINT)) AS BIGINT) AS sv,
+      |    CAST(sum(CAST(round(c_acctbal) AS BIGINT)
+      |           * CAST(round(c_acctbal) AS BIGINT)) AS BIGINT) AS qv
+      |  FROM customer GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.g AS g1, b.g AS g2, a.n AS n1, a.sv AS s1, a.qv AS q1,
+      |    b.n AS n2, b.sv AS s2, b.qv AS q2,
+      |    ((a.n * a.qv - a.sv * a.sv) / (a.n * (a.n - 1.0))) / a.n AS va,
+      |    ((b.n * b.qv - b.sv * b.sv) / (b.n * (b.n - 1.0))) / b.n AS vb
+      |  FROM mom a JOIN mom b ON a.g < b.g
+      |)
+      |SELECT g1, g2, n1, n2,
+      |  CAST(s1 // n1 AS BIGINT) AS mean1_units,
+      |  CAST(s2 // n2 AS BIGINT) AS mean2_units,
+      |  CAST(round(1000 * ((s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE))
+      |    / sqrt(va + vb))) AS BIGINT) AS t_milli,
+      |  CAST(round(100 * ((va + vb) * (va + vb)
+      |    / (va * va / (n1 - 1.0) + vb * vb / (n2 - 1.0)))) AS BIGINT)
+      |    AS df_centi
+      |FROM pairs
+      |ORDER BY g1, g2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q_anova — ONE-WAY ANOVA omnibus F across ALL customer market segments
+  // on account balance (q_welch_ttest answers "which pair differs";
+  // this answers "does ANY segment differ" first, controlling the
+  // pairwise-testing multiplicity).
+  //
+  // Exactness: the k-row moment grid yields SSB/SSW in CENTI-units via
+  // per-group truncating integer division (100·s_g² div n_g — exact
+  // integer ops, deterministic on both engines; the ≤1-centi truncation
+  // per group is identical on both sides, NOT a float hazard). F and
+  // eta² come from the integer centi-sums: eta2_bp fully integer, f_centi
+  // one per-row double division. Whole-unit values keep 100·s² under
+  // BIGINT through sf1.
+  //
+  // Scale shape: one data pass to k moment rows; the rest is constant.
+  // ---------------------------------------------------------------------
+  def qAnova(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_mktsegment").as("g"),
+        expr("CAST(round(c_acctbal) AS BIGINT)").as("v"))
+    val grand = broadcast(base.agg(
+      count(lit(1)).as("n_total"), sum("v").as("s_all"),
+      sum(expr("v * v")).as("q_all")))
+    base.groupBy("g")
+      .agg(count(lit(1)).as("n_g"), sum("v").as("s_g"))
+      .select(expr("(100 * s_g * s_g) div n_g").as("bss_centi"))
+      .agg(count(lit(1)).as("k_groups"), sum("bss_centi").as("bss_centi"))
+      .crossJoin(grand)
+      .withColumn("ssb_centi",
+        expr("bss_centi - (100 * s_all * s_all) div n_total"))
+      .withColumn("ssw_centi", expr("100 * q_all - bss_centi"))
+      .select(col("k_groups"), col("n_total"),
+        col("ssb_centi"), col("ssw_centi"),
+        expr("""CAST(round(100 * ((ssb_centi / (k_groups - 1.0))
+                / (ssw_centi / (n_total - CAST(k_groups AS DOUBLE)))))
+                AS BIGINT)""").as("f_centi"),
+        expr("(10000 * ssb_centi) div (ssb_centi + ssw_centi)").as("eta2_bp"))
+  }
+
+  private val qAnovaSql =
+    """WITH base AS (
+      |  SELECT c_mktsegment AS g, CAST(round(c_acctbal) AS BIGINT) AS v
+      |  FROM customer
+      |), grand AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_total,
+      |    CAST(sum(v) AS BIGINT) AS s_all, CAST(sum(v * v) AS BIGINT) AS q_all
+      |  FROM base
+      |), grp AS (
+      |  SELECT CAST((100 * sum(v) * sum(v)) // count(*) AS BIGINT) AS bss_centi
+      |  FROM base GROUP BY g
+      |), agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+      |    CAST(sum(bss_centi) AS BIGINT) AS bss_centi
+      |  FROM grp
+      |), parts AS (
+      |  SELECT a.k_groups, g.n_total,
+      |    CAST(a.bss_centi - (100 * g.s_all * g.s_all) // g.n_total AS BIGINT)
+      |      AS ssb_centi,
+      |    CAST(100 * g.q_all - a.bss_centi AS BIGINT) AS ssw_centi
+      |  FROM agg a CROSS JOIN grand g
+      |)
+      |SELECT k_groups, n_total, ssb_centi, ssw_centi,
+      |  CAST(round(100 * ((ssb_centi / (k_groups - 1.0))
+      |    / (ssw_centi / (n_total - CAST(k_groups AS DOUBLE))))) AS BIGINT)
+      |    AS f_centi,
+      |  CAST((10000 * ssb_centi) // (ssb_centi + ssw_centi) AS BIGINT)
+      |    AS eta2_bp
+      |FROM parts""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_cuped", qCuped, Some(qCupedSql)),
     Q("q_mannwhitney", qMannwhitney, Some(qMannwhitneySql)),
     Q("q_ks_binned", qKsBinned, Some(qKsBinnedSql)),
+    Q("q_welch_ttest", qWelchTtest, Some(qWelchTtestSql)),
+    Q("q_anova", qAnova, Some(qAnovaSql)),
     Q("q_bootstrap_ci", qBootstrapCi, Some(qBootstrapCiSql)))
 }

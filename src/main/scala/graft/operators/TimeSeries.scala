@@ -370,8 +370,102 @@ object TimeSeries {
       |FROM orders
       |GROUP BY 1, 2 ORDER BY iso_year, iso_week""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_stl_decompose — CLASSICAL ADDITIVE SEASONAL-TREND DECOMPOSITION of
+  // the daily revenue series with weekly period: trend = centered 7-day
+  // moving average (full windows only), seasonal = mean detrended value
+  // per day-of-week RE-CENTERED to sum≈0, remainder = y − trend −
+  // seasonal. The decomposition every seasonality-aware monitor
+  // (q_seasonal_baseline, q_anomaly_mad) implicitly assumes — here it is
+  // materialized so each component can be alerted on separately
+  // (Cleveland et al.'s STL, the moving-average classical form that is
+  // closed-form and oracle-able; loess replaced by the centered MA).
+  //
+  // Exactness: everything is integer cents with truncating division
+  // (Spark `div` = DuckDB `//`, both toward zero — the q_trend_fit
+  // precedent); no float appears anywhere.
+  //
+  // Scale shape: ONE events aggregate collapses to the zero-filled daily
+  // grid (calendar-sized — the q_gap_fill spine); the 7-row MA window and
+  // the 7-row seasonal profile run on that bounded metadata, and the
+  // profile joins back by broadcast. The unpartitioned ORDER BY day
+  // window is over calendar days, never data grain.
+  // ---------------------------------------------------------------------
+  def qStlDecompose(s: SparkSession, d: String): DataFrame = {
+    val dayMs = 86400000L
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val daily0 = Tables.events(s, d)
+      .groupBy(((ms - pmod(ms, lit(dayMs))) / dayMs).cast("long").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y_cents"))
+      .cache()
+    val spine = daily0.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val daily = spine.join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y_cents"), lit(0L)).as("y_cents"))
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend_cents",
+        when(count(lit(1)).over(w7) === 7,
+          expr("sum(y_cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING"
+            + " AND 3 FOLLOWING) div 7")))
+      .withColumn("dow", pmod(col("day"), lit(7L)).cast("long"))
+      .withColumn("detr", col("y_cents") - col("trend_cents"))
+      .cache()
+    val prof = trended.filter(col("detr").isNotNull)
+      .groupBy("dow").agg(sum("detr").as("sd"), count("detr").as("cd"))
+      .withColumn("s_raw", expr("sd div cd"))
+    val adj = broadcast(prof.agg(
+      expr("sum(s_raw) div count(1)").as("adj")))
+    val seasonal = broadcast(prof.crossJoin(adj)
+      .select(col("dow"), (col("s_raw") - col("adj")).as("seasonal_cents")))
+    trended.join(seasonal, Seq("dow"), "left")
+      .select(col("day"), col("dow"), col("y_cents"), col("trend_cents"),
+        col("seasonal_cents"),
+        (col("y_cents") - col("trend_cents") - col("seasonal_cents"))
+          .as("remainder_cents"))
+      .orderBy("day")
+  }
+
+  private val qStlDecomposeSql =
+    """WITH cnt AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y_cents
+      |  FROM events GROUP BY 1
+      |), spine AS (
+      |  SELECT unnest(generate_series((SELECT min(day) FROM cnt),
+      |                                (SELECT max(day) FROM cnt))) AS day
+      |), daily AS (
+      |  SELECT s.day, CAST(coalesce(c.y_cents, 0) AS BIGINT) AS y_cents
+      |  FROM spine s LEFT JOIN cnt c ON s.day = c.day
+      |), trended AS (
+      |  SELECT day, day % 7 AS dow, y_cents,
+      |    CASE WHEN count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |        AND 3 FOLLOWING) = 7
+      |      THEN CAST(CAST(sum(y_cents) OVER (ORDER BY day ROWS BETWEEN 3
+      |        PRECEDING AND 3 FOLLOWING) AS BIGINT) // 7 AS BIGINT)
+      |    END AS trend_cents
+      |  FROM daily
+      |), detr AS (
+      |  SELECT *, y_cents - trend_cents AS detr FROM trended
+      |), prof AS (
+      |  SELECT dow, CAST(CAST(sum(detr) AS BIGINT) // count(detr) AS BIGINT)
+      |    AS s_raw
+      |  FROM detr WHERE detr IS NOT NULL GROUP BY dow
+      |), season AS (
+      |  SELECT dow, CAST(s_raw - (SELECT CAST(sum(s_raw) AS BIGINT)
+      |    // count(*) FROM prof) AS BIGINT) AS seasonal_cents
+      |  FROM prof
+      |)
+      |SELECT t.day, CAST(t.dow AS BIGINT) AS dow, t.y_cents, t.trend_cents,
+      |  se.seasonal_cents,
+      |  CAST(t.y_cents - t.trend_cents - se.seasonal_cents AS BIGINT)
+      |    AS remainder_cents
+      |FROM trended t LEFT JOIN season se ON t.dow = se.dow
+      |ORDER BY t.day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_week_agg", qWeekAgg, Some(qWeekAggSql)),
+    Q("q_stl_decompose", qStlDecompose, Some(qStlDecomposeSql)),
     Q("q_trend_fit", qTrendFit, Some(qTrendFitSql)),
     Q("q_autocorr", qAutocorr, Some(qAutocorrSql)),
     Q("q_cusum_changepoint", qCusumChangepoint, Some(qCusumChangepointSql)),

@@ -211,4 +211,39 @@ class GraphSpec extends SparkSpec {
         r.getAs[Long]("max_deg") < (1L << (b + 1)), s"band $b bounds")
     }
   }
+
+  test("hits: authority scores recompute from the bipartite edges; top-25 honest") {
+    import org.apache.spark.sql.functions.col
+    val rows = qHits(spark, sf).collect()
+    assert(rows.length == 25)
+    assert(rows.head.getAs[Long]("auth_micro") == 1000000L)
+    // monotone by rank, ids break ties
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (sa, sb) = (a.getAs[Long]("auth_micro"), b.getAs[Long]("auth_micro"))
+      assert(sa > sb || (sa == sb &&
+        a.getAs[Long]("p_partkey") < b.getAs[Long]("p_partkey")))
+    }
+    // local recompute of the 2-round L-inf-normalized mutual reinforcement
+    val e = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max
+      m.view.mapValues(v => 1000000L * v / mx).toMap
+    }
+    val h1 = norm(e.groupBy(_._1).view.mapValues(_.length * 1000000L).toMap)
+    val a1 = norm(e.groupBy(_._2).view.mapValues(_.map(x => h1(x._1)).sum).toMap)
+    val h2 = norm(e.groupBy(_._1).view.mapValues(_.map(x => a1(x._2)).sum).toMap)
+    val a2 = norm(e.groupBy(_._2).view.mapValues(_.map(x => h2(x._1)).sum).toMap)
+    val indeg = e.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p_partkey")
+      assert(r.getAs[Long]("auth_micro") == a2(p), s"auth for part $p")
+      assert(r.getAs[Long]("in_deg") == indeg(p), s"indeg for part $p")
+    }
+    // the top-25 really are the global top by (score desc, id asc)
+    val top = a2.toSeq.sortBy { case (p, sc) => (-sc, p) }.take(25).map(_._1)
+    assert(rows.map(_.getAs[Long]("p_partkey")).toSeq == top)
+  }
 }

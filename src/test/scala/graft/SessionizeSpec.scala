@@ -420,4 +420,41 @@ class SessionizeSpec extends SparkSpec {
         s"bucket $b bounds")
     }
   }
+
+  test("survival km: curve recomputes from per-user durations; monotone") {
+    val rows = operators.Sessionize.qSurvivalKm(spark, sf).collect()
+    val ms = functions.TimeFunctions.nsToMs("ts")
+    val ev = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        (ms / 86400000L).cast("long").as("day"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val mx = ev.map(_._2).max
+    val durs = ev.groupBy(_._1).values.map { es =>
+      val fd = es.map(_._2).min
+      val errs = es.filter(_._3 == "error").map(_._2)
+      if (errs.nonEmpty) (errs.min - fd, 1L) else (mx - fd, 0L)
+    }.toArray
+    val n = durs.length.toLong
+    val deathTimes = durs.filter(_._2 == 1).map(_._1).distinct.sorted
+    assert(rows.map(_.getAs[Long]("t_days")).toSeq == deathTimes.toSeq)
+    var logsurv = 0.0
+    var prevBp = 10000L
+    rows.foreach { r =>
+      val t = r.getAs[Long]("t_days")
+      val nRisk = durs.count(_._1 >= t).toLong
+      val d = durs.count(x => x._1 == t && x._2 == 1).toLong
+      val c = durs.count(x => x._1 == t && x._2 == 0).toLong
+      assert(r.getAs[Long]("n_risk") == nRisk, s"n_risk at $t")
+      assert(r.getAs[Long]("n_events") == d, s"d at $t")
+      assert(r.getAs[Long]("n_censored") == c, s"c at $t")
+      if (d < nRisk) {
+        logsurv += math.round(1000 * math.log((nRisk - d).toDouble / nRisk))
+        assert(math.abs(r.getAs[Long]("logsurv_milli") - logsurv) <= 1)
+        val bp = r.getAs[Long]("surv_bp")
+        assert(bp <= prevBp, s"survival not monotone at $t")
+        prevBp = bp
+      } else assert(r.getAs[Long]("surv_bp") == 0L)
+    }
+  }
 }

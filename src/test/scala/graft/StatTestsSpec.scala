@@ -48,6 +48,62 @@ class StatTestsSpec extends SparkSpec {
     }
   }
 
+  private lazy val bal: Array[(String, Long)] =
+    Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), round(col("c_acctbal")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  test("welch ttest: t and df recompute from raw balances for every pair") {
+    val rows = qWelchTtest(spark, sf).collect()
+    val segs = bal.map(_._1).distinct.sorted
+    assert(rows.length == segs.combinations(2).size)
+    rows.foreach { r =>
+      val (g1, g2) = (r.getAs[String]("g1"), r.getAs[String]("g2"))
+      val s1 = bal.filter(_._1 == g1).map(_._2)
+      val s2 = bal.filter(_._1 == g2).map(_._2)
+      assert(r.getAs[Long]("n1") == s1.length.toLong)
+      assert(r.getAs[Long]("n2") == s2.length.toLong)
+      assert(r.getAs[Long]("mean1_units") == s1.sum / s1.length)
+      val (n1, n2) = (s1.length.toDouble, s2.length.toDouble)
+      def varOf(v: Array[Long]): Double = {
+        val n = v.length.toDouble
+        (n * v.map(x => x * x).sum - v.sum.toDouble * v.sum) / (n * (n - 1.0))
+      }
+      val (va, vb) = (varOf(s1) / n1, varOf(s2) / n2)
+      val t = 1000 * ((s1.sum / n1 - s2.sum / n2) / math.sqrt(va + vb))
+      assert(math.abs(r.getAs[Long]("t_milli") - math.round(t)) <= 1,
+        s"t for ($g1,$g2)")
+      val df = 100 * ((va + vb) * (va + vb) /
+        (va * va / (n1 - 1.0) + vb * vb / (n2 - 1.0)))
+      assert(math.abs(r.getAs[Long]("df_centi") - math.round(df)) <= 1,
+        s"df for ($g1,$g2)")
+      // Welch df is bounded by min(n1,n2)-1 below and n1+n2-2 above
+      assert(r.getAs[Long]("df_centi") >= 100 * (math.min(n1, n2) - 1).toLong)
+      assert(r.getAs[Long]("df_centi") <= 100 * (n1 + n2 - 2).toLong)
+    }
+  }
+
+  test("anova: F recomputes from raw balances; eta2 consistent with SSB/SSW") {
+    val rows = qAnova(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val groups = bal.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(r.getAs[Long]("k_groups") == groups.size.toLong)
+    assert(r.getAs[Long]("n_total") == bal.length.toLong)
+    // same centi-unit integer path as the operator (truncating divs)
+    val bss = groups.values.map(v => 100L * v.sum * v.sum / v.length).sum
+    val sAll = bal.map(_._2).sum
+    val qAll = bal.map(x => x._2 * x._2).sum
+    val ssb = bss - 100L * sAll * sAll / bal.length
+    val ssw = 100L * qAll - bss
+    assert(r.getAs[Long]("ssb_centi") == ssb)
+    assert(r.getAs[Long]("ssw_centi") == ssw)
+    val k = groups.size.toDouble
+    val f = 100 * ((ssb / (k - 1.0)) / (ssw / (bal.length - k)))
+    assert(math.abs(r.getAs[Long]("f_centi") - math.round(f)) <= 1)
+    assert(r.getAs[Long]("eta2_bp") == 10000L * ssb / (ssb + ssw))
+  }
+
   test("bootstrap ci: resample means recompute from the portable hash weights") {
     val rows = qBootstrapCi(spark, sf).collect()
     assert(rows.length == 1)

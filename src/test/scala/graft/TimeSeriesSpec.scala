@@ -151,4 +151,43 @@ class TimeSeriesSpec extends SparkSpec {
         s"ISO bucket $k")
     }
   }
+
+  test("stl: components recompute locally and the additive identity holds") {
+    val rows = qStlDecompose(spark, sf).collect()
+    // local daily revenue series (zero-filled)
+    val ms = functions.TimeFunctions.nsToMs("ts")
+    val raw = Tables.events(spark, sf)
+      .select((ms / 86400000L).cast("long").as("day"),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = raw.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val days = (raw.map(_._1).min to raw.map(_._1).max).toArray
+    val y = days.map(d => byDay.getOrElse(d, 0L))
+    assert(rows.length == days.length)
+    // trend: centered 7-day MA, full windows only (truncating div)
+    val trend = days.indices.map { i =>
+      if (i >= 3 && i <= days.length - 4)
+        Some((i - 3 to i + 3).map(y).sum / 7)
+      else None
+    }
+    val detr = days.indices.map(i => trend(i).map(y(i) - _))
+    val prof = days.indices.flatMap(i => detr(i).map(v => (days(i) % 7, v)))
+      .groupBy(_._1).view
+      .mapValues(vs => vs.map(_._2).sum / vs.length).toMap
+    val adj = prof.values.sum / prof.size
+    val seasonal = prof.view.mapValues(_ - adj).toMap
+    rows.foreach { r =>
+      val i = (r.getAs[Long]("day") - days.head).toInt
+      assert(Option(r.getAs[Any]("trend_cents")).map(_.asInstanceOf[Long])
+        == trend(i), s"trend at day index $i")
+      assert(r.getAs[Long]("seasonal_cents") == seasonal(days(i) % 7))
+      if (trend(i).isDefined) {
+        // additive identity: y = trend + seasonal + remainder, exactly
+        assert(r.getAs[Long]("trend_cents") + r.getAs[Long]("seasonal_cents")
+          + r.getAs[Long]("remainder_cents") == y(i))
+      } else assert(r.isNullAt(r.fieldIndex("remainder_cents")))
+    }
+    // seasonal profile is centered: |Σ seasonal over dows| < 7 (truncation)
+    assert(math.abs(seasonal.values.sum) < 7)
+  }
 }
