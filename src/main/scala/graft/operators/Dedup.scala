@@ -994,7 +994,83 @@ object Dedup {
        |FROM stages CROSS JOIN n0
        |ORDER BY stage_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dedup_substring — EXACT SUBSTRING-LEVEL duplication audit (the
+  // character-window form of Lee et al. 2022's ExactSubstr dedup, which
+  // found that memorized training text is substring-shaped, not
+  // document-shaped): fixed 32-char windows at stride 8 over every
+  // document; a window is DUPLICATED if its exact text occurs in ≥2
+  // distinct documents. Reported per source as duplicated-window share —
+  // the "how much verbatim cross-document text does each feed carry"
+  // dashboard number that document-level MinHash (j ≥ 0.5 on the WHOLE
+  // doc) structurally misses (a 100-word quote inside a 10k-word doc).
+  //
+  // Plan: windows explode map-side (|text|/8 rows per doc — linear, the
+  // stride is the cost knob); dup detection is ONE hash-aggregate on the
+  // 16-hex md5 window key + a broadcast-eligible semi join of the ≥2-doc
+  // keys back onto the window relation; per-source rollup is a second
+  // small aggregate. Nothing is quadratic — the all-pairs "which doc
+  // copied which" question is deliberately NOT answered here (that's
+  // dedup_minhash_lsh's job); this is the linear-cost audit above it.
+  //
+  // Oracle: DuckDB generate_series + substr reproduces the exact window
+  // set; md5 and the integer shares match hash-exactly.
+  // ---------------------------------------------------------------------
+  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val W = 32
+    val S = 8
+    val wins = Tables.documents(s, d)
+      .filter(length(col("text")) >= W)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0), length(col("text")) - W, lit(S))).as("off"),
+        col("text"))
+      .select(col("doc_id"), col("source"),
+        substring(md5(expr(s"substring(text, off + 1, $W)")), 1, 16).as("h"))
+      .cache()
+    val dupKeys = wins.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val flagged = wins.join(dupKeys, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    wins.groupBy("doc_id", "source").agg(count(lit(1)).as("n_win"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("source"), col("n_win"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_dup") > 0, 1L).otherwise(0L)).as("docs_with_dup"),
+        sum("n_win").as("n_windows"),
+        sum("n_dup").as("n_dup_windows"))
+      .withColumn("dup_bp", expr("(10000 * n_dup_windows) div n_windows"))
+      .orderBy("source")
+  }
+
+  private val dedupSubstringSql =
+    """WITH wins AS (
+      |  SELECT d.doc_id, d.source,
+      |    substr(md5(substr(d.text, g.off + 1, 32)), 1, 16) AS h
+      |  FROM documents d,
+      |    LATERAL (SELECT unnest(generate_series(0, length(d.text) - 32, 8))
+      |             AS off) g
+      |  WHERE length(d.text) >= 32
+      |), dup AS (
+      |  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+      |), perdoc AS (
+      |  SELECT w.doc_id, w.source, count(*) AS n_win,
+      |    sum(CASE WHEN w.h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS n_dup
+      |  FROM wins w GROUP BY w.doc_id, w.source
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_with_dup,
+      |  CAST(sum(n_win) AS BIGINT) AS n_windows,
+      |  CAST(sum(n_dup) AS BIGINT) AS n_dup_windows,
+      |  CAST((10000 * sum(n_dup)) // sum(n_win) AS BIGINT) AS dup_bp
+      |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     Q("dedup_retention_funnel", dedupRetentionFunnel, Some(dedupRetentionFunnelSql)),
     Q("dedup_cluster_canonical", dedupClusterCanonical, Some(dedupClusterCanonicalSql)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),

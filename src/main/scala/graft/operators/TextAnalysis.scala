@@ -2113,7 +2113,79 @@ object TextAnalysis {
        |    AS BIGINT) AS cell_bp
        |FROM cells ORDER BY actual_lang, predicted_lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // text_readability — FLESCH READING EASE + FLESCH–KINCAID GRADE per
+  // language: the classic surface-statistics readability screen (Flesch
+  // 1948; Kincaid et al. 1975) that sits next to text_quality's ratio
+  // filters in a data-curation stack — too-hard and too-trivial documents
+  // both correlate with low training value. Syllables are approximated by
+  // VOWEL-GROUP runs ([aeiouy]+) — the standard heuristic when no
+  // dictionary is available; sentences by terminal-punctuation runs with
+  // a ≥1 floor (these corpora are unpunctuated word streams, so the
+  // words-per-sentence term degenerates to document length — the formula
+  // stays honest, the data is just one long sentence per doc).
+  //
+  // Exactness: both scores are per-doc INTEGER milli-points via
+  // truncating division (206835 − 1015·W div S − 84600·Syll div W);
+  // per-language aggregation is integer sums + one truncating div for the
+  // mean. Regexes are shared RE2/Java-compatible literal classes.
+  //
+  // Scale shape: one scan, one codegen'd regex pass per doc, one
+  // hash-aggregate to |langs| rows. Nothing non-linear anywhere.
+  // ---------------------------------------------------------------------
+  def textReadability(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d).select(col("lang"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+          .cast("long").as("w"),
+        size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("syl"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast("long")).as("sents"))
+      .withColumn("wsafe", greatest(lit(1L), col("w")))
+      .select(col("lang"), col("w"),
+        expr("206835 - (1015 * w) div sents - (84600 * syl) div wsafe")
+          .as("flesch_milli"),
+        expr("(390 * w) div sents + (11800 * syl) div wsafe - 15590")
+          .as("fk_milli"))
+    scored.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("w").as("n_words"),
+        expr("sum(flesch_milli) div count(1)").as("avg_flesch_milli"),
+        min("flesch_milli").as("min_flesch_milli"),
+        max("flesch_milli").as("max_flesch_milli"),
+        expr("sum(fk_milli) div count(1)").as("avg_fk_milli"))
+      .orderBy("lang")
+  }
+
+  private val textReadabilitySql =
+    """WITH b AS (
+      |  SELECT lang,
+      |    CAST(length(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS w,
+      |    CAST(length(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS syl,
+      |    greatest(1, CAST(length(regexp_extract_all(text, '[.!?]+'))
+      |      AS BIGINT)) AS sents
+      |  FROM documents
+      |), sc AS (
+      |  SELECT lang, w,
+      |    CAST(206835 - (1015 * w) // sents
+      |      - (84600 * syl) // greatest(1, w) AS BIGINT) AS flesch_milli,
+      |    CAST((390 * w) // sents + (11800 * syl) // greatest(1, w) - 15590
+      |      AS BIGINT) AS fk_milli
+      |  FROM b
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(w) AS BIGINT) AS n_words,
+      |  CAST(CAST(sum(flesch_milli) AS BIGINT) // count(*) AS BIGINT)
+      |    AS avg_flesch_milli,
+      |  min(flesch_milli) AS min_flesch_milli,
+      |  max(flesch_milli) AS max_flesch_milli,
+      |  CAST(CAST(sum(fk_milli) AS BIGINT) // count(*) AS BIGINT)
+      |    AS avg_fk_milli
+      |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_readability", textReadability, Some(textReadabilitySql)),
     Q("text_novelty", textNovelty, Some(textNoveltySql)),
     Q("text_langid_eval", textLangidEval, Some(textLangidEvalSql)),
     Q("text_tfidf_top", textTfidfTop, Some(textTfidfTopSql)),

@@ -275,4 +275,30 @@ class DedupSpec extends SparkSpec {
           r.getAs[Long]("best_bp"))).toMap
     assert(got == expected)
   }
+
+  test("substring dedup: window shares recompute from a naive window scan") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Dedup.dedupSubstring(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // naive recompute: every 32-char window at stride 8, text-keyed
+    val wins = docs.filter(_._3.length >= 32).flatMap { case (id, src, t) =>
+      (0 to t.length - 32 by 8).map(o => (id, src, t.substring(o, o + 32)))
+    }
+    val dupSet = wins.groupBy(_._3).collect {
+      case (w, g) if g.map(_._1).distinct.length >= 2 => w
+    }.toSet
+    val perSrc = wins.groupBy(_._2)
+    assert(rows.map(_.getAs[String]("source")).toSet == perSrc.keySet)
+    rows.foreach { r =>
+      val ws = perSrc(r.getAs[String]("source"))
+      val dup = ws.count(w => dupSet(w._3)).toLong
+      assert(r.getAs[Long]("n_windows") == ws.length.toLong)
+      assert(r.getAs[Long]("n_dup_windows") == dup)
+      assert(r.getAs[Long]("docs_with_dup")
+        == ws.filter(w => dupSet(w._3)).map(_._1).distinct.length.toLong)
+      assert(r.getAs[Long]("dup_bp") == 10000L * dup / ws.length)
+    }
+  }
 }

@@ -556,4 +556,32 @@ class TextAnalysisSpec extends SparkSpec {
       assert(red >= -10L && red <= 10000L)
     }
   }
+
+  test("readability: per-lang stats recompute from raw regex counts") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.TextAnalysis.textReadability(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select(col("lang"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val byLang = docs.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("lang")).toSet == byLang.keySet)
+    rows.foreach { r =>
+      val texts = byLang(r.getAs[String]("lang")).map(_._2)
+      def cnt(t: String, re: String): Long =
+        re.r.findAllIn(t).length.toLong
+      val scores = texts.map { t =>
+        val w = cnt(t, "[a-z]+"); val syl = cnt(t, "[aeiouy]+")
+        val sents = math.max(1L, cnt(t, "[.!?]+")); val ws = math.max(1L, w)
+        (w, 206835L - (1015 * w) / sents - (84600 * syl) / ws,
+          (390 * w) / sents + (11800 * syl) / ws - 15590L)
+      }
+      assert(r.getAs[Long]("n_docs") == texts.length.toLong)
+      assert(r.getAs[Long]("n_words") == scores.map(_._1).sum)
+      assert(r.getAs[Long]("avg_flesch_milli")
+        == scores.map(_._2).sum / texts.length)
+      assert(r.getAs[Long]("min_flesch_milli") == scores.map(_._2).min)
+      assert(r.getAs[Long]("max_flesch_milli") == scores.map(_._2).max)
+      assert(r.getAs[Long]("avg_fk_milli")
+        == scores.map(_._3).sum / texts.length)
+    }
+  }
 }
