@@ -495,8 +495,18 @@ object Multimodal {
   def mmPhash(s: SparkSession, d: String): DataFrame =
     phashOn(s, Tables.documents(s, d).select("doc_id", "text"))
 
-  /** pHash core over any (doc_id, text) relation — spec-drivable. */
-  private[graft] def phashOn(s: SparkSession, docs: DataFrame): DataFrame = {
+  /** pHash keeper/dup view over any (doc_id, text) relation. */
+  private[graft] def phashOn(s: SparkSession, docs: DataFrame): DataFrame =
+    phashHashes(s, docs)
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("phash")))
+      .select(col("doc_id"), col("phash"), col("keeper"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"))
+      .orderBy("doc_id")
+
+  /** pHash core: (doc_id, 16-hex phash) over any (doc_id, text) relation —
+    * shared by mm_phash's exact-dup view and mm_image_neardup's
+    * hamming-blocked near-dup join. */
+  private[graft] def phashHashes(s: SparkSession, docs: DataFrame): DataFrame = {
     val w1 = s.createDataFrame(dctW).toDF("x", "u", "wx")
     val w2 = s.createDataFrame(dctW).toDF("y", "v", "wy")
     val px = docs
@@ -533,13 +543,11 @@ object Multimodal {
     nibbles.groupBy("doc_id")
       .agg(expr("array_join(reverse(transform(sort_array(collect_list(struct(j, ch))), x -> x.ch)), '')")
         .as("phash"))
-      .withColumn("keeper", min("doc_id").over(Window.partitionBy("phash")))
-      .select(col("doc_id"), col("phash"), col("keeper"),
-        (col("doc_id") =!= col("keeper")).as("is_dup"))
-      .orderBy("doc_id")
   }
 
-  private val mmPhashSql = {
+  /** Shared CTE chain computing (doc_id, phash) in DuckDB — the oracle
+    * prefix of both mm_phash and mm_image_neardup. */
+  private val phashCteSql = {
     val wRows = dctW.map { case (i, u, w) => s"($i, $u, ${w}::BIGINT)" }.mkString(", ")
     s"""WITH w1(x, u, wx) AS (
        |  VALUES $wRows
@@ -571,12 +579,78 @@ object Multimodal {
        |), hashes AS (
        |  SELECT doc_id, string_agg(ch, '' ORDER BY j DESC) AS phash
        |  FROM nibbles GROUP BY doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  private val mmPhashSql =
+    s"""$phashCteSql
        |SELECT doc_id, phash,
        |  min(doc_id) OVER (PARTITION BY phash) AS keeper,
        |  doc_id <> min(doc_id) OVER (PARTITION BY phash) AS is_dup
        |FROM hashes
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // mm_image_neardup — PERCEPTUAL NEAR-DUPLICATE image pairs: two
+  // "images" (the text-as-pixels stub; the Spark-side plumbing — binary
+  // schema, DCT, packing — is the real deliverable) are near-dups when
+  // their 64-bit pHashes differ in ≤ 3 bits. mm_phash's keeper view only
+  // catches EXACT hash equality; this is the tolerance-radius version a
+  // production image dedup runs (pHash hamming ≤ k survives re-encode,
+  // resize artifacts, brightness shifts).
+  //
+  // Scale + recall design: the dedup_simhash pigeonhole — candidates
+  // blocked on equality of any of the 4×16-bit hash chunks; hamming ≤ 3
+  // over 4 chunks forces ≥1 equal chunk, so the blocked pair set PROVABLY
+  // equals the all-pairs one (the oracle is the unblocked all-pairs join —
+  // the hash match is the recall proof). Verification is two XOR+popcount
+  // ops on the hex-decoded halves. Chunk buckets bound the join fanout;
+  // nothing materializes n².
+  // ---------------------------------------------------------------------
+  def mmImageNeardup(s: SparkSession, d: String): DataFrame = {
+    val hashes = phashHashes(s,
+      Tables.documents(s, d).select("doc_id", "text")).cache()
+    val chunked = hashes
+      .select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("ci"))
+      .select(col("doc_id"), col("phash"), col("ci"),
+        conv(expr("substring(phash, cast(ci * 4 + 1 as int), 4)"), 16, 10)
+          .cast("long").as("chunk"))
+    val cand = chunked.as("a").join(chunked.as("b"),
+        col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("hamming", expr(
+        """bit_count(cast(conv(substring(pa, 1, 8), 16, 10) as bigint)
+          | ^ cast(conv(substring(pb, 1, 8), 16, 10) as bigint))
+          |+ bit_count(cast(conv(substring(pa, 9, 8), 16, 10) as bigint)
+          | ^ cast(conv(substring(pb, 9, 8), 16, 10) as bigint))"""
+          .stripMargin).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val mmImageNeardupSql = {
+    // 16-bit chunk c (hex chars 4c+1..4c+4) as an integer, nibble-decoded
+    def chunk(c: Int): String = (0 until 4).map { k =>
+      s"(strpos('0123456789abcdef', substr(phash, ${c * 4 + k + 1}, 1)) - 1)" +
+        s" * ${math.pow(16, 3 - k).toLong}"
+    }.mkString(" + ")
+    val ham = (0 until 4).map(c => s"bit_count(xor(a.c$c, b.c$c))").mkString(" + ")
+    s"""$phashCteSql,
+       |chunks AS (
+       |  SELECT doc_id, ${(0 until 4).map(c => s"${chunk(c)} AS c$c").mkString(", ")}
+       |  FROM hashes
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST($ham AS BIGINT) AS hamming
+       |FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
+       |WHERE $ham <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -788,6 +862,7 @@ object Multimodal {
     Q("mm_audio_fingerprint", mmAudioFingerprint, Some(mmAudioFingerprintSql)),
     Q("mm_audio_vad", mmAudioVad, Some(mmAudioVadSql)),
     Q("mm_phash", mmPhash, Some(mmPhashSql)),
+    Q("mm_image_neardup", mmImageNeardup, Some(mmImageNeardupSql)),
     Q("mm_video_shot_boundary", mmVideoShotBoundary, Some(mmVideoShotBoundarySql)),
     Q("mm_image_tile", mmImageTile, Some(mmImageTileSql)),
     Q("mm_decode_stats", mmDecodeStats, Some(mmDecodeStatsSql)),

@@ -245,4 +245,28 @@ class MultimodalSpec extends SparkSpec {
       rs.foreach(r => assert(r.getAs[Long]("n_distinct_bytes") == want.size))
     }
   }
+
+  test("image neardup: blocked pairs equal the all-pairs hamming recompute") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Multimodal.mmImageNeardup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    // all-pairs truth from the phash relation itself
+    val hs = operators.Multimodal.mmPhash(spark, sf)
+      .select(col("doc_id"), col("phash")).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        java.lang.Long.parseUnsignedLong(r.getAs[String]("phash"), 16)))
+    val truth = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (a, b, h.toLong)).sortBy(x => (x._1, x._2))
+    assert(rows.toSeq == truth.toSeq, "pigeonhole blocking lost a pair")
+    // exact phash dups (mm_phash is_dup) appear here at hamming 0
+    val dupPairs = operators.Multimodal.mmPhash(spark, sf)
+      .filter(col("is_dup")).select(col("keeper"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val zero = rows.filter(_._3 == 0L).map(x => (x._1, x._2)).toSet
+    dupPairs.foreach { case (k, d) => assert(zero((k, d)) ||
+      rows.exists(r => r._1 == k && r._2 == d && r._3 == 0L)) }
+  }
 }
