@@ -50,7 +50,9 @@ object SparkEntry {
       Q("streaming_enrich", streaming.EventStream.streamingEnrich,
         Some(streaming.EventStream.streamingEnrichSql)) :+
       Q("streaming_join_outer", streaming.EventStream.streamingJoinOuter,
-        Some(streaming.EventStream.streamingJoinOuterSql))
+        Some(streaming.EventStream.streamingJoinOuterSql)) :+
+      Q("streaming_kmv", streaming.EventStream.streamingKmv,
+        Some(streaming.EventStream.streamingKmvSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -630,6 +630,65 @@ object EventStream {
       |GROUP BY 1, 2
       |ORDER BY hour_ms, event_type""".stripMargin
 
+  /** Streaming KMV CARDINALITY: approximate distinct users per 6-hour
+    * tumbling window via the bounded k=64 K-minimum-values sketch — the
+    * SAME TypedImperativeAggregate the batch q_kmv_distinct uses, proving
+    * the sketch's mergeability carries to streaming state verbatim (the
+    * buffer serializer doubles as the state-store codec). This is the
+    * 100 TB way to count uniques in a stream: COUNT(DISTINCT) state grows
+    * with cardinality, the sketch state is 64 longs per window forever.
+    * The input hash is the engine-portable 15-nibble md5 prefix and the
+    * estimator a fixed closed form, so the STREAMING sketch result is
+    * hash-exactly oracled by a batch DuckDB restatement. */
+  def kmvUsersByWindow(events: DataFrame): DataFrame =
+    events
+      .withColumn("ets", timestamp_millis(graft.functions.TimeFunctions.nsToMs("ts")))
+      .withColumn("v",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "6 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.KmvDistinct.kmvDistinct(col("v"), 64).as("kmv_users"))
+      .select(unix_millis(col("window.start")).as("win_ms"),
+        col("n_events"), col("kmv_users"))
+
+  /** Driver-contract entry: the streaming sketch aggregate (12th oracled
+    * streaming query). */
+  def streamingKmv(s: SparkSession, dir: String): DataFrame =
+    runOnBatch(s, dir, kmvUsersByWindow, s"stream_kmv_${System.nanoTime()}",
+      OutputMode.Complete)
+      .orderBy("win_ms")
+
+  val streamingKmvSql: String = {
+    val v = (0 until 15).map { j =>
+      s"(strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) * ${BigInt(16).pow(14 - j)}"
+    }.mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT (epoch_ms(ts) // 21600000) * 21600000 AS win_ms,
+       |    md5(CAST(user_id AS VARCHAR)) AS h
+       |  FROM events
+       |), counts AS (
+       |  SELECT win_ms, CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY 1
+       |), hv AS (
+       |  SELECT DISTINCT win_ms, $v AS v FROM e
+       |), ranked AS (
+       |  SELECT win_ms, v, row_number() OVER (PARTITION BY win_ms ORDER BY v)
+       |    AS rk
+       |  FROM hv
+       |), agg AS (
+       |  SELECT win_ms, count(*) AS n_seen,
+       |    max(CASE WHEN rk = 64 THEN v END) AS kth
+       |  FROM ranked GROUP BY win_ms
+       |)
+       |SELECT c.win_ms, c.n_events,
+       |  CASE WHEN a.kth IS NULL THEN CAST(a.n_seen AS BIGINT)
+       |    ELSE CAST(round(63.0 * 1152921504606846976.0 / a.kth) AS BIGINT)
+       |  END AS kmv_users
+       |FROM agg a JOIN counts c ON a.win_ms = c.win_ms
+       |ORDER BY c.win_ms""".stripMargin
+  }
+
   /** Streaming HOPPING-window aggregation: the slide variant of
     * tumblingCountsByType — each event lands in window/slide = 2 overlapping
     * windows, state is one row per (window × type) bounded by the watermark.

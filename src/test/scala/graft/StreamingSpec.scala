@@ -199,4 +199,35 @@ class StreamingSpec extends SparkSpec {
       expected.keys.exists(_._1 == w)),
       "an old window appears in output without batch-1 support — watermark leak")
   }
+
+  test("streaming kmv: sketch through streaming state equals the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val streamed = streaming.EventStream.streamingKmv(spark, sf).collect()
+      .map(r => (r.getAs[Long]("win_ms"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("kmv_users")))
+    // batch parity: same aggregate over the same windows, no streaming
+    val ms = functions.TimeFunctions.nsToMs("ts")
+    val batch = Tables.events(spark, sf)
+      .withColumn("win_ms", (ms - pmod(ms, lit(21600000L))))
+      .withColumn("v",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .groupBy("win_ms")
+      .agg(count(lit(1)).as("n_events"),
+        functions.KmvDistinct.kmvDistinct(col("v"), 64).as("kmv_users"))
+      .orderBy("win_ms").collect()
+      .map(r => (r.getAs[Long]("win_ms"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("kmv_users")))
+    assert(streamed.toSeq == batch.toSeq,
+      "streaming state path diverged from the batch aggregate")
+    // estimate sanity: within 50% of the exact distinct count per window
+    val exact = Tables.events(spark, sf)
+      .withColumn("win_ms", (ms - pmod(ms, lit(21600000L))))
+      .groupBy("win_ms").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => (r.getAs[Long]("win_ms"), r.getAs[Long]("n"))).toMap
+    streamed.foreach { case (w, _, est) =>
+      val ex = exact(w)
+      assert(est <= ex * 3 / 2 && est >= ex / 2, s"window $w: est $est vs exact $ex")
+    }
+  }
 }
