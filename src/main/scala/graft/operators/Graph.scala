@@ -627,7 +627,12 @@ object Graph {
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
       .cache()
-    def normBy(df: DataFrame, key: String, v: String): DataFrame = {
+    // cache the pre-norm scores: the max-aggregate AND the downstream join
+    // both consume them, and without the cache each normalization level
+    // re-executes its whole upstream chain (the max's broadcast stage would
+    // recompute h1 four times by the a2 level)
+    def normBy(df0: DataFrame, key: String, v: String): DataFrame = {
+      val df = df0.cache()
       val m = broadcast(df.agg(max(v).as("m")))
       df.crossJoin(m).select(col(key), expr(s"(1000000 * $v) div m").as(v))
     }
@@ -640,6 +645,7 @@ object Graph {
       "c", "h")
     val a2 = e.join(h2, "c").groupBy("p")
       .agg(sum("h").as("a"), count(lit(1)).as("in_deg"))
+      .cache()
     val a2m = broadcast(a2.agg(max("a").as("m")))
     val scored = a2.crossJoin(a2m)
       .select(col("p"), col("in_deg"),
