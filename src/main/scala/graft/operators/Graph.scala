@@ -691,8 +691,81 @@ object Graph {
       |FROM a2
       |ORDER BY rk LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_assortativity — DEGREE ASSORTATIVITY (Newman 2002) of the
+  // co-purchase graph: the Pearson correlation of endpoint degrees over
+  // the edge list — positive r = hubs link hubs (social-network shape),
+  // negative = hubs link leaves (hub-and-spoke). THE one-number structure
+  // summary that decides whether degree-skew mitigations (q_salted_join,
+  // the triangle count's degree orientation) are load-bearing for a given
+  // graph.
+  //
+  // Exactness: moments (Σx, Σxy, Σx², edge count) are exact BIGINT sums
+  // over the DIRECTED edge view (each undirected edge contributes both
+  // orientations, which is what makes Σx = Σy and one moment row
+  // suffice); r is one double expression from those integers in identical
+  // operand order on both engines, quantized to milli (the q_mannwhitney
+  // 1-ulp argument). Casting to DOUBLE before the n·Σ products avoids
+  // BIGINT overflow past sf1 without losing milli-level precision.
+  //
+  // Scale shape: edges ⋈ degrees twice on the edge relation's own keys
+  // (co-partitioned shuffle joins), ONE aggregate to a single moment row.
+  // No window, no sort, nothing quadratic.
+  // ---------------------------------------------------------------------
+  def qAssortativity(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .cache()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val joined = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    joined.agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("du") + col("dv")).as("sx"),
+        sum(col("du") * col("dv") * 2).as("sxy"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("sxx"))
+      .select(col("n_edges"),
+        expr("""CAST(round(1000 *
+                ((CAST(2 * n_edges AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                 / (CAST(2 * n_edges AS DOUBLE) * sxx
+                    - CAST(sx AS DOUBLE) * sx))) AS BIGINT)""").as("r_milli"),
+        expr("sx div (2 * n_edges)").as("mean_deg"))
+  }
+
+  private val qAssortativitySql =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      |), und AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+      |), deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+      |  ) GROUP BY node
+      |), m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+      |    CAST(sum(du.deg + dv.deg) AS BIGINT) AS sx,
+      |    CAST(sum(du.deg * dv.deg * 2) AS BIGINT) AS sxy,
+      |    CAST(sum(du.deg * du.deg + dv.deg * dv.deg) AS BIGINT) AS sxx
+      |  FROM und e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+      |)
+      |SELECT n_edges,
+      |  CAST(round(1000 *
+      |    ((CAST(2 * n_edges AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+      |     / (CAST(2 * n_edges AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)))
+      |    AS BIGINT) AS r_milli,
+      |  CAST(sx // (2 * n_edges) AS BIGINT) AS mean_deg
+      |FROM m""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_hits", qHits, Some(qHitsSql)),
+    Q("q_assortativity", qAssortativity, Some(qAssortativitySql)),
     Q("q_degree_hist", qDegreeHist, Some(qDegreeHistSql)),
     Q("q_sssp_weighted", qSsspWeighted, Some(qSsspWeightedSql)),
     Q("q_link_predict", qLinkPredict, Some(qLinkPredictSql)),

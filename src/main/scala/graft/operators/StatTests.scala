@@ -492,8 +492,97 @@ object StatTests {
       |    AS eta2_bp
       |FROM parts""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_ols_multi — MULTIPLE LINEAR REGRESSION (two regressors + intercept)
+  // in closed form: extended price (whole units) on quantity and discount
+  // (milli), solved by Cramer's rule on the centered 2×2 normal equations
+  // — the multivariate sibling of q_trend_fit's single-feature OLS, and
+  // the shape every "fit a small GLM at 100 TB" job reduces to: one pass
+  // of exact integer moment sums, closed-form solve on a single row.
+  //
+  // Exactness: the 9 raw moments are exact BIGINT sums from ONE
+  // hash-aggregate; centered cross-moments (n·Σxy − Σx·Σy) and the
+  // determinant solve are per-row double expressions in identical operand
+  // order on both engines (cast to DOUBLE before the n· products — exact
+  // BIGINT centering would overflow past sf1), quantized: slopes micro,
+  // intercept centi, R² basis points.
+  //
+  // Scale shape: one data pass to one moment row; everything after is
+  // constant-time scalar math. No shuffle beyond the final 1-row agg.
+  // ---------------------------------------------------------------------
+  def qOlsMulti(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .select(col("l_quantity").cast("long").as("x1"),
+        expr("CAST(round(l_discount * 1000) AS BIGINT)").as("x2"),
+        expr("CAST(round(l_extendedprice) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+        sum(expr("x1 * x1")).as("s11"), sum(expr("x2 * x2")).as("s22"),
+        sum(expr("x1 * x2")).as("s12"),
+        sum(expr("x1 * y")).as("s1y"), sum(expr("x2 * y")).as("s2y"),
+        sum(expr("y * y")).as("syy"))
+      .withColumn("c11", expr("CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1"))
+      .withColumn("c22", expr("CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2"))
+      .withColumn("c12", expr("CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2"))
+      .withColumn("c1y", expr("CAST(n AS DOUBLE) * s1y - CAST(s1 AS DOUBLE) * sy"))
+      .withColumn("c2y", expr("CAST(n AS DOUBLE) * s2y - CAST(s2 AS DOUBLE) * sy"))
+      .withColumn("cyy", expr("CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy"))
+      .withColumn("det", expr("c11 * c22 - c12 * c12"))
+      .withColumn("b1", expr("(c1y * c22 - c2y * c12) / det"))
+      .withColumn("b2", expr("(c2y * c11 - c1y * c12) / det"))
+      .select(col("n"),
+        expr("CAST(round(1000000 * b1) AS BIGINT)").as("b1_micro"),
+        expr("CAST(round(1000000 * b2) AS BIGINT)").as("b2_micro"),
+        expr("CAST(round(100 * ((sy - b1 * s1 - b2 * s2) / n)) AS BIGINT)")
+          .as("b0_centi"),
+        expr("CAST(round(10000 * ((b1 * c1y + b2 * c2y) / cyy)) AS BIGINT)")
+          .as("r2_bp"))
+  }
+
+  private val qOlsMultiSql =
+    """WITH mom AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+      |    CAST(sum(CAST(round(l_discount * 1000) AS BIGINT)) AS BIGINT) AS s2,
+      |    CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+      |      AS BIGINT) AS s11,
+      |    CAST(sum(CAST(round(l_discount * 1000) AS BIGINT)
+      |      * CAST(round(l_discount * 1000) AS BIGINT)) AS BIGINT) AS s22,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)
+      |      * CAST(round(l_discount * 1000) AS BIGINT)) AS BIGINT) AS s12,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)
+      |      * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS s1y,
+      |    CAST(sum(CAST(round(l_discount * 1000) AS BIGINT)
+      |      * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS s2y,
+      |    CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+      |      * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy
+      |  FROM lineitem
+      |), cen AS (
+      |  SELECT *,
+      |    CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1 AS c11,
+      |    CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2 AS c22,
+      |    CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2 AS c12,
+      |    CAST(n AS DOUBLE) * s1y - CAST(s1 AS DOUBLE) * sy AS c1y,
+      |    CAST(n AS DOUBLE) * s2y - CAST(s2 AS DOUBLE) * sy AS c2y,
+      |    CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS cyy
+      |  FROM mom
+      |), sol AS (
+      |  SELECT *,
+      |    (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+      |    (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+      |  FROM cen
+      |)
+      |SELECT n,
+      |  CAST(round(1000000 * b1) AS BIGINT) AS b1_micro,
+      |  CAST(round(1000000 * b2) AS BIGINT) AS b2_micro,
+      |  CAST(round(100 * ((sy - b1 * s1 - b2 * s2) / n)) AS BIGINT) AS b0_centi,
+      |  CAST(round(10000 * ((b1 * c1y + b2 * c2y) / cyy)) AS BIGINT) AS r2_bp
+      |FROM sol""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_cuped", qCuped, Some(qCupedSql)),
+    Q("q_ols_multi", qOlsMulti, Some(qOlsMultiSql)),
     Q("q_mannwhitney", qMannwhitney, Some(qMannwhitneySql)),
     Q("q_ks_binned", qKsBinned, Some(qKsBinnedSql)),
     Q("q_welch_ttest", qWelchTtest, Some(qWelchTtestSql)),

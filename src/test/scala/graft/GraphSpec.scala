@@ -246,4 +246,33 @@ class GraphSpec extends SparkSpec {
     val top = a2.toSeq.sortBy { case (p, sc) => (-sc, p) }.take(25).map(_._1)
     assert(rows.map(_.getAs[Long]("p_partkey")).toSeq == top)
   }
+
+  test("assortativity: r recomputes from the naive edge-degree moments") {
+    import org.apache.spark.sql.functions.col
+    val rows = qAssortativity(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val und = li.groupBy(_._1).values.toSeq.flatMap { g =>
+      val ps = g.map(_._2).distinct.toSeq
+      ps.flatMap(a => ps.collect { case b if a < b => (a, b) })
+    }.toSet
+    val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val dir = und.toSeq.flatMap { case (u, v) =>
+      Seq((deg(u), deg(v)), (deg(v), deg(u)))
+    }
+    assert(r.getAs[Long]("n_edges") == und.size.toLong)
+    val n = dir.length.toDouble
+    val sx = dir.map(_._1).sum.toDouble
+    val sxy = dir.map(e => e._1 * e._2).sum.toDouble
+    val sxx = dir.map(e => e._1 * e._1).sum.toDouble
+    val rr = 1000 * ((n * sxy - sx * sx) / (n * sxx - sx * sx))
+    assert(math.abs(r.getAs[Long]("r_milli") - math.round(rr)) <= 1)
+    // correlation bound
+    assert(math.abs(r.getAs[Long]("r_milli")) <= 1000)
+    assert(r.getAs[Long]("mean_deg") == dir.map(_._1).sum / dir.length)
+  }
 }

@@ -194,4 +194,36 @@ class StatTestsSpec extends SparkSpec {
         (1000L * n * ya - theta * (n * xa - na * sx)) / (n * na))
     }
   }
+
+  test("ols multi: Cramer solve matches a local least-squares recompute") {
+    import org.apache.spark.sql.functions.col
+    val rows = qOlsMulti(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long"),
+        round(col("l_discount") * 1000).cast("long"),
+        round(col("l_extendedprice")).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val n = data.length.toDouble
+    assert(r.getAs[Long]("n") == data.length.toLong)
+    val (s1, s2, sy) = (data.map(_._1).sum.toDouble,
+      data.map(_._2).sum.toDouble, data.map(_._3).sum.toDouble)
+    val c11 = n * data.map(x => x._1 * x._1).sum - s1 * s1
+    val c22 = n * data.map(x => x._2 * x._2).sum - s2 * s2
+    val c12 = n * data.map(x => x._1 * x._2).sum - s1 * s2
+    val c1y = n * data.map(x => x._1 * x._3).sum - s1 * sy
+    val c2y = n * data.map(x => x._2 * x._3).sum - s2 * sy
+    val cyy = n * data.map(x => x._3 * x._3).sum - sy * sy
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c1y * c22 - c2y * c12) / det
+    val b2 = (c2y * c11 - c1y * c12) / det
+    assert(math.abs(r.getAs[Long]("b1_micro") - math.round(1e6 * b1)) <= 2)
+    assert(math.abs(r.getAs[Long]("b2_micro") - math.round(1e6 * b2)) <= 2)
+    assert(math.abs(r.getAs[Long]("b0_centi")
+      - math.round(100 * ((sy - b1 * s1 - b2 * s2) / n))) <= 2)
+    val r2 = (b1 * c1y + b2 * c2y) / cyy
+    assert(r2 >= 0 && r2 <= 1, s"R2 out of range: $r2")
+    assert(math.abs(r.getAs[Long]("r2_bp") - math.round(10000 * r2)) <= 2)
+  }
 }
