@@ -73,6 +73,25 @@ object ScaleSmoke {
     scaled.write.mode("overwrite").parquet(s"$out/part.parquet")
   }
 
+  /** orders: o_orderkey offset with the SAME maxO stride the lineitem
+    * staging uses (every max l_orderkey = max o_orderkey in this data, so
+    * each scaled lineitem joins exactly its replica's order row), o_custkey
+    * offset by its own stride — the customer population grows 10× alongside
+    * the order stream, keeping per-customer basket sizes (and so the
+    * bipartite HITS degree distribution) unchanged. */
+  private[graft] def stageOrders(spark: SparkSession, src: String, out: String): Unit = {
+    val reps = 10
+    val maxO = spark.read.parquet(s"$src/lineitem.parquet")
+      .agg(max("l_orderkey")).head.getLong(0) + 1
+    val or = spark.read.parquet(s"$src/orders.parquet")
+    val maxC = or.agg(max("o_custkey")).head.getLong(0) + 1
+    val scaled = (0 until reps).map { r =>
+      or.withColumn("o_orderkey", col("o_orderkey") + lit(r * maxO))
+        .withColumn("o_custkey", col("o_custkey") + lit(r * maxC))
+    }.reduce(_ unionAll _)
+    scaled.write.mode("overwrite").parquet(s"$out/orders.parquet")
+  }
+
   /** events: user_id/event_id offset per replica AND the whole replica
     * time-SHIFTED into a disjoint wall-clock range — 10× the sessions at
     * the SAME per-instant concurrency density, so interval/session
@@ -146,6 +165,10 @@ object ScaleSmoke {
       println(s"[scale] staging 10x part -> $big")
       stagePart(spark, small, big)
     }
+    if (!new java.io.File(s"$big/orders.parquet").isDirectory) {
+      println(s"[scale] staging 10x orders -> $big")
+      stageOrders(spark, small, big)
+    }
 
     // optional args = subset of query names to measure (default: all)
     val allQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -178,7 +201,14 @@ object ScaleSmoke {
       "dedup_cluster_canonical" -> operators.Dedup.dedupClusterCanonical,
       "sim_matryoshka" -> operators.Similarity.simMatryoshka,
       "q_join_size_estimate" -> operators.Skew.qJoinSizeEstimate,
-      "text_ngram_entropy" -> operators.TextAnalysis.textNgramEntropy)
+      "text_ngram_entropy" -> operators.TextAnalysis.textNgramEntropy,
+      "q_hits" -> operators.Graph.qHits,
+      "q_assortativity" -> operators.Graph.qAssortativity,
+      "dedup_substring" -> operators.Dedup.dedupSubstring,
+      "mm_image_neardup" -> operators.Multimodal.mmImageNeardup,
+      "q_survival_km" -> operators.Sessionize.qSurvivalKm,
+      "streaming_kmv" -> streaming.EventStream.streamingKmv,
+      "q_clustering_coeff" -> operators.Graph.qClusteringCoeff)
     val queries =
       if (args.isEmpty) allQueries else allQueries.filter(q => args.contains(q._1))
 

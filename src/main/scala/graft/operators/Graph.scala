@@ -763,9 +763,99 @@ object Graph {
       |  CAST(sx // (2 * n_edges) AS BIGINT) AS mean_deg
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_clustering_coeff — GLOBAL CLUSTERING COEFFICIENT (transitivity) of
+  // the co-purchase graph: 3·triangles / wedges — "when two parts share a
+  // neighbor, how often are they themselves linked". The one-number
+  // closure summary next to q_assortativity's degree mixing and
+  // q_triangle_count's per-node ranks.
+  //
+  // Scale design: triangles come from the SAME degree-oriented generation
+  // as q_triangle_count (out-degree bounded O(√m) under any skew, each
+  // triangle at its lowest corner exactly once), reduced here to ONE
+  // count; wedges are a closed form on the degree table (Σ d(d−1)/2 —
+  // exact BIGINT, one tiny aggregate). transitivity_bp = 30000·T div W is
+  // all-integer (3T ≤ W guarantees ≤ 10000).
+  // ---------------------------------------------------------------------
+  def qClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .cache()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .cache()
+    val pk = deg.select(col("node"),
+      (col("deg") * lit(1000000000L) + col("node")).as("pk"))
+    val e = und
+      .join(pk.select(col("node").as("u"), col("pk").as("pu")), "u")
+      .join(pk.select(col("node").as("v"), col("pk").as("pv")), "v")
+      .select(
+        when(col("pu") < col("pv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("pu") < col("pv"), col("v")).otherwise(col("u")).as("dst"),
+        when(col("pu") < col("pv"), col("pv")).otherwise(col("pu")).as("pdst"))
+      .cache()
+    val closing = e.select(col("src").as("cy"), col("dst").as("cz"))
+    val closingSide =
+      if (e.count() < 5000000L) broadcast(closing) else closing
+    val tri = e.as("ab").join(e.as("ac"),
+        col("ab.src") === col("ac.src") && col("ab.pdst") < col("ac.pdst"))
+      .select(col("ab.dst").as("y"), col("ac.dst").as("z"))
+      .join(closingSide,
+        col("y") === col("cy") && col("z") === col("cz"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val shape = broadcast(deg.agg(
+      count(lit(1)).as("n_nodes"), sum("deg").as("deg_sum"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges")))
+    tri.crossJoin(shape)
+      .select(col("n_nodes"), expr("deg_sum div 2").as("n_edges"),
+        col("n_wedges"), col("n_triangles"),
+        expr("(30000 * n_triangles) div n_wedges").as("transitivity_bp"))
+  }
+
+  private val qClusteringCoeffSql =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      |), und AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+      |), deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+      |  GROUP BY node
+      |), pk AS (
+      |  SELECT node, deg * 1000000000 + node AS pk FROM deg
+      |), e AS (
+      |  SELECT CASE WHEN pu.pk < pv.pk THEN und.u ELSE und.v END AS src,
+      |         CASE WHEN pu.pk < pv.pk THEN und.v ELSE und.u END AS dst,
+      |         CASE WHEN pu.pk < pv.pk THEN pv.pk ELSE pu.pk END AS pdst
+      |  FROM und
+      |  JOIN pk pu ON und.u = pu.node
+      |  JOIN pk pv ON und.v = pv.node
+      |), tri AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM e ab JOIN e ac ON ab.src = ac.src AND ab.pdst < ac.pdst
+      |  WHERE EXISTS (SELECT 1 FROM e bc WHERE bc.src = ab.dst
+      |                AND bc.dst = ac.dst)
+      |), shape AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(sum(deg) AS BIGINT) AS deg_sum,
+      |    CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+      |  FROM deg
+      |)
+      |SELECT s.n_nodes, CAST(s.deg_sum // 2 AS BIGINT) AS n_edges,
+      |  s.n_wedges, t.n_triangles,
+      |  CAST((30000 * t.n_triangles) // s.n_wedges AS BIGINT)
+      |    AS transitivity_bp
+      |FROM tri t CROSS JOIN shape s""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_hits", qHits, Some(qHitsSql)),
     Q("q_assortativity", qAssortativity, Some(qAssortativitySql)),
+    Q("q_clustering_coeff", qClusteringCoeff, Some(qClusteringCoeffSql)),
     Q("q_degree_hist", qDegreeHist, Some(qDegreeHistSql)),
     Q("q_sssp_weighted", qSsspWeighted, Some(qSsspWeightedSql)),
     Q("q_link_predict", qLinkPredict, Some(qLinkPredictSql)),

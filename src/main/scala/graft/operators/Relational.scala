@@ -1132,6 +1132,64 @@ object Relational {
     * temporal rule rides the lineitem⋈orders join. The testdata generator
     * doesn't enforce order-date ≤ ship-date, so that check reports real
     * violations — the audit visibly has teeth. */
+  /** q_benford — BENFORD'S-LAW first-digit audit of order totals: the
+    * fraud/fabrication screen auditors run on financial columns (Benford
+    * 1938; naturally-generated multi-scale amounts follow
+    * P(d) = log10(1+1/d), fabricated ones don't). One conditional-count
+    * aggregate to 9 digit rows; expected probabilities are FIXED milli
+    * constants embedded identically in both engines (the dctW
+    * literal-table trick — no cross-engine log10 to trust), and each
+    * digit's χ² contribution is EXACT integer arithmetic via the
+    * multiply-through identity (1000·obs − n·p_milli)² div (n·p_milli) —
+    * no float sum anywhere, so the total χ² is order-independent. The
+    * synthetic generator draws totals from a narrow band, so the audit
+    * VISIBLY fails Benford — the screen has teeth, like q_dq_checks'
+    * temporal rule. */
+  def qBenford(s: SparkSession, d: String): DataFrame = {
+    // round(log10(1+1/d)*1000) for d=1..9, fixed shared constants
+    val pm = Seq(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L, 5 -> 79L,
+      6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+    val exp = broadcast(s.createDataFrame(pm).toDF("digit", "p_milli"))
+    val obs = Tables.orders(s, d)
+      .select(substring(expr(
+        "CAST(CAST(round(o_totalprice) AS BIGINT) AS STRING)"), 1, 1)
+        .cast("long").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = broadcast(obs.agg(sum("n_obs").as("n")))
+    obs.join(exp, "digit").crossJoin(tot)
+      .select(col("digit"), col("n_obs"),
+        expr("(10000 * n_obs) div n").as("obs_bp"),
+        (col("p_milli") * 10).as("benford_bp"),
+        expr("""((1000 * n_obs - n * p_milli) * (1000 * n_obs - n * p_milli))
+                div (n * p_milli)""").as("chi2_contrib_milli"))
+      .orderBy("digit")
+  }
+
+  private val qBenfordSql = {
+    val pmRows = Seq(1 -> 301, 2 -> 176, 3 -> 125, 4 -> 97, 5 -> 79,
+      6 -> 67, 7 -> 58, 8 -> 51, 9 -> 46)
+      .map { case (d, p) => s"($d, ${p}::BIGINT)" }.mkString(", ")
+    s"""WITH exp(digit, p_milli) AS (
+       |  VALUES $pmRows
+       |), obs AS (
+       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice) AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM orders
+       |  GROUP BY 1 HAVING CAST(substr(CAST(CAST(round(o_totalprice)
+       |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) >= 1
+       |), tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+       |SELECT o.digit, o.n_obs,
+       |  CAST((10000 * o.n_obs) // t.n AS BIGINT) AS obs_bp,
+       |  CAST(e.p_milli * 10 AS BIGINT) AS benford_bp,
+       |  CAST(((1000 * o.n_obs - t.n * e.p_milli)
+       |        * (1000 * o.n_obs - t.n * e.p_milli)) // (t.n * e.p_milli)
+       |    AS BIGINT) AS chi2_contrib_milli
+       |FROM obs o JOIN exp e ON o.digit = e.digit CROSS JOIN tot t
+       |ORDER BY o.digit""".stripMargin
+  }
+
   def qDqChecks(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
@@ -1600,6 +1658,7 @@ object Relational {
     Q("q_market_share_bucketed", qMarketShareBucketed, Some(qMarketShareSql)),
     Q("q_zorder_scan", qZorderScan, Some(qZorderScanSql)),
     Q("q_dq_checks", qDqChecks, Some(qDqChecksSql)),
+    Q("q_benford", qBenford, Some(qBenfordSql)),
     Q("q_multi_distinct", qMultiDistinct, Some(qMultiDistinctSql)),
     Q("q_top_customer_per_nation", qTopCustomerPerNation, Some(qTopCustomerPerNationSql)),
     Q("q_rollup", qRollup, Some(qRollupSql)),

@@ -275,4 +275,32 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.getAs[Long]("r_milli")) <= 1000)
     assert(r.getAs[Long]("mean_deg") == dir.map(_._1).sum / dir.length)
   }
+
+  test("clustering coeff: totals recompute from a naive triangle/wedge count") {
+    import org.apache.spark.sql.functions.col
+    val rows = qClusteringCoeff(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val und = li.groupBy(_._1).values.toSeq.flatMap { g =>
+      val ps = g.map(_._2).distinct.toSeq
+      ps.flatMap(a => ps.collect { case b if a < b => (a, b) })
+    }.toSet
+    val adj = (und.toSeq ++ und.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val wedges = adj.values.map { ns =>
+      ns.size.toLong * (ns.size - 1) / 2
+    }.sum
+    val tris = und.toSeq.map { case (u, v) =>
+      (adj(u) & adj(v)).size.toLong
+    }.sum / 3 // each triangle counted once per edge
+    assert(r.getAs[Long]("n_edges") == und.size.toLong)
+    assert(r.getAs[Long]("n_nodes") == adj.size.toLong)
+    assert(r.getAs[Long]("n_wedges") == wedges)
+    assert(r.getAs[Long]("n_triangles") == tris)
+    assert(r.getAs[Long]("transitivity_bp") == 30000L * tris / wedges)
+    assert(r.getAs[Long]("transitivity_bp") <= 10000L)
+  }
 }

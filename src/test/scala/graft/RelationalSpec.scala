@@ -257,4 +257,29 @@ class RelationalSpec extends SparkSpec {
     assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
     assert(shares.last == 10000L)
   }
+
+  test("benford: digit shares recompute and the generator visibly fails the law") {
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    val rows = operators.Relational.qBenford(spark, sf).collect()
+    val digits = Tables.orders(spark, sf)
+      .select(rnd(col("o_totalprice")).cast("long")).collect()
+      .map(_.getLong(0).toString.head.asDigit.toLong).filter(_ >= 1)
+    val byD = digits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_.getAs[Long]("digit")).toSet == byD.keySet)
+    val n = digits.length.toLong
+    val pm = Map(1L -> 301L, 2L -> 176L, 3L -> 125L, 4L -> 97L, 5L -> 79L,
+      6L -> 67L, 7L -> 58L, 8L -> 51L, 9L -> 46L)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      assert(r.getAs[Long]("n_obs") == byD(d))
+      assert(r.getAs[Long]("obs_bp") == 10000L * byD(d) / n)
+      assert(r.getAs[Long]("benford_bp") == pm(d) * 10)
+      val diff = 1000L * byD(d) - n * pm(d)
+      assert(r.getAs[Long]("chi2_contrib_milli") == diff * diff / (n * pm(d)))
+    }
+    // the narrow-band generator must NOT follow Benford: χ² far above the
+    // 5%-level critical value for 8 df (15.51 ⇒ 15510 milli)
+    val chi2 = rows.map(_.getAs[Long]("chi2_contrib_milli")).sum
+    assert(chi2 > 15510L, s"audit has no teeth: chi2_milli=$chi2")
+  }
 }
