@@ -68,7 +68,7 @@ object Similarity {
       |ORDER BY qid, rk""".stripMargin
 
   /** Deterministic pseudo-random hyperplanes (seeded) for the LSH signature. */
-  private[operators] val planes: Seq[Seq[Double]] = {
+  private[graft] val planes: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
   }
@@ -1462,7 +1462,101 @@ object Similarity {
       |LEFT JOIN hits ON hits.qid = s.qid
       |ORDER BY s.qid""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // sim_bucket_purity — LSH BUCKET QUALITY EVAL against the labels:
+  // majority-label PURITY and normalized mutual information of the 8-bit
+  // hyperplane signature partition vs the label partition — "are my LSH
+  // buckets actually capturing semantic structure, or just slicing noise"
+  // — the clustering-eval sibling of sim_recall_eval (which grades
+  // retrieval, not partition quality). Run it before trusting any
+  // bucket-blocked dedup/ANN path: purity ≈ 1/|labels| means the planes
+  // are useless for this embedding space.
+  //
+  // Exactness: everything derives from the (bucket × label) integer count
+  // grid (≤ 256×|labels| rows after ONE hash-aggregate). Purity is pure
+  // integers. NMI's ln terms are milli-nat-quantized per grid cell BEFORE
+  // the integer sums (the text_ngram_entropy identity — order-independent
+  // under any partitioning), and NMI = 2I/(H_b+H_l) closes as one integer
+  // division of milli sums (the 1/n factors cancel).
+  //
+  // Scale shape: one embedding scan (8 codegen'd dot products per row) +
+  // one grid aggregate; margins and the final scalar row are
+  // metadata-sized joins on the grid.
+  // ---------------------------------------------------------------------
+  def simBucketPurity(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("sig", sigExpr(col("v")))
+      .groupBy("sig", "label").agg(count(lit(1)).as("c"))
+      .cache()
+    val bm = cells.groupBy("sig").agg(sum("c").as("nb"), max("c").as("mx"))
+    val lm = cells.groupBy("label").agg(sum("c").as("nl"))
+    val tot = broadcast(cells.agg(sum("c").as("n")))
+    val joined = cells.join(bm, "sig").join(lm, "label").crossJoin(tot)
+    joined.agg(
+        max("n").as("n_vecs"),
+        countDistinct("sig").as("n_buckets"),
+        countDistinct("label").as("n_labels"),
+        sum(expr("""c * CAST(round(1000 * ln((CAST(c AS DOUBLE) * n)
+                  / (CAST(nb AS DOUBLE) * nl))) AS BIGINT)""")).as("i_sum"),
+        sum(expr("""c * CAST(round(1000 * ln(CAST(n AS DOUBLE) / nb))
+                  AS BIGINT)""")).as("hb_sum"),
+        sum(expr("""c * CAST(round(1000 * ln(CAST(n AS DOUBLE) / nl))
+                  AS BIGINT)""")).as("hl_sum"))
+      .crossJoin(broadcast(bm.agg(sum("mx").as("mx_sum"))))
+      .select(col("n_vecs"), col("n_buckets"), col("n_labels"),
+        expr("(10000 * mx_sum) div n_vecs").as("purity_bp"),
+        expr("(10000 * 2 * i_sum) div (hb_sum + hl_sum)").as("nmi_bp"))
+  }
+
+  private val simBucketPuritySql = {
+    val planeRows = planes.zipWithIndex
+      .map { case (pl, i) => s"($i, [${pl.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    embedding::DOUBLE[] AS e
+       |  FROM embeddings
+       |), planes(p, pl) AS (
+       |  VALUES $planeRows
+       |), sig AS (
+       |  SELECT v.vec_id, v.label,
+       |    CAST(sum(CASE WHEN list_dot_product(v.e, planes.pl) >= 0
+       |      THEN 1 << planes.p ELSE 0 END) AS BIGINT) AS sig
+       |  FROM v CROSS JOIN planes GROUP BY v.vec_id, v.label
+       |), cells AS (
+       |  SELECT sig, label, CAST(count(*) AS BIGINT) AS c
+       |  FROM sig GROUP BY sig, label
+       |), bm AS (
+       |  SELECT sig, CAST(sum(c) AS BIGINT) AS nb, CAST(max(c) AS BIGINT)
+       |    AS mx FROM cells GROUP BY sig
+       |), lm AS (
+       |  SELECT label, CAST(sum(c) AS BIGINT) AS nl FROM cells GROUP BY label
+       |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells
+       |), agg AS (
+       |  SELECT max(t.n) AS n_vecs,
+       |    CAST(count(DISTINCT cells.sig) AS BIGINT) AS n_buckets,
+       |    CAST(count(DISTINCT cells.label) AS BIGINT) AS n_labels,
+       |    CAST(sum(c * CAST(round(1000 * ln((CAST(c AS DOUBLE) * t.n)
+       |      / (CAST(bm.nb AS DOUBLE) * lm.nl))) AS BIGINT)) AS BIGINT)
+       |      AS i_sum,
+       |    CAST(sum(c * CAST(round(1000 * ln(CAST(t.n AS DOUBLE) / bm.nb))
+       |      AS BIGINT)) AS BIGINT) AS hb_sum,
+       |    CAST(sum(c * CAST(round(1000 * ln(CAST(t.n AS DOUBLE) / lm.nl))
+       |      AS BIGINT)) AS BIGINT) AS hl_sum
+       |  FROM cells JOIN bm ON cells.sig = bm.sig
+       |  JOIN lm ON cells.label = lm.label CROSS JOIN tot t
+       |), mxs AS (SELECT CAST(sum(mx) AS BIGINT) AS mx_sum FROM bm)
+       |SELECT a.n_vecs, a.n_buckets, a.n_labels,
+       |  CAST((10000 * m.mx_sum) // a.n_vecs AS BIGINT) AS purity_bp,
+       |  CAST((10000 * 2 * a.i_sum) // (a.hb_sum + a.hl_sum) AS BIGINT)
+       |    AS nmi_bp
+       |FROM agg a CROSS JOIN mxs m""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("sim_bucket_purity", simBucketPurity, Some(simBucketPuritySql)),
     Q("sim_matryoshka", simMatryoshka, Some(simMatryoshkaSql)),
     Q("sim_ann_sq", simAnnSq, Some(simAnnSqSql)),
     Q("sim_power_iteration", simPowerIteration, Some(simPowerIterationSql)),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-aware joins. AQE's skew-join handling covers sort-merge joins at
@@ -260,7 +261,91 @@ object Skew {
        |FROM exact CROSS JOIN est""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q_gini_concentration — LORENZ/GINI CONCENTRATION of event volume
+  // across users, plus the top-decile share: the "what fraction of the
+  // workload do the hottest users generate" number that q_skew_profile's
+  // max/avg ratio only hints at (Gini sees the WHOLE distribution, not
+  // one hot key). Drives partition-sizing and salting decisions the same
+  // way household-income Ginis drive tax brackets.
+  //
+  // Exactness + scale: the textbook Gini needs ranks over per-user totals
+  // — a data-grain sort. This uses the COUNTS-OF-COUNTS grid identity
+  // instead (the q_skew_profile / q_mannwhitney move): per-user totals
+  // hash-aggregate once, then collapse to (total value v, #users m_v) —
+  // a bounded grid — and the tie-correct rank sum is exact on the grid:
+  // Σ ranks within a tie group = m·C_before + m(m+1)/2 (m(m+1) is always
+  // even ⇒ the div is exact). Gini and decile share come out in exact
+  // basis points; BIGINT headroom holds through ~sf100 (n·T < 2⁶³).
+  // ---------------------------------------------------------------------
+  def qGiniConcentration(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+    val grid = perUser.groupBy("c").agg(count(lit(1)).as("m")).cache()
+    val wAsc = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = broadcast(grid.agg(sum("m").as("n"),
+      sum(expr("c * m")).as("t")))
+    val ranked = grid
+      .withColumn("cum_before", sum("m").over(wAsc) - col("m"))
+      .withColumn("ua", sum("m").over(wDesc) - col("m"))
+      .withColumn("ea", sum(expr("c * m")).over(wDesc) - expr("c * m"))
+      .crossJoin(tot)
+      .cache()
+    val gini = ranked
+      .select(expr("c * (m * cum_before + (m * (m + 1)) div 2)").as("sr"))
+      .agg(sum("sr").as("sr"))
+    val k = expr("greatest(1L, n div 10)")
+    val decile = ranked
+      .filter(col("ua") < k && k <= col("ua") + col("m"))
+      .select(col("n"), col("t"),
+        (col("ea") + (k - col("ua")) * col("c")).as("top_events"))
+    gini.crossJoin(broadcast(decile))
+      .select(col("n").as("n_users"), col("t").as("n_events"),
+        expr("(10000 * (2 * sr - (n + 1) * t)) div (n * t)").as("gini_bp"),
+        expr("(10000 * top_events) div t").as("top_decile_bp"))
+  }
+
+  private val qGiniConcentrationSql =
+    """WITH pu AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY user_id
+      |), grid AS (
+      |  SELECT c, CAST(count(*) AS BIGINT) AS m FROM pu GROUP BY c
+      |), tot AS (
+      |  SELECT CAST(sum(m) AS BIGINT) AS n, CAST(sum(c * m) AS BIGINT) AS t
+      |  FROM grid
+      |), ranked AS (
+      |  SELECT c, m,
+      |    CAST(sum(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) - m
+      |      AS BIGINT) AS cum_before,
+      |    CAST(sum(m) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING) - m
+      |      AS BIGINT) AS ua,
+      |    CAST(sum(c * m) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING)
+      |      - c * m AS BIGINT) AS ea
+      |  FROM grid
+      |), sr AS (
+      |  SELECT CAST(sum(c * (m * cum_before + (m * (m + 1)) // 2)) AS BIGINT)
+      |    AS sr
+      |  FROM ranked
+      |), dec AS (
+      |  SELECT t.n, t.t,
+      |    CAST(r.ea + (greatest(1, t.n // 10) - r.ua) * r.c AS BIGINT)
+      |      AS top_events
+      |  FROM ranked r CROSS JOIN tot t
+      |  WHERE r.ua < greatest(1, t.n // 10)
+      |    AND greatest(1, t.n // 10) <= r.ua + r.m
+      |)
+      |SELECT d.n AS n_users, d.t AS n_events,
+      |  CAST((10000 * (2 * s.sr - (d.n + 1) * d.t)) // (d.n * d.t) AS BIGINT)
+      |    AS gini_bp,
+      |  CAST((10000 * d.top_events) // d.t AS BIGINT) AS top_decile_bp
+      |FROM sr s CROSS JOIN dec d""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_gini_concentration", qGiniConcentration, Some(qGiniConcentrationSql)),
     Q("q_skew_profile", qSkewProfile, Some(qSkewProfileSql)),
     Q("q_join_size_estimate", qJoinSizeEstimate, Some(qJoinSizeEstimateSql)),
     Q("q_salted_join", qSaltedJoin, Some(qSaltedJoinSql)),

@@ -356,4 +356,38 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("bucket purity: purity and NMI recompute from the signature grid") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Similarity.simBucketPurity(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // recompute signatures locally with the same planes
+    val data = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        x.getSeq[Float](2).map(_.toDouble).toArray))
+    val planes = operators.Similarity.planes.map(_.toArray)
+    def sig(v: Array[Double]): Long =
+      planes.zipWithIndex.map { case (pl, p) =>
+        if (pl.indices.map(i => pl(i) * v(i)).sum >= 0) 1L << p else 0L
+      }.sum
+    val cells = data.groupBy(x => (sig(x._3), x._2)).view
+      .mapValues(_.length.toLong).toMap
+    val nb = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nl = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = data.length.toLong
+    assert(r.getAs[Long]("n_vecs") == n)
+    assert(r.getAs[Long]("n_buckets") == nb.size.toLong)
+    assert(r.getAs[Long]("n_labels") == nl.size.toLong)
+    val pur = cells.groupBy(_._1._1).values.map(_.values.max).sum
+    assert(r.getAs[Long]("purity_bp") == 10000L * pur / n)
+    def q(x: Double): Long = math.round(1000 * math.log(x))
+    val iSum = cells.map { case ((b, l), c) =>
+      c * q(c.toDouble * n / (nb(b).toDouble * nl(l))) }.sum
+    val hbSum = cells.map { case ((b, _), c) => c * q(n.toDouble / nb(b)) }.sum
+    val hlSum = cells.map { case ((_, l), c) => c * q(n.toDouble / nl(l)) }.sum
+    assert(r.getAs[Long]("nmi_bp") == 10000L * 2 * iSum / (hbSum + hlSum))
+    assert(r.getAs[Long]("nmi_bp") >= 0 && r.getAs[Long]("nmi_bp") <= 10000)
+  }
 }

@@ -128,4 +128,26 @@ class SkewSpec extends SparkSpec {
     assert(est >= exactF2, "CMS inner product must never underestimate F2")
     assert(r.getAs[Long]("overest_bp") == 10000L * (est - exactF2) / exactF2)
   }
+
+  test("gini: grid identity equals a naive sorted-rank recompute") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val rows = operators.Skew.qGiniConcentration(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val cs = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("c")).collect().map(_.getAs[Long]("c")).sorted
+    val n = cs.length.toLong
+    val t = cs.sum
+    assert(r.getAs[Long]("n_users") == n)
+    assert(r.getAs[Long]("n_events") == t)
+    // naive: ranks 1..n ascending over the sorted totals
+    val sr = cs.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+    assert(r.getAs[Long]("gini_bp") == 10000L * (2 * sr - (n + 1) * t) / (n * t))
+    val k = math.max(1L, n / 10).toInt
+    val top = cs.reverse.take(k).sum
+    assert(r.getAs[Long]("top_decile_bp") == 10000L * top / t)
+    // bounds: 0 <= gini < 10000; decile share at least its population share
+    assert(r.getAs[Long]("gini_bp") >= 0 && r.getAs[Long]("gini_bp") < 10000)
+    assert(r.getAs[Long]("top_decile_bp") >= 10000L * k / n - 1)
+  }
 }
