@@ -574,6 +574,58 @@ object Corpus {
       |ORDER BY df DESC, tok
       |LIMIT 100""".stripMargin
 
+  /** corpus_sample_weighted — WEIGHTED sampling without replacement by the
+    * Efraimidis–Spirakis A-Res key (2006): each doc gets key u^(1/w) with
+    * u deterministic from the portable md5 hash and w = n_chars, and the
+    * global top-k by key IS an exact weighted sample — here length-
+    * weighted, i.e. UNIFORM OVER TOKENS rather than over documents (the
+    * sampling a token-budgeted training-mix estimate actually needs; the
+    * uniform corpus_sample over-represents short docs token-wise). The
+    * standard distributed weighted sampler: one scan, one top-k, no
+    * per-partition rejection loops.
+    *
+    * Exactness: ranking uses ln(key) = ln(u)/w, computed as ONE double
+    * expression from the exact integer (hash+1, w) pair, quantized to
+    * micro — identical on both engines; quantization ties break by doc_id,
+    * so the selected set is deterministic. Top-k is a rank-filter window
+    * (WindowGroupLimit — distributed top-k, never a global sort). */
+  def corpusSampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val hSql = "CAST(conv(substring(md5(concat('graft-wseed-1', " +
+      "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    val w = Window.orderBy(col("lnkey_micro").desc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("lnkey_micro", expr(
+        s"CAST(round(1000000 * (ln(($hSql + 1)" +
+          " / 1152921504606846976.0) / n_chars)) AS BIGINT)"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 50)
+      .select("rk", "doc_id", "lang", "source", "n_chars", "lnkey_micro")
+      .orderBy("rk")
+  }
+
+  private val corpusSampleWeightedSql = {
+    val h = (0 until 15).map { j =>
+      s"(strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) * ${BigInt(16).pow(14 - j)}"
+    }.mkString(" + ")
+    s"""WITH hx AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |    md5('graft-wseed-1' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents
+       |), keyed AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |    CAST(round(1000000 * (ln(($h + 1)
+       |      / 1152921504606846976.0) / n_chars)) AS BIGINT) AS lnkey_micro
+       |  FROM hx
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY lnkey_micro DESC, doc_id)
+       |    AS BIGINT) AS rk
+       |  FROM keyed
+       |)
+       |SELECT rk, doc_id, lang, source, n_chars, lnkey_micro
+       |FROM ranked WHERE rk <= 50
+       |ORDER BY rk""".stripMargin
+  }
+
   def corpusSample(s: SparkSession, d: String): DataFrame = {
     val rankHash = md5(concat(lit("graft-seed-1"), col("doc_id").cast("string")))
     val w = Window.partitionBy("lang").orderBy(rankHash.asc, col("doc_id").asc)
@@ -1443,6 +1495,7 @@ object Corpus {
     Q("corpus_inverted_index", corpusInvertedIndex, Some(corpusInvertedIndexSql)),
     Q("corpus_sample_temperature", corpusSampleTemperature, Some(corpusSampleTemperatureSql)),
     Q("corpus_sample", corpusSample, Some(corpusSampleSql)),
+    Q("corpus_sample_weighted", corpusSampleWeighted, Some(corpusSampleWeightedSql)),
     Q("corpus_top_tokens", corpusTopTokens, Some(corpusTopTokensSql)),
     Q("corpus_html_extract", corpusHtmlExtract, Some(corpusHtmlExtractSql)),
     Q("corpus_decode_roundtrip", corpusDecodeRoundtrip, Some(corpusDecodeRoundtripSql)),

@@ -580,9 +580,80 @@ object StatTests {
       |  CAST(round(10000 * ((b1 * c1y + b2 * c2y) / cyy)) AS BIGINT) AS r2_bp
       |FROM sol""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_corr_matrix — PAIRWISE PEARSON CORRELATION MATRIX of the four
+  // numeric lineitem measures in ONE pass: the feature-screening step
+  // before any modeling (q_ols_multi's regressors were picked by exactly
+  // this kind of look), and the textbook one-scan-many-statistics shape —
+  // a 100 TB table must never be re-scanned per pair.
+  //
+  // Exactness: all 14 moments (4 sums, 4 squares, 6 cross products) are
+  // exact BIGINT sums from a single hash-aggregate; each pair's r is one
+  // double expression from those integers (DOUBLE cast before the n·
+  // products), quantized to milli. The 6 output rows EXPLODE from the one
+  // moment row — the aggregate is never re-evaluated per pair.
+  // ---------------------------------------------------------------------
+  def qCorrMatrix(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("qty" -> "CAST(l_quantity AS BIGINT)",
+      "price" -> "CAST(round(l_extendedprice) AS BIGINT)",
+      "disc" -> "CAST(round(l_discount * 1000) AS BIGINT)",
+      "tax" -> "CAST(round(l_tax * 1000) AS BIGINT)")
+    val base = Tables.lineitem(s, d).select(
+      cols.map { case (n, e) => expr(e).as(n) }: _*)
+    val moments =
+      Seq(count(lit(1)).as("n")) ++
+        cols.map { case (n, _) => sum(col(n)).as(s"s_$n") } ++
+        (for ((a, _) <- cols; (b, _) <- cols if a <= b)
+          yield sum(col(a) * col(b)).as(s"q_${a}_$b"))
+    val mom = base.agg(moments.head, moments.tail: _*)
+    val pairs = for ((a, _) <- cols; (b, _) <- cols if a < b) yield (a, b)
+    val structs = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        expr(s"""CAST(round(1000 *
+            ((CAST(n AS DOUBLE) * q_${a}_$b - CAST(s_$a AS DOUBLE) * s_$b)
+             / sqrt((CAST(n AS DOUBLE) * q_${a}_$a
+                     - CAST(s_$a AS DOUBLE) * s_$a)
+                  * (CAST(n AS DOUBLE) * q_${b}_$b
+                     - CAST(s_$b AS DOUBLE) * s_$b)))) AS BIGINT)""")
+          .as("r_milli"))
+    }
+    mom.select(explode(array(structs: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.r_milli"))
+      .orderBy("col_a", "col_b")
+  }
+
+  private val qCorrMatrixSql = {
+    val defs = Seq("qty" -> "CAST(l_quantity AS BIGINT)",
+      "price" -> "CAST(round(l_extendedprice) AS BIGINT)",
+      "disc" -> "CAST(round(l_discount * 1000) AS BIGINT)",
+      "tax" -> "CAST(round(l_tax * 1000) AS BIGINT)")
+    val sums = defs.map { case (n, e) =>
+      s"CAST(sum($e) AS BIGINT) AS s_$n" }.mkString(",\n    ")
+    val crosses = (for ((a, ea) <- defs; (b, eb) <- defs if a <= b)
+      yield s"CAST(sum(($ea) * ($eb)) AS BIGINT) AS q_${a}_$b")
+      .mkString(",\n    ")
+    val pairSelects = (for ((a, _) <- defs; (b, _) <- defs if a < b) yield
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  CAST(round(1000 *
+         |    ((CAST(n AS DOUBLE) * q_${a}_$b - CAST(s_$a AS DOUBLE) * s_$b)
+         |     / sqrt((CAST(n AS DOUBLE) * q_${a}_$a - CAST(s_$a AS DOUBLE) * s_$a)
+         |          * (CAST(n AS DOUBLE) * q_${b}_$b - CAST(s_$b AS DOUBLE) * s_$b))))
+         |    AS BIGINT) AS r_milli
+         |FROM mom""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH mom AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    $sums,
+       |    $crosses
+       |  FROM lineitem
+       |)
+       |$pairSelects
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_cuped", qCuped, Some(qCupedSql)),
     Q("q_ols_multi", qOlsMulti, Some(qOlsMultiSql)),
+    Q("q_corr_matrix", qCorrMatrix, Some(qCorrMatrixSql)),
     Q("q_mannwhitney", qMannwhitney, Some(qMannwhitneySql)),
     Q("q_ks_binned", qKsBinned, Some(qKsBinnedSql)),
     Q("q_welch_ttest", qWelchTtest, Some(qWelchTtestSql)),

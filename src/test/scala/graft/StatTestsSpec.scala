@@ -226,4 +226,29 @@ class StatTestsSpec extends SparkSpec {
     assert(r2 >= 0 && r2 <= 1, s"R2 out of range: $r2")
     assert(math.abs(r.getAs[Long]("r2_bp") - math.round(10000 * r2)) <= 2)
   }
+
+  test("corr matrix: every pair matches a local Pearson recompute") {
+    val rows = qCorrMatrix(spark, sf).collect()
+    assert(rows.length == 6)
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long"),
+        round(col("l_extendedprice")).cast("long"),
+        round(col("l_discount") * 1000).cast("long"),
+        round(col("l_tax") * 1000).cast("long"))
+      .collect().map(r => Map("qty" -> r.getLong(0), "price" -> r.getLong(1),
+        "disc" -> r.getLong(2), "tax" -> r.getLong(3)))
+    val n = data.length.toDouble
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("col_a"), r.getAs[String]("col_b"))
+      assert(a < b, "pairs are lexicographically ordered")
+      val (xs, ys) = (data.map(_(a)), data.map(_(b)))
+      val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+      val rr = 1000 * ((n * xs.zip(ys).map { case (x, y) => x * y }.sum - sx * sy)
+        / math.sqrt((n * xs.map(x => x * x).sum - sx * sx)
+          * (n * ys.map(y => y * y).sum - sy * sy)))
+      assert(math.abs(r.getAs[Long]("r_milli") - math.round(rr)) <= 1,
+        s"r for ($a,$b)")
+      assert(math.abs(r.getAs[Long]("r_milli")) <= 1000)
+    }
+  }
 }
