@@ -857,7 +857,89 @@ object Multimodal {
       |FROM lm GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // mm_audio_snr — per-document SIGNAL-TO-NOISE RATIO estimate over the
+  // PCM stub: mm_audio_vad's energy split (speech = frame energy strictly
+  // above the doc mean) reduced to the dB number an audio-corpus quality
+  // filter thresholds on (drop clips under ~X dB before paying for
+  // transcription). SNR = 10·log10(mean speech energy / mean noise
+  // energy), evaluated on the CROSS-MULTIPLIED integer ratio
+  // (se·nn)/(ne·ns) — one exact BIGINT rational through a single log10,
+  // milli-quantized (the ln-quantization precedent); NULL when a side is
+  // empty or zero-energy (both engines via the same CASE).
+  //
+  // Scale shape: one frame explode (linear, 1/32 of bytes) + two
+  // hash-aggregates on doc_id. No windows, no sorts.
+  // ---------------------------------------------------------------------
+  def mmAudioSnr(s: SparkSession, d: String): DataFrame = {
+    val frameLen = 32
+    val frames = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        expr(s"length(text) div $frameLen").cast("long").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("text"), col("n_frames"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1)).as(Seq("ig", "f")))
+      .select(col("doc_id"), col("text"), col("n_frames"), col("f"),
+        posexplode(sequence(lit(0), lit(frameLen - 1))).as(Seq("ig2", "j")))
+      .select(col("doc_id"), col("n_frames"), col("f"),
+        (ascii(expr(s"substring(text, cast(f * $frameLen + j + 1 as int), 1)"))
+          .cast("long") - 128L).as("v"))
+      .groupBy("doc_id", "n_frames", "f")
+      .agg(sum(col("v") * col("v")).as("energy"))
+    val marked = frames
+      .withColumn("tot", sum("energy").over(Window.partitionBy("doc_id")))
+      .withColumn("speech", col("energy") * col("n_frames") > col("tot"))
+    marked.groupBy("doc_id")
+      .agg(max("n_frames").as("n_frames"),
+        sum(when(col("speech"), 1L).otherwise(0L)).as("ns"),
+        sum(when(col("speech"), col("energy")).otherwise(0L)).as("se"),
+        sum(when(!col("speech"), 1L).otherwise(0L)).as("nn"),
+        sum(when(!col("speech"), col("energy")).otherwise(0L)).as("ne"))
+      .select(col("doc_id"), col("n_frames"),
+        col("ns").as("n_speech"), col("nn").as("n_noise"),
+        expr("""CASE WHEN ns > 0 AND nn > 0 AND ne > 0 AND se > 0
+                THEN CAST(round(10000 * log10((CAST(se AS DOUBLE) * nn)
+                     / (CAST(ne AS DOUBLE) * ns))) AS BIGINT) END""")
+          .as("snr_db_milli"))
+      .orderBy("doc_id")
+  }
+
+  private val mmAudioSnrSql =
+    """WITH meta AS (
+      |  SELECT doc_id, text, CAST(length(text) // 32 AS BIGINT) AS n_frames
+      |  FROM documents WHERE length(text) // 32 > 0
+      |), fr AS (
+      |  SELECT doc_id, n_frames, f.f,
+      |    CAST(sum((ascii(substr(text, CAST(f.f * 32 + j.j + 1 AS INT), 1))
+      |      - 128) * (ascii(substr(text, CAST(f.f * 32 + j.j + 1 AS INT), 1))
+      |      - 128)) AS BIGINT) AS energy
+      |  FROM meta,
+      |    LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS f) f,
+      |    LATERAL (SELECT unnest(generate_series(0, 31)) AS j) j
+      |  GROUP BY doc_id, n_frames, f.f
+      |), marked AS (
+      |  SELECT doc_id, n_frames, energy,
+      |    energy * n_frames > CAST(sum(energy) OVER (PARTITION BY doc_id)
+      |      AS BIGINT) AS speech
+      |  FROM fr
+      |), agg AS (
+      |  SELECT doc_id, max(n_frames) AS n_frames,
+      |    CAST(sum(CASE WHEN speech THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+      |    CAST(sum(CASE WHEN speech THEN energy ELSE 0 END) AS BIGINT) AS se,
+      |    CAST(sum(CASE WHEN NOT speech THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+      |    CAST(sum(CASE WHEN NOT speech THEN energy ELSE 0 END) AS BIGINT)
+      |      AS ne
+      |  FROM marked GROUP BY doc_id
+      |)
+      |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames, ns AS n_speech,
+      |  nn AS n_noise,
+      |  CASE WHEN ns > 0 AND nn > 0 AND ne > 0 AND se > 0
+      |    THEN CAST(round(10000 * log10((CAST(se AS DOUBLE) * nn)
+      |         / (CAST(ne AS DOUBLE) * ns))) AS BIGINT) END AS snr_db_milli
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("mm_audio_snr", mmAudioSnr, Some(mmAudioSnrSql)),
     Q("mm_byte_histogram", mmByteHistogram, Some(mmByteHistogramSql)),
     Q("mm_audio_fingerprint", mmAudioFingerprint, Some(mmAudioFingerprintSql)),
     Q("mm_audio_vad", mmAudioVad, Some(mmAudioVadSql)),

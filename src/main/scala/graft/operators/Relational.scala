@@ -1132,6 +1132,92 @@ object Relational {
     * temporal rule rides the lineitem⋈orders join. The testdata generator
     * doesn't enforce order-date ≤ ship-date, so that check reports real
     * violations — the audit visibly has teeth. */
+  /** q_analyze_stats — OPTIMIZER-GRADE COLUMN STATISTICS in one scan (the
+    * ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS equivalent, the
+    * stats a cost-based optimizer's CBO joins/filters feed on): per
+    * numeric lineitem measure — row count, exact NDV, min, max, and the 7
+    * inner EQUI-HEIGHT histogram bounds (octiles). One table scan
+    * EXPLODES each row into its 4 (column, value) pairs; everything after
+    * runs on the per-column VALUE GRIDS (the textQualityTercile
+    * discrete-quantile machinery — cumulative windows over value domains,
+    * never a data sort; the quantile pick is the exact multiply-form
+    * first-crossing 8·cum ≥ k·n ∧ 8·(cum−cnt) < k·n). Long output format
+    * (col_name, stat, v) keeps the schema stable as columns are added.
+    * All exact integers. */
+  def qAnalyzeStats(s: SparkSession, d: String): DataFrame = {
+    val colDefs = Seq("qty" -> "CAST(l_quantity AS BIGINT)",
+      "price" -> "CAST(round(l_extendedprice) AS BIGINT)",
+      "disc" -> "CAST(round(l_discount * 1000) AS BIGINT)",
+      "tax" -> "CAST(round(l_tax * 1000) AS BIGINT)")
+    val pairs = colDefs.map { case (n, e) =>
+      struct(lit(n).as("col_name"), expr(e).as("v")) }
+    val grid = Tables.lineitem(s, d)
+      .select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val summary = grid.groupBy("col_name")
+      .agg(sum("cnt").as("n"), count(lit(1)).as("ndv"),
+        min("v").as("min_v"), max("v").as("max_v"))
+    val wc = Window.partitionBy("col_name").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cum", sum("cnt").over(wc))
+      .join(summary.select(col("col_name"), col("n")), "col_name")
+    val octs = cum
+      .crossJoin(broadcast(s.range(1, 8).select(col("id").as("k"))))
+      .filter(col("cum") * 8 >= col("k") * col("n") &&
+        (col("cum") - col("cnt")) * 8 < col("k") * col("n"))
+      .select(col("col_name"),
+        concat(lit("oct_"), col("k").cast("string")).as("stat"), col("v"))
+    val longStats = summary.select(col("col_name"),
+        explode(array(
+          struct(lit("n").as("stat"), col("n").as("v")),
+          struct(lit("ndv").as("stat"), col("ndv").as("v")),
+          struct(lit("min").as("stat"), col("min_v").as("v")),
+          struct(lit("max").as("stat"), col("max_v").as("v")))).as("p"))
+      .select(col("col_name"), col("p.stat").as("stat"), col("p.v").as("v"))
+    longStats.unionByName(octs).orderBy("col_name", "stat")
+  }
+
+  private val qAnalyzeStatsSql = {
+    val defs = Seq("qty" -> "CAST(l_quantity AS BIGINT)",
+      "price" -> "CAST(round(l_extendedprice) AS BIGINT)",
+      "disc" -> "CAST(round(l_discount * 1000) AS BIGINT)",
+      "tax" -> "CAST(round(l_tax * 1000) AS BIGINT)")
+    val unions = defs.map { case (n, e) =>
+      s"SELECT '$n' AS col_name, $e AS v FROM lineitem" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |$unions
+       |), grid AS (
+       |  SELECT col_name, v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM base GROUP BY col_name, v
+       |), summary AS (
+       |  SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS ndv,
+       |    min(v) AS min_v, max(v) AS max_v
+       |  FROM grid GROUP BY col_name
+       |), cum AS (
+       |  SELECT g.col_name, g.v, g.cnt, s.n,
+       |    CAST(sum(g.cnt) OVER (PARTITION BY g.col_name ORDER BY g.v
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM grid g JOIN summary s ON g.col_name = s.col_name
+       |), octs AS (
+       |  SELECT c.col_name, 'oct_' || CAST(k.k AS VARCHAR) AS stat, c.v
+       |  FROM cum c CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS k) k
+       |  WHERE c.cum * 8 >= k.k * c.n AND (c.cum - c.cnt) * 8 < k.k * c.n
+       |), longstats AS (
+       |  SELECT col_name, 'n' AS stat, n AS v FROM summary
+       |  UNION ALL SELECT col_name, 'ndv', ndv FROM summary
+       |  UNION ALL SELECT col_name, 'min', min_v FROM summary
+       |  UNION ALL SELECT col_name, 'max', max_v FROM summary
+       |)
+       |SELECT col_name, stat, CAST(v AS BIGINT) AS v FROM longstats
+       |UNION ALL
+       |SELECT col_name, stat, CAST(v AS BIGINT) AS v FROM octs
+       |ORDER BY col_name, stat""".stripMargin
+  }
+
   /** q_benford — BENFORD'S-LAW first-digit audit of order totals: the
     * fraud/fabrication screen auditors run on financial columns (Benford
     * 1938; naturally-generated multi-scale amounts follow
@@ -1659,6 +1745,7 @@ object Relational {
     Q("q_zorder_scan", qZorderScan, Some(qZorderScanSql)),
     Q("q_dq_checks", qDqChecks, Some(qDqChecksSql)),
     Q("q_benford", qBenford, Some(qBenfordSql)),
+    Q("q_analyze_stats", qAnalyzeStats, Some(qAnalyzeStatsSql)),
     Q("q_multi_distinct", qMultiDistinct, Some(qMultiDistinctSql)),
     Q("q_top_customer_per_nation", qTopCustomerPerNation, Some(qTopCustomerPerNationSql)),
     Q("q_rollup", qRollup, Some(qRollupSql)),

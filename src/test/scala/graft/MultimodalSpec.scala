@@ -269,4 +269,38 @@ class MultimodalSpec extends SparkSpec {
     dupPairs.foreach { case (k, d) => assert(zero((k, d)) ||
       rows.exists(r => r._1 == k && r._2 == d && r._3 == 0L)) }
   }
+
+  test("audio snr: dB ratio recomputes from the frame-energy split") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Multimodal.mmAudioSnr(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 32)
+    assert(rows.length == docs.length)
+    val byId = docs.toMap
+    rows.foreach { r =>
+      val t = byId(r.getAs[Long]("doc_id"))
+      val nf = t.length / 32
+      val energies = (0 until nf).map { f =>
+        (0 until 32).map { j =>
+          val v = t.charAt(f * 32 + j).toLong - 128; v * v
+        }.sum
+      }
+      val tot = energies.sum
+      val speech = energies.map(e => e * nf > tot)
+      val (se, ns) = (energies.zip(speech).filter(_._2).map(_._1).sum,
+        speech.count(identity).toLong)
+      val (ne, nn) = (energies.zip(speech).filterNot(_._2).map(_._1).sum,
+        speech.count(!_).toLong)
+      assert(r.getAs[Long]("n_frames") == nf.toLong)
+      assert(r.getAs[Long]("n_speech") == ns)
+      assert(r.getAs[Long]("n_noise") == nn)
+      if (ns > 0 && nn > 0 && ne > 0 && se > 0) {
+        val snr = 10000 * math.log10(se.toDouble * nn / (ne.toDouble * ns))
+        assert(math.abs(r.getAs[Long]("snr_db_milli") - math.round(snr)) <= 1)
+        // speech frames are above the mean by construction => SNR > 0
+        assert(r.getAs[Long]("snr_db_milli") > 0)
+      } else assert(r.isNullAt(r.fieldIndex("snr_db_milli")))
+    }
+  }
 }

@@ -282,4 +282,38 @@ class RelationalSpec extends SparkSpec {
     val chi2 = rows.map(_.getAs[Long]("chi2_contrib_milli")).sum
     assert(chi2 > 15510L, s"audit has no teeth: chi2_milli=$chi2")
   }
+
+  test("analyze stats: NDV/min/max/octiles recompute from raw column values") {
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    val rows = operators.Relational.qAnalyzeStats(spark, sf).collect()
+      .map(r => ((r.getAs[String]("col_name"), r.getAs[String]("stat")),
+        r.getAs[Long]("v"))).toMap
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long"),
+        rnd(col("l_extendedprice")).cast("long"),
+        rnd(col("l_discount") * 1000).cast("long"),
+        rnd(col("l_tax") * 1000).cast("long"))
+      .collect()
+    val cols = Map(
+      "qty" -> data.map(_.getLong(0)), "price" -> data.map(_.getLong(1)),
+      "disc" -> data.map(_.getLong(2)), "tax" -> data.map(_.getLong(3)))
+    assert(rows.size == 4 * 11, "4 columns x (4 summary + 7 octiles)")
+    cols.foreach { case (name, vs) =>
+      val n = vs.length.toLong
+      assert(rows((name, "n")) == n)
+      assert(rows((name, "ndv")) == vs.distinct.length.toLong)
+      assert(rows((name, "min")) == vs.min)
+      assert(rows((name, "max")) == vs.max)
+      val sorted = vs.sorted
+      (1 to 7).foreach { k =>
+        // discrete octile: smallest v with 8*rank >= k*n
+        val idx = ((k * n + 7) / 8 - 1).toInt // ceil(k*n/8), 0-based
+        assert(rows((name, s"oct_$k")) == sorted(idx), s"$name oct_$k")
+      }
+      // octiles are monotone and inside [min, max]
+      val octs = (1 to 7).map(k => rows((name, s"oct_$k")))
+      assert(octs.zip(octs.tail).forall { case (a, b) => a <= b })
+      assert(octs.head >= vs.min && octs.last <= vs.max)
+    }
+  }
 }
