@@ -2184,7 +2184,109 @@ object TextAnalysis {
       |    AS avg_fk_milli
       |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // text_heaps_law — VOCABULARY GROWTH (Heaps/Herdan law V = K·nᵝ) fit
+  // over the corpus: how fast does distinct vocabulary grow as tokens
+  // stream in — THE capacity-planning number for vocabulary-sized state
+  // (BPE vocab tables, token-partitioned LMs, inverted indexes: β ≈ 0.5
+  // means 10× corpus ⇒ ~3.2× vocab). Natural corpora sit at β ≈ 0.4–0.6;
+  // template floods push β toward 0 — a drift alarm.
+  //
+  // Scale design: the naive "cumulative distinct in stream order" is an
+  // inherently sequential scan. Instead: each token's FIRST bucket (min
+  // over 64 equal doc buckets — one token-grain hash-aggregate) gives
+  // new-vocab-per-bucket; token counts per bucket give the x axis; both
+  // cumulate over the 64-row bucket grid, and the ln-ln OLS runs on 64
+  // points with every ln MILLI-QUANTIZED to an integer before the moment
+  // sums (order-independent — the text_ngram_entropy identity). β and
+  // ln K close as two shared double expressions from exact integer
+  // moments.
+  // ---------------------------------------------------------------------
+  def textHeapsLaw(s: SparkSession, d: String): DataFrame = {
+    val nb = 64
+    val nDocs = broadcast(Tables.documents(s, d)
+      .agg(count(lit(1)).as("nd")))
+    val toks = Tables.documents(s, d).crossJoin(nDocs)
+      .select(expr(s"(doc_id * $nb) div nd").as("bucket"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .cache()
+    val tb = toks.groupBy("bucket").agg(count(lit(1)).as("t_b"))
+    val vb = toks.groupBy("tok").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("v_b"))
+    val wc = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = tb.join(vb, Seq("bucket"), "left")
+      .select(col("bucket"), col("t_b"),
+        coalesce(col("v_b"), lit(0L)).as("v_b"))
+      .withColumn("tc", sum("t_b").over(wc))
+      .withColumn("vc", sum("v_b").over(wc))
+      .select(
+        expr("CAST(round(1000 * ln(CAST(tc AS DOUBLE))) AS BIGINT)").as("x"),
+        expr("CAST(round(1000 * ln(CAST(vc AS DOUBLE))) AS BIGINT)").as("y"),
+        col("tc"), col("vc"))
+    pts.agg(count(lit(1)).as("n_buckets"),
+        max("tc").as("n_tokens"), max("vc").as("n_vocab"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("n_buckets"), col("n_tokens"), col("n_vocab"),
+        expr("""CAST(round(1000 * ((CAST(n_buckets AS DOUBLE) * sxy
+                - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n_buckets AS DOUBLE) * sxx
+                   - CAST(sx AS DOUBLE) * sx))) AS BIGINT)""").as("beta_milli"),
+        expr("""CAST(round((sy - ((CAST(n_buckets AS DOUBLE) * sxy
+                - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n_buckets AS DOUBLE) * sxx
+                   - CAST(sx AS DOUBLE) * sx)) * sx) / n_buckets)
+                AS BIGINT)""").as("lnk_milli"))
+  }
+
+  private val textHeapsLawSql =
+    """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents
+      |), toks AS (
+      |  SELECT (d.doc_id * 64) // n.nd AS bucket, t.tok
+      |  FROM documents d CROSS JOIN nd n,
+      |    LATERAL (SELECT unnest(regexp_split_to_array(d.text, '\s+'))
+      |             AS tok) t
+      |  WHERE length(t.tok) > 0
+      |), tb AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS t_b FROM toks
+      |  GROUP BY bucket
+      |), vb AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS v_b FROM (
+      |    SELECT tok, min(bucket) AS bucket FROM toks GROUP BY tok
+      |  ) GROUP BY bucket
+      |), pts AS (
+      |  SELECT CAST(round(1000 * ln(CAST(tc AS DOUBLE))) AS BIGINT) AS x,
+      |    CAST(round(1000 * ln(CAST(vc AS DOUBLE))) AS BIGINT) AS y, tc, vc
+      |  FROM (
+      |    SELECT CAST(sum(t.t_b) OVER (ORDER BY t.bucket
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tc,
+      |      CAST(sum(coalesce(v.v_b, 0)) OVER (ORDER BY t.bucket
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vc
+      |    FROM tb t LEFT JOIN vb v ON t.bucket = v.bucket
+      |  )
+      |), mom AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+      |    max(tc) AS n_tokens, max(vc) AS n_vocab,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM pts
+      |)
+      |SELECT n_buckets, n_tokens, n_vocab,
+      |  CAST(round(1000 * ((CAST(n_buckets AS DOUBLE) * sxy
+      |    - CAST(sx AS DOUBLE) * sy)
+      |    / (CAST(n_buckets AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)))
+      |    AS BIGINT) AS beta_milli,
+      |  CAST(round((sy - ((CAST(n_buckets AS DOUBLE) * sxy
+      |    - CAST(sx AS DOUBLE) * sy)
+      |    / (CAST(n_buckets AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+      |    * sx) / n_buckets) AS BIGINT) AS lnk_milli
+      |FROM mom""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_heaps_law", textHeapsLaw, Some(textHeapsLawSql)),
     Q("text_readability", textReadability, Some(textReadabilitySql)),
     Q("text_novelty", textNovelty, Some(textNoveltySql)),
     Q("text_langid_eval", textLangidEval, Some(textLangidEvalSql)),

@@ -55,4 +55,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(!off.queryExecution.optimizedPlan.toString.contains("kmv_distinct"))
     assert(off.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == exact)
   }
+
+  test("kmv_distinct is SQL-callable after install and matches the Column API") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.install(spark)
+    Tables.lineitem(spark, sf)
+      .select(conv(substring(md5(col("l_orderkey").cast("string")), 1, 15),
+        16, 10).cast("long").as("v"), col("l_orderkey"))
+      .createOrReplaceTempView("kmv_probe")
+    val viaSql = spark.sql(
+      "SELECT kmv_distinct(v, 256) AS est FROM kmv_probe")
+      .head.getAs[Long]("est")
+    val viaApi = spark.table("kmv_probe")
+      .agg(functions.KmvDistinct.kmvDistinct(col("v"), 256).as("est"))
+      .head.getAs[Long]("est")
+    assert(viaSql == viaApi, "SQL and Column API must agree exactly")
+    // under k distinct hashes the sketch is exact
+    val exact = spark.table("kmv_probe").select("l_orderkey").distinct().count()
+    if (exact <= 256) assert(viaSql == exact)
+    spark.catalog.dropTempView("kmv_probe")
+  }
 }

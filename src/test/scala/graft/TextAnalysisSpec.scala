@@ -584,4 +584,39 @@ class TextAnalysisSpec extends SparkSpec {
         == scores.map(_._3).sum / texts.length)
     }
   }
+
+  test("heaps law: bucket curve recomputes; closed vocabulary drives beta to 0") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.TextAnalysis.textHeapsLaw(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val nd = docs.length.toLong
+    val toks = docs.flatMap { case (id, t) =>
+      t.split("\\s+").filter(_.nonEmpty).map(w => (id * 64 / nd, w))
+    }
+    assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+    assert(r.getAs[Long]("n_vocab") == toks.map(_._2).distinct.length.toLong)
+    // recompute the ln-ln OLS over the 64-bucket cumulative curve
+    val buckets = toks.map(_._1).distinct.sorted
+    val tB = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val minB = toks.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val vB = minB.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var (tc, vc) = (0L, 0L)
+    val pts = buckets.map { b =>
+      tc += tB(b); vc += vB.getOrElse(b, 0L)
+      (math.round(1000 * math.log(tc.toDouble)),
+        math.round(1000 * math.log(vc.toDouble)))
+    }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val beta = 1000 * ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+    assert(math.abs(r.getAs[Long]("beta_milli") - math.round(beta)) <= 1)
+    // the generator's vocabulary is CLOSED (~31 words): growth saturates in
+    // bucket 0, so the fitted exponent must be ~0 — the template-flood alarm
+    assert(r.getAs[Long]("beta_milli") >= 0 && r.getAs[Long]("beta_milli") < 50)
+  }
 }
