@@ -626,6 +626,49 @@ object Corpus {
        |ORDER BY rk""".stripMargin
   }
 
+  /** corpus_schema_evolution — SCHEMA-EVOLUTION mergeSchema round trip:
+    * generation 1 of a dataset (even doc_ids: doc_id, lang) and generation
+    * 2 (odd doc_ids: + an `extra_chars` column added later) land as two
+    * parquet batches in one dataset directory; the merged read
+    * (mergeSchema=true) must surface gen-1 rows with NULL in the new
+    * column and gen-2 rows with values — the additive-column evolution
+    * every long-lived 100 TB dataset goes through (the reference's corpora
+    * grew columns across pipeline versions the same way;
+    * legiscan_normalizer.py's fuzzy column mapping is the messy cousin).
+    * The per-language aggregate proves both the null surfacing and the
+    * value pass-through; the oracle recomputes the SAME aggregate directly
+    * from `documents` (both generations derive from it), so the round trip
+    * is hash-checked end to end. Staged via Staging.dir (per-JVM unique,
+    * idempotent overwrite), cleaned after. */
+  def corpusSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.sources.Staging.dir("schemaevo", d)
+    val base = Tables.documents(s, d)
+    base.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    base.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars").as("extra_chars"))
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    val merged = s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count("extra_chars").as("n_with_extra"),
+        sum(coalesce(col("extra_chars"), lit(0L))).as("sum_extra"))
+      .orderBy("lang")
+    val out = merged.collect()
+    graft.sources.Staging.deleteRecursively(new java.io.File(dir))
+    s.createDataFrame(java.util.Arrays.asList(out: _*), merged.schema)
+      .orderBy("lang")
+  }
+
+  private val corpusSchemaEvolutionSql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_with_extra,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS sum_extra
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   def corpusSample(s: SparkSession, d: String): DataFrame = {
     val rankHash = md5(concat(lit("graft-seed-1"), col("doc_id").cast("string")))
     val w = Window.partitionBy("lang").orderBy(rankHash.asc, col("doc_id").asc)
@@ -1496,6 +1539,7 @@ object Corpus {
     Q("corpus_sample_temperature", corpusSampleTemperature, Some(corpusSampleTemperatureSql)),
     Q("corpus_sample", corpusSample, Some(corpusSampleSql)),
     Q("corpus_sample_weighted", corpusSampleWeighted, Some(corpusSampleWeightedSql)),
+    Q("corpus_schema_evolution", corpusSchemaEvolution, Some(corpusSchemaEvolutionSql)),
     Q("corpus_top_tokens", corpusTopTokens, Some(corpusTopTokensSql)),
     Q("corpus_html_extract", corpusHtmlExtract, Some(corpusHtmlExtractSql)),
     Q("corpus_decode_roundtrip", corpusDecodeRoundtrip, Some(corpusDecodeRoundtripSql)),

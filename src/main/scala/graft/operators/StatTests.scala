@@ -353,6 +353,51 @@ object StatTests {
       |ORDER BY arm""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q_srm_check — SAMPLE-RATIO-MISMATCH guardrail for the user_id%2
+  // experiment split (the same assignment q_cuped analyzes): under a
+  // 50/50 design the 1-df goodness-of-fit χ² collapses to the EXACT
+  // integer identity (n₀−n₁)²/n — if this trips, every downstream test
+  // (CUPED, Welch, Mann–Whitney) on that split is invalid, which is why
+  // real experiment platforms run SRM before any metric. Flag at the 5%
+  // critical value 3.841 via the multiply-form integer compare.
+  //
+  // Scale shape: one distinct-user aggregate (the assignment is
+  // user-grain, so events-grain counting would double-weight heavy
+  // users); everything after is one row of integer arithmetic.
+  // ---------------------------------------------------------------------
+  def qSrmCheck(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .select(col("user_id")).distinct()
+      .select(pmod(col("user_id"), lit(2)).cast("long").as("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_arm0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_arm1"))
+      .select(col("n_users"), col("n_arm0"), col("n_arm1"),
+        expr("(1000 * (n_arm0 - n_arm1) * (n_arm0 - n_arm1)) div n_users")
+          .as("chi2_milli"),
+        expr("(1000 * (n_arm0 - n_arm1) * (n_arm0 - n_arm1)) div n_users"
+          + " > 3841").as("srm_flag"))
+  }
+
+  private val qSrmCheckSql =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events
+      |), arms AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_arm0,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_arm1
+      |  FROM u
+      |)
+      |SELECT n_users, n_arm0, n_arm1,
+      |  CAST((1000 * (n_arm0 - n_arm1) * (n_arm0 - n_arm1)) // n_users
+      |    AS BIGINT) AS chi2_milli,
+      |  (1000 * (n_arm0 - n_arm1) * (n_arm0 - n_arm1)) // n_users > 3841
+      |    AS srm_flag
+      |FROM arms""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q_welch_ttest — WELCH'S UNEQUAL-VARIANCE t-TEST for every pair of
   // customer market segments on account balance: the parametric sibling of
   // q_mannwhitney (rank-based) and the per-pair drill-down under q_anova's
@@ -654,6 +699,7 @@ object StatTests {
     Q("q_cuped", qCuped, Some(qCupedSql)),
     Q("q_ols_multi", qOlsMulti, Some(qOlsMultiSql)),
     Q("q_corr_matrix", qCorrMatrix, Some(qCorrMatrixSql)),
+    Q("q_srm_check", qSrmCheck, Some(qSrmCheckSql)),
     Q("q_mannwhitney", qMannwhitney, Some(qMannwhitneySql)),
     Q("q_ks_binned", qKsBinned, Some(qKsBinnedSql)),
     Q("q_welch_ttest", qWelchTtest, Some(qWelchTtestSql)),

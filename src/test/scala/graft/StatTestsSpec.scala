@@ -251,4 +251,19 @@ class StatTestsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Long]("r_milli")) <= 1000)
     }
   }
+
+  test("srm check: chi2 identity recomputes from distinct user arms") {
+    val rows = qSrmCheck(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val users = Tables.events(spark, sf).select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    val (n0, n1) = (users.count(_ % 2 == 0).toLong, users.count(_ % 2 == 1).toLong)
+    assert(r.getAs[Long]("n_users") == users.length.toLong)
+    assert(r.getAs[Long]("n_arm0") == n0)
+    assert(r.getAs[Long]("n_arm1") == n1)
+    val chi2 = 1000L * (n0 - n1) * (n0 - n1) / users.length
+    assert(r.getAs[Long]("chi2_milli") == chi2)
+    assert(r.getAs[Boolean]("srm_flag") == (chi2 > 3841L))
+  }
 }
