@@ -208,7 +208,8 @@ object ScaleSmoke {
       "mm_image_neardup" -> operators.Multimodal.mmImageNeardup,
       "q_survival_km" -> operators.Sessionize.qSurvivalKm,
       "streaming_kmv" -> streaming.EventStream.streamingKmv,
-      "q_clustering_coeff" -> operators.Graph.qClusteringCoeff)
+      "q_clustering_coeff" -> operators.Graph.qClusteringCoeff,
+      "sim_label_spread" -> operators.Similarity.simLabelSpread)
     val queries =
       if (args.isEmpty) allQueries else allQueries.filter(q => args.contains(q._1))
 

@@ -1555,7 +1555,145 @@ object Similarity {
        |FROM agg a CROSS JOIN mxs m""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // sim_label_spread — SEMI-SUPERVISED LABEL PROPAGATION over the
+  // embedding kNN graph (Zhu & Ghahramani 2002, clamped form): 25% of
+  // vectors keep their labels as seeds; two rounds of cosine-weighted
+  // majority vote spread labels to unlabeled neighbors — the
+  // auto-labeling step a curation pipeline runs when human labels cover
+  // a sliver of the corpus (weak supervision over the semantic graph).
+  // Distinct from Graph.q_label_propagation: that partitions a
+  // co-occurrence graph into communities; this TRANSFERS ground-truth
+  // labels along embedding similarity, and the output carries the
+  // agreement audit against the held-back truth.
+  //
+  // Determinism + scale: the graph is the LSH-bucketed kNN (sim_knn_graph
+  // machinery — bucket joins, never all-pairs); vote weights are
+  // milli-quantized cosines (INTEGER sums — no float accumulation
+  // order); argmax per node via a rank-1 window partitioned by node with
+  // (weight desc, label asc) tie-breaks; clamping = labeled nodes never
+  // re-vote. Two unrolled rounds keep the whole thing closed-form SQL.
+  //
+  // The `agree` column audits transfer quality against the held-back
+  // truth. On THIS synthetic corpus it reads ~chance (measured 1-NN label
+  // agreement is ~1/|labels| — the generator's labels are not
+  // geometrically clustered), which is precisely what the audit is for:
+  // it tells you whether spreading is trustworthy BEFORE you train on the
+  // pseudo-labels.
+  // ---------------------------------------------------------------------
+  def simLabelSpread(s: SparkSession, d: String): DataFrame = {
+    val emb = sigRelation(s, d)
+    val wk = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val knn = emb.as("a").join(emb.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        (vecDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cosine"))
+      .withColumn("rk", row_number().over(wk).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("vec_id"), col("nbr_id"),
+        expr("CAST(round(1000 * cosine) AS BIGINT)").as("w"))
+      .cache()
+    val labels = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label_true"))
+    val seeds = labels.filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select(col("vec_id"), col("label_true").as("lbl"))
+    val wv = Window.partitionBy("vec_id")
+      .orderBy(col("ws").desc, col("lbl").asc)
+    def voteRound(labeled: DataFrame): DataFrame =
+      knn.join(labeled.withColumnRenamed("vec_id", "nbr_id"), "nbr_id")
+        .join(labeled.select("vec_id"), Seq("vec_id"), "left_anti")
+        .groupBy("vec_id", "lbl").agg(sum("w").as("ws"))
+        .withColumn("vrk", row_number().over(wv))
+        .filter(col("vrk") === 1)
+        .select("vec_id", "lbl")
+    val l1 = seeds.unionByName(voteRound(seeds)).cache()
+    val fin = l1.unionByName(voteRound(l1))
+    labels
+      .join(seeds.select(col("vec_id"), lit(true).as("is_seed")),
+        Seq("vec_id"), "left")
+      .join(fin, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("is_seed"), "seed")
+          .when(col("lbl").isNotNull, "spread").otherwise("none").as("status"),
+        col("lbl").as("label_hat"), col("label_true"),
+        when(col("lbl").isNotNull, col("lbl") === col("label_true"))
+          .as("agree"))
+      .orderBy("vec_id")
+  }
+
+  private val simLabelSpreadSql = {
+    val planeRows = planes.zipWithIndex
+      .map { case (pl, i) => s"($i, [${pl.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       |      AS nrm
+       |  FROM embeddings
+       |), planes(p, pl) AS (
+       |  VALUES $planeRows
+       |), sig AS (
+       |  SELECT v.vec_id,
+       |    CAST(sum(CASE WHEN list_dot_product(v.e, planes.pl) >= 0
+       |      THEN 1 << planes.p ELSE 0 END) AS BIGINT) AS sig
+       |  FROM v CROSS JOIN planes GROUP BY v.vec_id
+       |), scored AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |    list_dot_product(x.e, y.e) / (x.nrm * y.nrm) AS cosine
+       |  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+       |  JOIN v x ON x.vec_id = a.vec_id
+       |  JOIN v y ON y.vec_id = b.vec_id
+       |), knn AS (
+       |  SELECT vec_id, nbr_id, CAST(round(1000 * cosine) AS BIGINT) AS w
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cosine DESC, nbr_id) AS rk
+       |    FROM scored
+       |  ) WHERE rk <= 3
+       |), seeds AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings
+       |  WHERE vec_id % 4 = 0
+       |), v1 AS (
+       |  SELECT k.vec_id, s.lbl, CAST(sum(k.w) AS BIGINT) AS ws
+       |  FROM knn k JOIN seeds s ON k.nbr_id = s.vec_id
+       |  WHERE k.vec_id NOT IN (SELECT vec_id FROM seeds)
+       |  GROUP BY k.vec_id, s.lbl
+       |), r1 AS (
+       |  SELECT vec_id, lbl FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ws DESC, lbl) AS vrk FROM v1
+       |  ) WHERE vrk = 1
+       |), l1 AS (
+       |  SELECT * FROM seeds UNION ALL SELECT * FROM r1
+       |), v2 AS (
+       |  SELECT k.vec_id, l.lbl, CAST(sum(k.w) AS BIGINT) AS ws
+       |  FROM knn k JOIN l1 l ON k.nbr_id = l.vec_id
+       |  WHERE k.vec_id NOT IN (SELECT vec_id FROM l1)
+       |  GROUP BY k.vec_id, l.lbl
+       |), r2 AS (
+       |  SELECT vec_id, lbl FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ws DESC, lbl) AS vrk FROM v2
+       |  ) WHERE vrk = 1
+       |), fin AS (
+       |  SELECT * FROM l1 UNION ALL SELECT * FROM r2
+       |)
+       |SELECT e.vec_id,
+       |  CASE WHEN s.vec_id IS NOT NULL THEN 'seed'
+       |    WHEN f.lbl IS NOT NULL THEN 'spread' ELSE 'none' END AS status,
+       |  f.lbl AS label_hat, CAST(e.label AS BIGINT) AS label_true,
+       |  CASE WHEN f.lbl IS NOT NULL THEN f.lbl = CAST(e.label AS BIGINT)
+       |    END AS agree
+       |FROM embeddings e
+       |LEFT JOIN seeds s ON e.vec_id = s.vec_id
+       |LEFT JOIN fin f ON e.vec_id = f.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("sim_label_spread", simLabelSpread, Some(simLabelSpreadSql)),
     Q("sim_bucket_purity", simBucketPurity, Some(simBucketPuritySql)),
     Q("sim_matryoshka", simMatryoshka, Some(simMatryoshkaSql)),
     Q("sim_ann_sq", simAnnSq, Some(simAnnSqSql)),

@@ -390,4 +390,52 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("nmi_bp") == 10000L * 2 * iSum / (hbSum + hlSum))
     assert(r.getAs[Long]("nmi_bp") >= 0 && r.getAs[Long]("nmi_bp") <= 10000)
   }
+
+  test("label spread: two clamped vote rounds recompute from local kNN") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Similarity.simLabelSpread(spark, sf).collect()
+    val data = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        x.getSeq[Float](2).map(_.toDouble).toArray))
+    assert(rows.length == data.length)
+    val planes = operators.Similarity.planes.map(_.toArray)
+    def sig(v: Array[Double]): Long =
+      planes.zipWithIndex.map { case (pl, p) =>
+        if (pl.indices.map(i => pl(i) * v(i)).sum >= 0) 1L << p else 0L
+      }.sum
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    // local kNN: top-3 by cosine within the same signature bucket
+    val bySig = data.groupBy(x => sig(x._3))
+    val knn = data.flatMap { case (id, _, v) =>
+      bySig(sig(v)).filter(_._1 != id)
+        .map(o => (o._1, dot(v, o._3) / (nrm(v) * nrm(o._3))))
+        .sortBy(x => (-x._2, x._1)).take(3)
+        .map { case (nbr, c) => (id, nbr, math.round(1000 * c)) }
+    }
+    val truth = data.map(x => (x._1, x._2)).toMap
+    var labeled = data.collect { case (id, l, _) if id % 4 == 0 => (id, l) }.toMap
+    val seedSet = labeled.keySet
+    (1 to 2).foreach { _ =>
+      val votes = knn.filter(e => !labeled.contains(e._1) && labeled.contains(e._2))
+        .groupBy(_._1).view.mapValues { es =>
+          es.groupBy(e => labeled(e._2)).view.mapValues(_.map(_._3).sum)
+            .toSeq.sortBy(x => (-x._2, x._1)).head._1
+        }.toMap
+      labeled = labeled ++ votes
+    }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val expSt = if (seedSet(id)) "seed"
+        else if (labeled.contains(id)) "spread" else "none"
+      assert(r.getAs[String]("status") == expSt, s"status for $id")
+      assert(r.getAs[Long]("label_true") == truth(id))
+      if (labeled.contains(id)) {
+        assert(r.getAs[Long]("label_hat") == labeled(id), s"label for $id")
+        assert(r.getAs[Boolean]("agree") == (labeled(id) == truth(id)))
+      } else assert(r.isNullAt(r.fieldIndex("label_hat")))
+    }
+  }
 }
