@@ -1222,8 +1222,45 @@ object Sessionize {
       |    AS surv_bp
       |FROM ls ORDER BY t_days""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_freshness_audit — PER-STREAM DATA FRESHNESS: each event type's last
+  // seen timestamp, its lag behind the newest event anywhere, and a
+  // staleness flag at 60 minutes — the first dashboard any ingest
+  // pipeline ships (a silently-dead upstream shows up here hours before
+  // it shows up as a wrong aggregate; the reference polls its API sources
+  // with exactly this recency bookkeeping in the tracker,
+  // utils.py ProcessingTracker). Exact integer ms/minute arithmetic;
+  // multiply-form flag. One conditional aggregate per type + one
+  // broadcast global max — a single scan.
+  // ---------------------------------------------------------------------
+  def qFreshnessAudit(s: SparkSession, d: String): DataFrame = {
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val perType = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max(ms).as("last_ms"))
+    val mx = broadcast(perType.agg(max("last_ms").as("mx")))
+    perType.crossJoin(mx)
+      .select(col("event_type"), col("n_events"), col("last_ms"),
+        expr("(mx - last_ms) div 60000").as("lag_minutes"),
+        (col("mx") - col("last_ms") > 3600000L).as("stale"))
+      .orderBy("event_type")
+  }
+
+  private val qFreshnessAuditSql =
+    """WITH pt AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(max(epoch_ms(ts)) AS BIGINT) AS last_ms
+      |  FROM events GROUP BY event_type
+      |), mx AS (SELECT max(last_ms) AS mx FROM pt)
+      |SELECT p.event_type, p.n_events, p.last_ms,
+      |  CAST((m.mx - p.last_ms) // 60000 AS BIGINT) AS lag_minutes,
+      |  m.mx - p.last_ms > 3600000 AS stale
+      |FROM pt p CROSS JOIN mx m
+      |ORDER BY p.event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_survival_km", qSurvivalKm, Some(qSurvivalKmSql)),
+    Q("q_freshness_audit", qFreshnessAudit, Some(qFreshnessAuditSql)),
     Q("q_user_lifespan", qUserLifespan, Some(qUserLifespanSql)),
     Q("q_funnel_windowed", qFunnelWindowed, Some(qFunnelWindowedSql)),
     Q("q_rolling_wau", qRollingWau, Some(qRollingWauSql)),

@@ -1692,7 +1692,87 @@ object Similarity {
        |ORDER BY e.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // sim_embedding_drift — EMBEDDING DISTRIBUTION DRIFT between two corpus
+  // snapshots (here: even vs odd vec_ids standing in for yesterday/today):
+  // per label, the squared L2 distance between the snapshot MEAN vectors
+  // plus the population-share shift — the monitor that catches a silently
+  // retrained/upgraded embedding model or a topic shift in arriving data
+  // BEFORE stale IVF centroids and LSH buckets quietly lose recall (every
+  // ANN index in this library assumes the vector distribution it was
+  // built on).
+  //
+  // Exactness: per-dim means are EXACT integer micro-unit means (the IVF
+  // Lloyd idiom — Σ round(x·1e6) with one truncating div), so the drift
+  // statistic is pure BIGINT arithmetic — no float accumulation order
+  // anywhere. Scale shape: one dim-explode (×64, map-side) into a
+  // (side × label × dim) hash-aggregate — bounded metadata after one
+  // scan; the side join runs on that grid.
+  // ---------------------------------------------------------------------
+  def simEmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(asDouble(col("embedding"))).as(Seq("pos", "val")))
+      .select(col("label"), pmod(col("vec_id"), lit(2)).cast("long").as("side"),
+        col("pos"), expr("CAST(round(val * 1000000) AS BIGINT)").as("vm"))
+    val means = dims.groupBy("side", "label", "pos")
+      .agg(count(lit(1)).as("n"), sum("vm").as("sv"))
+      .withColumn("m", expr("sv div n"))
+      .cache()
+    val drift = means.filter(col("side") === 0).as("a")
+      .join(means.filter(col("side") === 1).as("b"),
+        col("a.label") === col("b.label") && col("a.pos") === col("b.pos"))
+      .select(col("a.label").as("label"),
+        ((col("a.m") - col("b.m")) * (col("a.m") - col("b.m"))).as("d2"))
+      .groupBy("label").agg(sum("d2").as("drift_l2sq"))
+    val counts = means.filter(col("pos") === 0)
+      .groupBy("label")
+      .agg(sum(when(col("side") === 0, col("n")).otherwise(0L)).as("n_ref"),
+        sum(when(col("side") === 1, col("n")).otherwise(0L)).as("n_cur"))
+    counts.join(drift, "label")
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        expr("(10000 * abs(n_ref - n_cur)) div (n_ref + n_cur)")
+          .as("share_shift_bp"),
+        col("drift_l2sq"))
+      .orderBy("label")
+  }
+
+  private val simEmbeddingDriftSql =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    embedding::DOUBLE[] AS e
+      |  FROM embeddings
+      |), x AS (
+      |  SELECT label, vec_id % 2 AS side,
+      |    unnest(generate_series(0, array_length(e) - 1)) AS pos,
+      |    CAST(round(unnest(e) * 1000000) AS BIGINT) AS vm
+      |  FROM v
+      |), means AS (
+      |  SELECT side, label, pos, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(CAST(sum(vm) AS BIGINT) // count(*) AS BIGINT) AS m
+      |  FROM x GROUP BY side, label, pos
+      |), drift AS (
+      |  SELECT a.label, CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT)
+      |    AS drift_l2sq
+      |  FROM means a JOIN means b
+      |    ON a.label = b.label AND a.pos = b.pos
+      |    AND a.side = 0 AND b.side = 1
+      |  GROUP BY a.label
+      |), counts AS (
+      |  SELECT label,
+      |    CAST(sum(CASE WHEN side = 0 THEN n ELSE 0 END) AS BIGINT) AS n_ref,
+      |    CAST(sum(CASE WHEN side = 1 THEN n ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM means WHERE pos = 0 GROUP BY label
+      |)
+      |SELECT c.label, c.n_ref, c.n_cur,
+      |  CAST((10000 * abs(c.n_ref - c.n_cur)) // (c.n_ref + c.n_cur)
+      |    AS BIGINT) AS share_shift_bp,
+      |  d.drift_l2sq
+      |FROM counts c JOIN drift d ON c.label = d.label
+      |ORDER BY c.label""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("sim_embedding_drift", simEmbeddingDrift, Some(simEmbeddingDriftSql)),
     Q("sim_label_spread", simLabelSpread, Some(simLabelSpreadSql)),
     Q("sim_bucket_purity", simBucketPurity, Some(simBucketPuritySql)),
     Q("sim_matryoshka", simMatryoshka, Some(simMatryoshkaSql)),

@@ -457,4 +457,26 @@ class SessionizeSpec extends SparkSpec {
       } else assert(r.getAs[Long]("surv_bp") == 0L)
     }
   }
+
+  test("freshness audit: lags recompute from raw per-type max timestamps") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Sessionize.qFreshnessAudit(spark, sf).collect()
+    val ms = functions.TimeFunctions.nsToMs("ts")
+    val ev = Tables.events(spark, sf).select(col("event_type"), ms.as("ms"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("event_type")).toSet == byType.keySet)
+    val mx = ev.map(_._2).max
+    rows.foreach { r =>
+      val g = byType(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") == g.length.toLong)
+      val last = g.map(_._2).max
+      assert(r.getAs[Long]("last_ms") == last)
+      assert(r.getAs[Long]("lag_minutes") == (mx - last) / 60000)
+      assert(r.getAs[Boolean]("stale") == (mx - last > 3600000L))
+    }
+    // at least one type is the global max => lag 0, not stale
+    assert(rows.exists(r => r.getAs[Long]("lag_minutes") == 0L
+      && !r.getAs[Boolean]("stale")))
+  }
 }

@@ -438,4 +438,32 @@ class SimilaritySpec extends SparkSpec {
       } else assert(r.isNullAt(r.fieldIndex("label_hat")))
     }
   }
+
+  test("embedding drift: integer mean distance recomputes from raw vectors") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Similarity.simEmbeddingDrift(spark, sf).collect()
+    val data = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        x.getSeq[Float](2).map(v => math.round(v.toDouble * 1e6)).toArray))
+    val byLabel = data.groupBy(_._2)
+    assert(rows.map(_.getAs[Long]("label")).toSet == byLabel.keySet)
+    rows.foreach { r =>
+      val g = byLabel(r.getAs[Long]("label"))
+      val ref = g.filter(_._1 % 2 == 0)
+      val cur = g.filter(_._1 % 2 == 1)
+      assert(r.getAs[Long]("n_ref") == ref.length.toLong)
+      assert(r.getAs[Long]("n_cur") == cur.length.toLong)
+      def mean(vs: Array[(Long, Long, Array[Long])], d: Int): Long =
+        vs.map(_._3(d)).sum / vs.length // truncating, matches div
+      val drift = (0 until 64).map { d =>
+        val diff = mean(ref, d) - mean(cur, d); diff * diff
+      }.sum
+      assert(r.getAs[Long]("drift_l2sq") == drift,
+        s"drift for label ${r.getAs[Long]("label")}")
+      val (nr, nc) = (ref.length.toLong, cur.length.toLong)
+      assert(r.getAs[Long]("share_shift_bp")
+        == 10000L * math.abs(nr - nc) / (nr + nc))
+    }
+  }
 }
