@@ -669,6 +669,67 @@ object Corpus {
       |    AS sum_extra
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** corpus_token_budget — EXACT TOKEN-BUDGET APPORTIONMENT by the
+    * largest-remainder (Hamilton) method: given a 1M-token training
+    * budget, allocate per source proportionally to its token mass with
+    * floor quotas, then hand the leftover tokens one each to the largest
+    * fractional remainders — Σ alloc = budget EXACTLY (naive
+    * round(B·wᵢ) over- or under-shoots, and at 10k sources the drift is
+    * thousands of tokens). The integer apportionment step downstream of
+    * corpus_mix_weights' mixture design: weights decide the ratios, this
+    * turns them into per-source token counts a sampler can actually
+    * draw. Everything exact integers: quota = (B·nᵢ) div N, remainder =
+    * (B·nᵢ) mod N, leftover = B − Σ quota handed out by a
+    * (remainder desc, source asc) rank over the ≤|sources| grid. */
+  def corpusTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val budget = 1000000L
+    val perSrc = Tables.documents(s, d)
+      .select(col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("toks"))
+      .groupBy("source").agg(sum("toks").as("n_tokens"))
+      .cache()
+    val tot = broadcast(perSrc.agg(sum("n_tokens").as("n")))
+    val wr = Window.orderBy(col("rem").desc, col("source").asc)
+    val quotas = perSrc.crossJoin(tot)
+      .withColumn("quota", expr(s"($budget * n_tokens) div n"))
+      .withColumn("rem", expr(s"($budget * n_tokens) % n"))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+    val leftover = broadcast(quotas.agg(
+      (lit(budget) - sum("quota")).as("left")))
+    quotas.crossJoin(leftover)
+      .select(col("source"), col("n_tokens"),
+        expr("(10000 * n_tokens) div n").as("share_bp"),
+        (col("quota") + when(col("rk") <= col("left"), 1L).otherwise(0L))
+          .as("alloc_tokens"),
+        (col("rk") <= col("left")).as("got_extra"))
+      .orderBy("source")
+  }
+
+  private val corpusTokenBudgetSql =
+    """WITH ps AS (
+      |  SELECT source,
+      |    CAST(sum(array_length(regexp_split_to_array(text, '\s+')))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n FROM ps
+      |), q AS (
+      |  SELECT p.source, p.n_tokens, t.n,
+      |    (1000000 * p.n_tokens) // t.n AS quota,
+      |    (1000000 * p.n_tokens) % t.n AS rem
+      |  FROM ps p CROSS JOIN tot t
+      |), ranked AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source)
+      |    AS BIGINT) AS rk
+      |  FROM q
+      |), lo AS (SELECT 1000000 - CAST(sum(quota) AS BIGINT) AS lefto FROM q)
+      |SELECT r.source, r.n_tokens,
+      |  CAST((10000 * r.n_tokens) // r.n AS BIGINT) AS share_bp,
+      |  CAST(r.quota + CASE WHEN r.rk <= l.lefto THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc_tokens,
+      |  r.rk <= l.lefto AS got_extra
+      |FROM ranked r CROSS JOIN lo l
+      |ORDER BY r.source""".stripMargin
+
   def corpusSample(s: SparkSession, d: String): DataFrame = {
     val rankHash = md5(concat(lit("graft-seed-1"), col("doc_id").cast("string")))
     val w = Window.partitionBy("lang").orderBy(rankHash.asc, col("doc_id").asc)
@@ -1540,6 +1601,7 @@ object Corpus {
     Q("corpus_sample", corpusSample, Some(corpusSampleSql)),
     Q("corpus_sample_weighted", corpusSampleWeighted, Some(corpusSampleWeightedSql)),
     Q("corpus_schema_evolution", corpusSchemaEvolution, Some(corpusSchemaEvolutionSql)),
+    Q("corpus_token_budget", corpusTokenBudget, Some(corpusTokenBudgetSql)),
     Q("corpus_top_tokens", corpusTopTokens, Some(corpusTopTokensSql)),
     Q("corpus_html_extract", corpusHtmlExtract, Some(corpusHtmlExtractSql)),
     Q("corpus_decode_roundtrip", corpusDecodeRoundtrip, Some(corpusDecodeRoundtripSql)),

@@ -1258,9 +1258,105 @@ object Sessionize {
       |FROM pt p CROSS JOIN mx m
       |ORDER BY p.event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_peak_concurrency — PEAK CONCURRENT SESSIONS per day via the
+  // sweep-line (+1/−1) identity: 30-min-gap sessions become interval
+  // [start_min, end_min] rows, each contributes +1 at its start minute
+  // and −1 after its end minute, and the running sum over the MINUTE grid
+  // is exactly the number of simultaneously-open sessions — the capacity
+  // number (connection pools, executor counts, rate limits) that
+  // avg-sessions-per-day can miss by an order of magnitude.
+  //
+  // Scale design: the naive formulation sorts all interval endpoints
+  // globally; here deltas hash-aggregate to the BOUNDED minute grid
+  // (calendar-sized — ~43k rows/month regardless of data volume), with a
+  // zero-delta day-start spine so sessions spanning midnight carry their
+  // count into the next day's max, and the one cumulative window runs on
+  // that grid. Session building is the standard per-user lag window
+  // (partitioned by user — data-grain but user-parallel).
+  // ---------------------------------------------------------------------
+  def qPeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val gapMs = 1800000L
+    val ms = graft.functions.TimeFunctions.nsToMs("ts")
+    val wUser = Window.partitionBy("user_id").orderBy("ms")
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), ms.as("ms"))
+      .withColumn("prev", lag("ms", 1).over(wUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("ms") - col("prev") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_sess").over(wUser))
+      .groupBy("user_id", "sid")
+      .agg(expr("min(ms) div 60000").as("m0"),
+        expr("max(ms) div 60000").as("m1"))
+      .cache()
+    val deltas = sess.select(col("m0").as("m"), lit(1L).as("delta"))
+      .unionByName(sess.select((col("m1") + 1).as("m"), lit(-1L).as("delta")))
+    // zero-delta spine at each day start: carries midnight-spanning counts
+    val spine = sess.agg(min("m0").as("lo"), max("m1").as("hi"))
+      .select(explode(sequence(expr("lo div 1440"), expr("hi div 1440")))
+        .as("day"))
+      .select((col("day") * 1440).as("m"), lit(0L).as("delta"))
+    val wc = Window.orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val act = deltas.unionByName(spine)
+      .groupBy("m").agg(sum("delta").as("d"))
+      .withColumn("active", sum("d").over(wc))
+      .withColumn("day", expr("m div 1440"))
+    val peaks = act.groupBy("day").agg(max("active").as("peak_active"))
+    act.join(peaks, Seq("day"))
+      .filter(col("active") === col("peak_active"))
+      .groupBy("day", "peak_active")
+      .agg(min(pmod(col("m"), lit(1440L))).as("at_minute_of_day"))
+      .orderBy("day")
+  }
+
+  private val qPeakConcurrencySql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms FROM events
+      |), lagged AS (
+      |  SELECT user_id, ms,
+      |    lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
+      |  FROM ev
+      |), marked AS (
+      |  SELECT user_id, ms,
+      |    CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END
+      |      AS new_sess
+      |  FROM lagged
+      |), sids AS (
+      |  SELECT user_id, ms,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM marked
+      |), sess AS (
+      |  SELECT user_id, sid, min(ms) // 60000 AS m0, max(ms) // 60000 AS m1
+      |  FROM sids GROUP BY user_id, sid
+      |), deltas AS (
+      |  SELECT m0 AS m, 1 AS delta FROM sess
+      |  UNION ALL SELECT m1 + 1 AS m, -1 AS delta FROM sess
+      |  UNION ALL
+      |  SELECT unnest(generate_series(
+      |      (SELECT min(m0) // 1440 FROM sess),
+      |      (SELECT max(m1) // 1440 FROM sess))) * 1440 AS m, 0 AS delta
+      |), act AS (
+      |  SELECT m, m // 1440 AS day,
+      |    CAST(sum(d) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS active
+      |  FROM (SELECT m, CAST(sum(delta) AS BIGINT) AS d FROM deltas
+      |        GROUP BY m)
+      |), peaks AS (
+      |  SELECT day, max(active) AS peak_active FROM act GROUP BY day
+      |)
+      |SELECT a.day, p.peak_active,
+      |  CAST(min(a.m % 1440) AS BIGINT) AS at_minute_of_day
+      |FROM act a JOIN peaks p ON a.day = p.day AND a.active = p.peak_active
+      |GROUP BY a.day, p.peak_active
+      |ORDER BY a.day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_survival_km", qSurvivalKm, Some(qSurvivalKmSql)),
     Q("q_freshness_audit", qFreshnessAudit, Some(qFreshnessAuditSql)),
+    Q("q_peak_concurrency", qPeakConcurrency, Some(qPeakConcurrencySql)),
     Q("q_user_lifespan", qUserLifespan, Some(qUserLifespanSql)),
     Q("q_funnel_windowed", qFunnelWindowed, Some(qFunnelWindowedSql)),
     Q("q_rolling_wau", qRollingWau, Some(qRollingWauSql)),

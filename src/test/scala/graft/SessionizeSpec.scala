@@ -479,4 +479,38 @@ class SessionizeSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Long]("lag_minutes") == 0L
       && !r.getAs[Boolean]("stale")))
   }
+
+  test("peak concurrency: sweep-line equals a naive minute-by-minute recount") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Sessionize.qPeakConcurrency(spark, sf).collect()
+    val ms = functions.TimeFunctions.nsToMs("ts")
+    val ev = Tables.events(spark, sf).select(col("user_id"), ms.as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // naive sessions per user (30-min gap), then per-minute active recount
+    val sessions = ev.groupBy(_._1).values.toSeq.flatMap { g =>
+      val ts = g.map(_._2).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = ts.head; var prev = ts.head
+      ts.tail.foreach { t =>
+        if (t - prev > 1800000L) { out += ((start / 60000, prev / 60000)); start = t }
+        prev = t
+      }
+      out += ((start / 60000, prev / 60000))
+      out.toSeq
+    }
+    val lo = sessions.map(_._1).min / 1440
+    val hi = sessions.map(_._2).max / 1440
+    val naive = (lo to hi).map { day =>
+      val minutes = (day * 1440) until ((day + 1) * 1440)
+      val counts = minutes.map(m => (m, sessions.count(s => s._1 <= m && m <= s._2)))
+      val peak = counts.map(_._2).max
+      (day, peak.toLong, counts.find(_._2 == peak).get._1 % 1440)
+    }.filter(_._2 > 0)
+    assert(rows.length == naive.length)
+    rows.zip(naive).foreach { case (r, (day, peak, atMin)) =>
+      assert(r.getAs[Long]("day") == day)
+      assert(r.getAs[Long]("peak_active") == peak, s"peak for day $day")
+      assert(r.getAs[Long]("at_minute_of_day") == atMin, s"argmin for day $day")
+    }
+  }
 }
