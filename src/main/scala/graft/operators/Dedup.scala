@@ -1069,7 +1069,117 @@ object Dedup {
       |  CAST((10000 * sum(n_dup)) // sum(n_win) AS BIGINT) AS dup_bp
       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // dedup_sketch_calibration — MINHASH ESTIMATOR CALIBRATION: for a
+  // deterministic linear pair sample (each doc vs its id-successor),
+  // compare the k=16 MinHash Jaccard ESTIMATE (signature agreement share)
+  // against the EXACT shingle Jaccard, reported as an error histogram +
+  // integer mean absolute error — the empirical accuracy statement behind
+  // every threshold choice in the MinHash family (at k=16 the binomial
+  // std error is ~12 points at j=0.5; this query MEASURES it on the real
+  // corpus instead of trusting the formula). Sibling of sim_recall_eval:
+  // that grades retrieval, this grades the sketch itself.
+  //
+  // Portability: signatures use the md5-prefix hash (min over shingles of
+  // the 60-bit integer), so DuckDB recomputes the IDENTICAL estimates —
+  // the histogram is hash-exactly oracled, unlike the xxhash64 production
+  // signatures in dedup_minhash_lsh (there the estimate is internal and
+  // only exact-verified pairs surface; here the estimate IS the output).
+  //
+  // Scale shape: one shingle scan → a 16-min hash-aggregate (map-side
+  // partial); the successor pair join is an equi shift-join on doc_id;
+  // exact Jaccard only on the n−1 sampled pairs (linear, never pairs²).
+  // ---------------------------------------------------------------------
+  def dedupSketchCalibration(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val sh = shingleRelation(s, d)
+    val hCols = (0 until k).map { i =>
+      min(conv(substring(md5(concat(lit(s"graft-mh$i:"), col("shingle"))),
+        1, 15), 16, 10).cast("long")).as(s"h$i")
+    }
+    val sig = sh.groupBy("doc_id")
+      .agg(hCols.head, (hCols.tail :+ count(lit(1)).as("n_sh")): _*)
+      .cache()
+    val pairs = sig.as("a").join(sig.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_a"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"),
+        (0 until k).map(i =>
+          when(col(s"a.h$i") === col(s"b.h$i"), 1L).otherwise(0L))
+          .reduce(_ + _).as("matches"))
+    val exact = sh.as("sa").join(sh.as("sb"),
+        col("sb.doc_id") === col("sa.doc_id") + 1 &&
+          col("sb.shingle") === col("sa.shingle"))
+      .groupBy(col("sa.doc_id").as("doc_a"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs.join(exact, Seq("doc_a"), "left")
+      .select(col("doc_a"),
+        expr(s"(matches * 10000) div $k").as("est_bp"),
+        expr("(10000 * coalesce(n_common, 0))"
+          + " div (na + nb - coalesce(n_common, 0))").as("true_bp"))
+      .withColumn("abs_err", abs(col("est_bp") - col("true_bp")))
+      .groupBy(expr("abs_err div 1000").as("err_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(abs_err) div count(1)").as("mean_abs_err_bp"),
+        min("true_bp").as("min_true_bp"), max("true_bp").as("max_true_bp"))
+      .orderBy("err_bucket")
+  }
+
+  private val dedupSketchCalibrationSql = {
+    val hv = (0 until 15).map { j =>
+      s"(strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) * ${BigInt(16).pow(14 - j)}"
+    }.mkString(" + ")
+    val sigSel = (0 until 16).map { i =>
+      s"""min(CASE WHEN hk = $i THEN v END) AS h$i"""
+    }.mkString(",\n    ")
+    val matches = (0 until 16).map(i =>
+      s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleCte,
+       |hashed AS (
+       |  SELECT doc_id, hk, $hv AS v
+       |  FROM (SELECT doc_id, hk.hk AS hk,
+       |          md5('graft-mh' || CAST(hk.hk AS VARCHAR) || ':' || shingle)
+       |            AS h
+       |        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15))
+       |          AS hk) hk)
+       |), sig0 AS (
+       |  SELECT doc_id, hk, min(v) AS v FROM hashed GROUP BY doc_id, hk
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigSel
+       |  FROM sig0 GROUP BY doc_id
+       |), sizes AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh
+       |  GROUP BY doc_id
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, za.n_sh AS na, zb.n_sh AS nb,
+       |    CAST($matches AS BIGINT) AS matches
+       |  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+       |  JOIN sizes za ON za.doc_id = a.doc_id
+       |  JOIN sizes zb ON zb.doc_id = b.doc_id
+       |), exact AS (
+       |  SELECT sa.doc_id AS doc_a, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM sh sa JOIN sh sb ON sb.doc_id = sa.doc_id + 1
+       |    AND sb.shingle = sa.shingle
+       |  GROUP BY sa.doc_id
+       |), scored AS (
+       |  SELECT p.doc_a,
+       |    CAST((p.matches * 10000) // 16 AS BIGINT) AS est_bp,
+       |    CAST((10000 * coalesce(e.n_common, 0))
+       |      // (p.na + p.nb - coalesce(e.n_common, 0)) AS BIGINT) AS true_bp
+       |  FROM pairs p LEFT JOIN exact e ON p.doc_a = e.doc_a
+       |)
+       |SELECT CAST(abs(est_bp - true_bp) // 1000 AS BIGINT) AS err_bucket,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(CAST(sum(abs(est_bp - true_bp)) AS BIGINT) // count(*)
+       |    AS BIGINT) AS mean_abs_err_bp,
+       |  min(true_bp) AS min_true_bp, max(true_bp) AS max_true_bp
+       |FROM scored GROUP BY 1 ORDER BY err_bucket""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("dedup_sketch_calibration", dedupSketchCalibration,
+      Some(dedupSketchCalibrationSql)),
     Q("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     Q("dedup_retention_funnel", dedupRetentionFunnel, Some(dedupRetentionFunnelSql)),
     Q("dedup_cluster_canonical", dedupClusterCanonical, Some(dedupClusterCanonicalSql)),

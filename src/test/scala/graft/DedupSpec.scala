@@ -301,4 +301,44 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("dup_bp") == 10000L * dup / ws.length)
     }
   }
+
+  test("sketch calibration: estimates and histogram recompute from raw shingles") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Dedup.dedupSketchCalibration(spark, sf).collect()
+    // local shingle sets from the shared relation
+    val sh = operators.Dedup.shinglesOf(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("shingle")))
+    val sets = sh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s0: String): Long = {
+      val hex = md.digest(s0.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def sig(doc: Set[String]): Array[Long] =
+      (0 until 16).map(i => doc.map(t => h60(s"graft-mh$i:$t")).min).toArray
+    val sigs = sets.view.mapValues(sig).toMap
+    val pairs = sets.keys.toSeq.sorted.flatMap { a =>
+      if (sets.contains(a + 1)) {
+        val m = (0 until 16).count(i => sigs(a)(i) == sigs(a + 1)(i)).toLong
+        val common = (sets(a) & sets(a + 1)).size.toLong
+        val est = m * 10000 / 16
+        val truth = 10000 * common /
+          (sets(a).size + sets(a + 1).size - common)
+        Some(math.abs(est - truth))
+      } else None
+    }
+    val hist = pairs.groupBy(_ / 1000).view.mapValues(v =>
+      (v.length.toLong, v.sum / v.length)).toMap
+    assert(rows.map(_.getAs[Long]("err_bucket")).toSet == hist.keySet)
+    rows.foreach { r =>
+      val (n, mean) = hist(r.getAs[Long]("err_bucket"))
+      assert(r.getAs[Long]("n_pairs") == n)
+      assert(r.getAs[Long]("mean_abs_err_bp") == mean)
+    }
+    // calibration teeth: most pairs must land in the lowest error bucket
+    val n0 = hist.getOrElse(0L, (0L, 0L))._1
+    assert(n0 * 2 > pairs.length, "estimator should usually be within 10%")
+  }
 }
