@@ -463,9 +463,74 @@ object TimeSeries {
       |FROM trended t LEFT JOIN season se ON t.dow = se.dow
       |ORDER BY t.day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q_seasonality_strength — STL DIAGNOSTICS (Hyndman & Athanasopoulos,
+  // FPP3 §4.3): seasonal strength 1 − Var(R)/Var(S+R) and trend strength
+  // 1 − Var(R)/Var(T+R) over q_stl_decompose's components — the two
+  // numbers that decide whether q_seasonal_baseline-style deseasonalizing
+  // (strong S) or q_trend_fit-style detrending (strong T) is worth its
+  // cost for a given metric, instead of eyeballing the decomposition.
+  //
+  // Exactness: variances enter only as the ratio of centered second
+  // moments, each computed from EXACT integer component sums
+  // (n·Σx² − (Σx)²), with ONE shared double division + bp rounding per
+  // strength; floor at 0 per the textbook definition (a ratio > 1 means
+  // the component removed nothing). Composes the cached STL grid — the
+  // whole query re-costs one events aggregate + calendar-grid math.
+  // ---------------------------------------------------------------------
+  def qSeasonalityStrength(s: SparkSession, d: String): DataFrame = {
+    qStlDecompose(s, d)
+      .filter(col("trend_cents").isNotNull)
+      .select(
+        (col("seasonal_cents") + col("remainder_cents")).as("sr"),
+        (col("trend_cents") + col("remainder_cents")).as("tr"),
+        col("remainder_cents").as("r"))
+      .agg(count(lit(1)).as("n_days"),
+        sum("sr").as("s1"), sum(expr("sr * sr")).as("s2"),
+        sum("tr").as("t1"), sum(expr("tr * tr")).as("t2"),
+        sum("r").as("r1"), sum(expr("r * r")).as("r2"))
+      .select(col("n_days"),
+        expr("""greatest(0L, CAST(round(10000 * (1 -
+                (CAST(n_days AS DOUBLE) * r2 - CAST(r1 AS DOUBLE) * r1)
+                / (CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)))
+                AS BIGINT))""").as("seasonal_strength_bp"),
+        expr("""greatest(0L, CAST(round(10000 * (1 -
+                (CAST(n_days AS DOUBLE) * r2 - CAST(r1 AS DOUBLE) * r1)
+                / (CAST(n_days AS DOUBLE) * t2 - CAST(t1 AS DOUBLE) * t1)))
+                AS BIGINT))""").as("trend_strength_bp"))
+  }
+
+  private val qSeasonalityStrengthSql =
+    s"""WITH stl AS (
+       |${qStlDecomposeSql.linesIterator.map("  " + _).mkString("\n")}
+       |), comp AS (
+       |  SELECT seasonal_cents + remainder_cents AS sr,
+       |    trend_cents + remainder_cents AS tr,
+       |    remainder_cents AS r
+       |  FROM stl WHERE trend_cents IS NOT NULL
+       |), mom AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(sum(sr) AS BIGINT) AS s1, CAST(sum(sr * sr) AS BIGINT) AS s2,
+       |    CAST(sum(tr) AS BIGINT) AS t1, CAST(sum(tr * tr) AS BIGINT) AS t2,
+       |    CAST(sum(r) AS BIGINT) AS r1, CAST(sum(r * r) AS BIGINT) AS r2
+       |  FROM comp
+       |)
+       |SELECT n_days,
+       |  greatest(0, CAST(round(10000 * (1 -
+       |    (CAST(n_days AS DOUBLE) * r2 - CAST(r1 AS DOUBLE) * r1)
+       |    / (CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)))
+       |    AS BIGINT)) AS seasonal_strength_bp,
+       |  greatest(0, CAST(round(10000 * (1 -
+       |    (CAST(n_days AS DOUBLE) * r2 - CAST(r1 AS DOUBLE) * r1)
+       |    / (CAST(n_days AS DOUBLE) * t2 - CAST(t1 AS DOUBLE) * t1)))
+       |    AS BIGINT)) AS trend_strength_bp
+       |FROM mom""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_week_agg", qWeekAgg, Some(qWeekAggSql)),
     Q("q_stl_decompose", qStlDecompose, Some(qStlDecomposeSql)),
+    Q("q_seasonality_strength", qSeasonalityStrength,
+      Some(qSeasonalityStrengthSql)),
     Q("q_trend_fit", qTrendFit, Some(qTrendFitSql)),
     Q("q_autocorr", qAutocorr, Some(qAutocorrSql)),
     Q("q_cusum_changepoint", qCusumChangepoint, Some(qCusumChangepointSql)),

@@ -190,4 +190,29 @@ class TimeSeriesSpec extends SparkSpec {
     // seasonal profile is centered: |Σ seasonal over dows| < 7 (truncation)
     assert(math.abs(seasonal.values.sum) < 7)
   }
+
+  test("seasonality strength: FPP3 variance ratios recompute from STL components") {
+    val rows = qSeasonalityStrength(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val comp = qStlDecompose(spark, sf).collect()
+      .filter(!_.isNullAt(3)) // trend_cents present
+      .map(x => (x.getAs[Long]("seasonal_cents") + x.getAs[Long]("remainder_cents"),
+        x.getAs[Long]("trend_cents") + x.getAs[Long]("remainder_cents"),
+        x.getAs[Long]("remainder_cents")))
+    val n = comp.length.toDouble
+    assert(r.getAs[Long]("n_days") == comp.length.toLong)
+    def cvar(xs: Array[Long]): Double =
+      n * xs.map(x => x * x).sum - xs.sum.toDouble * xs.sum
+    val vs = 10000 * (1 - cvar(comp.map(_._3)) / cvar(comp.map(_._1)))
+    val vt = 10000 * (1 - cvar(comp.map(_._3)) / cvar(comp.map(_._2)))
+    assert(math.abs(r.getAs[Long]("seasonal_strength_bp")
+      - math.max(0L, math.round(vs))) <= 1)
+    assert(math.abs(r.getAs[Long]("trend_strength_bp")
+      - math.max(0L, math.round(vt))) <= 1)
+    // bounds
+    Seq("seasonal_strength_bp", "trend_strength_bp").foreach { c =>
+      assert(r.getAs[Long](c) >= 0 && r.getAs[Long](c) <= 10000)
+    }
+  }
 }
