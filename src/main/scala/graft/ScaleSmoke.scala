@@ -26,10 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
+  /** Orderkey replica stride shared by lineitem AND orders staging: the
+    * max over BOTH tables, so an order with no lineitems (o_orderkey
+    * beyond max l_orderkey) can never make replica key ranges overlap
+    * and silently cross-join scaled lineitems to the wrong replica. */
+  private def orderStride(spark: SparkSession, src: String): Long = {
+    val maxL = spark.read.parquet(s"$src/lineitem.parquet")
+      .agg(max("l_orderkey")).head.getLong(0)
+    val maxO = spark.read.parquet(s"$src/orders.parquet")
+      .agg(max("o_orderkey")).head.getLong(0)
+    1L + math.max(maxL, maxO)
+  }
+
   private def stage(spark: SparkSession, src: String, out: String): Unit = {
     val reps = 10
     val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val maxO = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    val maxO = orderStride(spark, src)
     val maxP = li.agg(max("l_partkey")).head.getLong(0) + 1
     val maxS = li.agg(max("l_suppkey")).head.getLong(0) + 1
     val liScaled = (0 until reps).map { r =>
@@ -73,16 +85,15 @@ object ScaleSmoke {
     scaled.write.mode("overwrite").parquet(s"$out/part.parquet")
   }
 
-  /** orders: o_orderkey offset with the SAME maxO stride the lineitem
-    * staging uses (every max l_orderkey = max o_orderkey in this data, so
-    * each scaled lineitem joins exactly its replica's order row), o_custkey
+  /** orders: o_orderkey offset with the SAME shared stride the lineitem
+    * staging uses (max over both tables' orderkeys, so each scaled
+    * lineitem joins exactly its replica's order row), o_custkey
     * offset by its own stride — the customer population grows 10× alongside
     * the order stream, keeping per-customer basket sizes (and so the
     * bipartite HITS degree distribution) unchanged. */
   private[graft] def stageOrders(spark: SparkSession, src: String, out: String): Unit = {
     val reps = 10
-    val maxO = spark.read.parquet(s"$src/lineitem.parquet")
-      .agg(max("l_orderkey")).head.getLong(0) + 1
+    val maxO = orderStride(spark, src)
     val or = spark.read.parquet(s"$src/orders.parquet")
     val maxC = or.agg(max("o_custkey")).head.getLong(0) + 1
     val scaled = (0 until reps).map { r =>

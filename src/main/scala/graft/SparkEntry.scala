@@ -28,6 +28,7 @@ object SparkEntry {
       sources.JsonlSource.all ++
       sources.Quarantine.all ++
       sources.Incremental.all ++
+      sources.ZipIngest.all ++
       sources.CsvSource.all :+
       Q("streaming_sessionize", streaming.EventStream.streamingSessionize,
         Some(streaming.EventStream.streamingSessionizeSql)) :+

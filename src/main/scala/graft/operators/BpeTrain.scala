@@ -36,8 +36,16 @@ object BpeTrain {
   def textBpeTrain(s: SparkSession, d: String): DataFrame =
     bpeTrainOn(Tables.documents(s, d).select("doc_id", "text"), rounds)
 
+  /** Training output: the merge table plus the fully-merged word-type
+    * symbol sequence (word, freq, pos, sym) — the artifact ENCODE applies
+    * back to document token streams. */
+  private[graft] final case class BpeResult(stats: DataFrame, finalSeq: DataFrame)
+
   /** BPE core over any (doc_id, text) relation — spec-drivable. */
-  private[graft] def bpeTrainOn(docs: DataFrame, r: Int): DataFrame = {
+  private[graft] def bpeTrainOn(docs: DataFrame, r: Int): DataFrame =
+    bpeRun(docs, r).stats
+
+  private[graft] def bpeRun(docs: DataFrame, r: Int): BpeResult = {
     val toks = docs
       .select(explode(split(regexp_replace(col("text"), "^\\s+|\\s+$", ""),
         "\\s+")).as("word"))
@@ -102,11 +110,14 @@ object BpeTrain {
       stats = if (stats == null) stat else stats.unionByName(stat)
       seq = merged
     }
-    stats.orderBy("round")
+    BpeResult(stats.orderBy("round"), seq)
   }
 
-  private val textBpeTrainSql: String = {
-    def round(r: Int): String = {
+  /** Shared DuckDB CTE text for one merge round (p/best/cand/real/m/s
+    * chain, no stat row) — composed by BOTH the train oracle (which adds
+    * per-round stat CTEs) and the encode oracle (which only needs the
+    * final sequence s{R+1}). */
+  private def roundCoreSql(r: Int): String = {
       val prev = s"s$r"
       s"""p$r AS (
          |  SELECT word, freq, pos, sym,
@@ -144,19 +155,28 @@ object BpeTrain {
          |      AS BIGINT) AS pos,
          |    sym
          |  FROM m$r
-         |), stat$r AS (
-         |  SELECT CAST($r AS BIGINT) AS round, b.ba AS sym_a, b.bb AS sym_b,
-         |    b.bcnt AS pair_count,
-         |    (SELECT CAST(sum(freq) AS BIGINT) FROM s${r + 1}) AS n_symbols_after
-         |  FROM best$r b
          |)""".stripMargin
-    }
-    val roundCtes = (1 to rounds).map(round).mkString(",\n")
-    val unions = (1 to rounds).map(r => s"SELECT * FROM stat$r").mkString("\nUNION ALL ")
-    s"""WITH toks AS (
-       |  SELECT unnest(regexp_split_to_array(
+  }
+
+  private def statSql(r: Int): String =
+    s"""stat$r AS (
+       |  SELECT CAST($r AS BIGINT) AS round, b.ba AS sym_a, b.bb AS sym_b,
+       |    b.bcnt AS pair_count,
+       |    (SELECT CAST(sum(freq) AS BIGINT) FROM s${r + 1}) AS n_symbols_after
+       |  FROM best$r b
+       |)""".stripMargin
+
+  /** Shared prelude: word-type counts and the initial per-char sequence.
+    * `docToks` additionally keeps doc_id-grain tokens for the encode
+    * oracle; the word-type path reads through it so both oracles tokenize
+    * identically. */
+  private val preludeSql: String =
+    s"""dtoks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(
        |    regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS word
        |  FROM documents
+       |), toks AS (
+       |  SELECT word FROM dtoks
        |), wc AS (
        |  SELECT word, count(*) AS freq FROM toks WHERE length(word) > 0
        |  GROUP BY word
@@ -164,13 +184,99 @@ object BpeTrain {
        |  SELECT word, freq, CAST(i - 1 AS BIGINT) AS pos, substr(word, i, 1) AS sym
        |  FROM (SELECT word, freq, unnest(generate_series(1, length(word))) AS i
        |        FROM wc)
-       |),
+       |)""".stripMargin
+
+  private val textBpeTrainSql: String = {
+    val roundCtes = (1 to rounds)
+      .map(r => roundCoreSql(r) + ",\n" + statSql(r)).mkString(",\n")
+    val unions = (1 to rounds).map(r => s"SELECT * FROM stat$r").mkString("\nUNION ALL ")
+    s"""WITH $preludeSql,
        |$roundCtes
        |$unions
        |ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // text_bpe_encode — APPLY the learned merge table to tokenize the whole
+  // corpus (training learns 4 merges; real pipelines then ENCODE every
+  // document under them — this is the corpus-scale application pass). Per
+  // document: whitespace words, characters, BPE token count under the
+  // learned vocab, and fertility (BPE tokens per word, basis points) —
+  // the number a tokenizer-budget planner actually consumes — plus the
+  // same document's token count under the regex proxy
+  // (text_bpe_token_count) so learned-vs-proxy fertility is auditable
+  // side by side.
+  //
+  // Plan shape: encoding is a WORD-TYPE join, not a per-token rewrite —
+  // the merge loop runs on the word-type relation (bounded by vocabulary,
+  // not corpus size; the same property that makes training feasible), the
+  // per-type symbol count collapses from the final sequence by one
+  // hash-aggregate, and the corpus-sized work is a single equi-join of the
+  // doc→word token stream against that word-type table (broadcastable
+  // when the vocab is small; AQE skew-splits the hot stopword keys
+  // otherwise) followed by one per-doc aggregate. Exact integers
+  // everywhere; fertility via integer div.
+  //
+  // At 100 TB: train once on a sample / checkpoint the merge table, then
+  // this encode pass streams the corpus through one join+aggregate — no
+  // iteration touches corpus-grain data.
+  // ---------------------------------------------------------------------
+  def textBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val fin = bpeRun(docs, rounds).finalSeq
+    val wordTok = fin.groupBy("word").agg(count(lit(1)).as("n_sym"))
+    val docToks = docs
+      .select(col("doc_id"),
+        explode(split(regexp_replace(col("text"), "^\\s+|\\s+$", ""),
+          "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    docToks.join(wordTok, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum("n_sym").as("n_bpe_tokens"))
+      .join(docs.select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]|[^a-z0-9\\s]+"), lit(0)))
+          .cast("long").as("n_proxy_tokens")), "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        expr("(10000 * n_bpe_tokens) div n_words").as("fertility_bp"),
+        col("n_proxy_tokens"),
+        expr("(10000 * n_proxy_tokens) div n_words").as("proxy_fertility_bp"))
+      .orderBy("doc_id")
+  }
+
+  private val textBpeEncodeSql: String = {
+    val roundCtes = (1 to rounds).map(roundCoreSql).mkString(",\n")
+    s"""WITH $preludeSql,
+       |$roundCtes,
+       |wt AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n_sym
+       |  FROM s${rounds + 1} GROUP BY word
+       |), enc AS (
+       |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+       |    CAST(sum(wt.n_sym) AS BIGINT) AS n_bpe_tokens
+       |  FROM dtoks d JOIN wt ON d.word = wt.word
+       |  WHERE length(d.word) > 0
+       |  GROUP BY d.doc_id
+       |), prox AS (
+       |  SELECT doc_id, CAST(array_length(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]|[^a-z0-9\\s]+')) AS BIGINT) AS n_proxy_tokens
+       |  FROM documents
+       |)
+       |SELECT e.doc_id, e.n_words, e.n_chars, e.n_bpe_tokens,
+       |  CAST((10000 * e.n_bpe_tokens) // e.n_words AS BIGINT) AS fertility_bp,
+       |  p.n_proxy_tokens,
+       |  CAST((10000 * p.n_proxy_tokens) // e.n_words AS BIGINT)
+       |    AS proxy_fertility_bp
+       |FROM enc e JOIN prox p ON e.doc_id = p.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
-    Q("text_bpe_train", textBpeTrain, Some(textBpeTrainSql))
+    Q("text_bpe_train", textBpeTrain, Some(textBpeTrainSql)),
+    Q("text_bpe_encode", textBpeEncode, Some(textBpeEncodeSql))
   )
 }

@@ -1259,11 +1259,13 @@ object Relational {
     s"""WITH exp(digit, p_milli) AS (
        |  VALUES $pmRows
        |), obs AS (
-       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice) AS BIGINT)
+       |  -- TRY_CAST: a negative total's first char is '-', which Spark's
+       |  -- cast NULLs (then filters); a hard CAST would make DuckDB raise
+       |  SELECT TRY_CAST(substr(CAST(CAST(round(o_totalprice) AS BIGINT)
        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
        |    CAST(count(*) AS BIGINT) AS n_obs
        |  FROM orders
-       |  GROUP BY 1 HAVING CAST(substr(CAST(CAST(round(o_totalprice)
+       |  GROUP BY 1 HAVING TRY_CAST(substr(CAST(CAST(round(o_totalprice)
        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) >= 1
        |), tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
        |SELECT o.digit, o.n_obs,

@@ -1507,7 +1507,12 @@ object Similarity {
       .crossJoin(broadcast(bm.agg(sum("mx").as("mx_sum"))))
       .select(col("n_vecs"), col("n_buckets"), col("n_labels"),
         expr("(10000 * mx_sum) div n_vecs").as("purity_bp"),
-        expr("(10000 * 2 * i_sum) div (hb_sum + hl_sum)").as("nmi_bp"))
+        // degenerate partition (one bucket AND one label) has zero
+        // entropy on both axes: define NMI = 0 there, identically in the
+        // oracle (Spark's div would return NULL, DuckDB's // would raise)
+        expr("""CASE WHEN hb_sum + hl_sum = 0 THEN 0L
+                ELSE (10000 * 2 * i_sum) div (hb_sum + hl_sum) END""")
+          .as("nmi_bp"))
   }
 
   private val simBucketPuritySql = {
@@ -1550,7 +1555,8 @@ object Similarity {
        |), mxs AS (SELECT CAST(sum(mx) AS BIGINT) AS mx_sum FROM bm)
        |SELECT a.n_vecs, a.n_buckets, a.n_labels,
        |  CAST((10000 * m.mx_sum) // a.n_vecs AS BIGINT) AS purity_bp,
-       |  CAST((10000 * 2 * a.i_sum) // (a.hb_sum + a.hl_sum) AS BIGINT)
+       |  CAST(CASE WHEN a.hb_sum + a.hl_sum = 0 THEN 0
+       |    ELSE (10000 * 2 * a.i_sum) // (a.hb_sum + a.hl_sum) END AS BIGINT)
        |    AS nmi_bp
        |FROM agg a CROSS JOIN mxs m""".stripMargin
   }

@@ -414,7 +414,10 @@ object StatTests {
   //
   // Scale shape: data touched once (partial-agg to |segments| rows);
   // everything after is constant-size. Σv² of whole units holds BIGINT
-  // headroom through sf1000.
+  // through sf1000, but the centered numerator n·Σv² − (Σv)² would NOT
+  // ((Σv)² overflows BIGINT near sf20) — so, like qOlsMulti, both engines
+  // cast to DOUBLE before the n·Σ products; milli quantization absorbs
+  // the ulp.
   // ---------------------------------------------------------------------
   def qWelchTtest(s: SparkSession, d: String): DataFrame = {
     val mom = Tables.customer(s, d)
@@ -428,9 +431,9 @@ object StatTests {
         col("a.n").as("n1"), col("a.sv").as("s1"), col("a.qv").as("q1"),
         col("b.n").as("n2"), col("b.sv").as("s2"), col("b.qv").as("q2"))
       .withColumn("va", expr(
-        "((n1 * q1 - s1 * s1) / (n1 * (n1 - 1.0))) / n1"))
+        "((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1) / (n1 * (n1 - 1.0))) / n1"))
       .withColumn("vb", expr(
-        "((n2 * q2 - s2 * s2) / (n2 * (n2 - 1.0))) / n2"))
+        "((CAST(n2 AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2) / (n2 * (n2 - 1.0))) / n2"))
       .select(col("g1"), col("g2"), col("n1"), col("n2"),
         expr("s1 div n1").as("mean1_units"),
         expr("s2 div n2").as("mean2_units"),
@@ -453,8 +456,10 @@ object StatTests {
       |), pairs AS (
       |  SELECT a.g AS g1, b.g AS g2, a.n AS n1, a.sv AS s1, a.qv AS q1,
       |    b.n AS n2, b.sv AS s2, b.qv AS q2,
-      |    ((a.n * a.qv - a.sv * a.sv) / (a.n * (a.n - 1.0))) / a.n AS va,
-      |    ((b.n * b.qv - b.sv * b.sv) / (b.n * (b.n - 1.0))) / b.n AS vb
+      |    ((CAST(a.n AS DOUBLE) * a.qv - CAST(a.sv AS DOUBLE) * a.sv)
+      |      / (a.n * (a.n - 1.0))) / a.n AS va,
+      |    ((CAST(b.n AS DOUBLE) * b.qv - CAST(b.sv AS DOUBLE) * b.sv)
+      |      / (b.n * (b.n - 1.0))) / b.n AS vb
       |  FROM mom a JOIN mom b ON a.g < b.g
       |)
       |SELECT g1, g2, n1, n2,
@@ -474,13 +479,14 @@ object StatTests {
   // this answers "does ANY segment differ" first, controlling the
   // pairwise-testing multiplicity).
   //
-  // Exactness: the k-row moment grid yields SSB/SSW in CENTI-units via
-  // per-group truncating integer division (100·s_g² div n_g — exact
-  // integer ops, deterministic on both engines; the ≤1-centi truncation
-  // per group is identical on both sides, NOT a float hazard). F and
-  // eta² come from the integer centi-sums: eta2_bp fully integer, f_centi
-  // one per-row double division. Whole-unit values keep 100·s² under
-  // BIGINT through sf1.
+  // Exactness: the k-row moment grid yields SSB/SSW in CENTI-units; the
+  // per-group 100·s_g²/n_g product runs in DOUBLE (100·s_g² would
+  // overflow BIGINT already below sf1) rounded to a centi BIGINT by the
+  // IDENTICAL round() on both engines, so the cross-group SUM stays an
+  // order-independent integer. F and eta² come from the integer
+  // centi-sums: eta2_bp fully integer, f_centi one per-row double
+  // division. The ≤1-centi rounding per group is engine-identical, NOT a
+  // float-summation hazard.
   //
   // Scale shape: one data pass to k moment rows; the rest is constant.
   // ---------------------------------------------------------------------
@@ -493,11 +499,14 @@ object StatTests {
       sum(expr("v * v")).as("q_all")))
     base.groupBy("g")
       .agg(count(lit(1)).as("n_g"), sum("v").as("s_g"))
-      .select(expr("(100 * s_g * s_g) div n_g").as("bss_centi"))
+      .select(expr(
+        "CAST(round((100 * (CAST(s_g AS DOUBLE) * s_g)) / n_g) AS BIGINT)")
+        .as("bss_centi"))
       .agg(count(lit(1)).as("k_groups"), sum("bss_centi").as("bss_centi"))
       .crossJoin(grand)
       .withColumn("ssb_centi",
-        expr("bss_centi - (100 * s_all * s_all) div n_total"))
+        expr("""bss_centi - CAST(round((100 * (CAST(s_all AS DOUBLE) * s_all))
+                / n_total) AS BIGINT)"""))
       .withColumn("ssw_centi", expr("100 * q_all - bss_centi"))
       .select(col("k_groups"), col("n_total"),
         col("ssb_centi"), col("ssw_centi"),
@@ -516,7 +525,8 @@ object StatTests {
       |    CAST(sum(v) AS BIGINT) AS s_all, CAST(sum(v * v) AS BIGINT) AS q_all
       |  FROM base
       |), grp AS (
-      |  SELECT CAST((100 * sum(v) * sum(v)) // count(*) AS BIGINT) AS bss_centi
+      |  SELECT CAST(round((100 * (CAST(sum(v) AS DOUBLE) * sum(v)))
+      |    / count(*)) AS BIGINT) AS bss_centi
       |  FROM base GROUP BY g
       |), agg AS (
       |  SELECT CAST(count(*) AS BIGINT) AS k_groups,
@@ -524,7 +534,8 @@ object StatTests {
       |  FROM grp
       |), parts AS (
       |  SELECT a.k_groups, g.n_total,
-      |    CAST(a.bss_centi - (100 * g.s_all * g.s_all) // g.n_total AS BIGINT)
+      |    CAST(a.bss_centi - CAST(round((100 * (CAST(g.s_all AS DOUBLE)
+      |      * g.s_all)) / g.n_total) AS BIGINT) AS BIGINT)
       |      AS ssb_centi,
       |    CAST(100 * g.q_all - a.bss_centi AS BIGINT) AS ssw_centi
       |  FROM agg a CROSS JOIN grand g

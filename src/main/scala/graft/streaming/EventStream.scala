@@ -425,10 +425,28 @@ object EventStream {
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged.toString)
+    // foreachBatch + executor-side parquet write, NOT a memory sink: the
+    // memory sink funnels every output row through the driver, which is
+    // exactly the collect() anti-pattern at 100 TB. Complete mode can't
+    // use the parquet FILE sink (append-only), so each batch OVERWRITES
+    // the output dir with the sink's latest full answer (Complete
+    // re-emits the full table every trigger, INCLUDING the final no-data
+    // watermark batch, so overwrite is safe); Append/Update emit
+    // incrementally, so their batches APPEND — an overwrite would let the
+    // final empty watermark batch wipe the real output. The out dir is
+    // per-query-kind stable (nanoTime suffix stripped), so repeated calls
+    // in a long session overwrite instead of accumulating.
+    val outDir = graft.sources.Staging.dir(
+      "stream_out_" + queryName.replaceAll("_\\d+$", ""), dir)
+    val outFile = new java.io.File(outDir)
+    if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
+    val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
     val q = build(src).writeStream
       .outputMode(mode)
-      .format("memory")
-      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode(saveMode).parquet(outDir)
+      }
+      .option("checkpointLocation", staged.resolve("ckpt").toString)
       .trigger(Trigger.ProcessingTime(0))
       .start()
     try {
@@ -436,16 +454,10 @@ object EventStream {
     } finally {
       q.stop()
     }
-    // materialize off the memory sink, then release everything the replay
-    // allocated: the driver-resident sink table, and the staged copy —
-    // repeated calls in a long session must not accumulate either
-    val sink = s.table(queryName)
-    val result = s.createDataFrame(
-      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-    s.catalog.dropTempView(queryName)
-    staged.toFile.listFiles().foreach(_.delete())
-    java.nio.file.Files.deleteIfExists(staged)
-    result
+    // release the staged input copy + checkpoint; the parquet output stays
+    // (stable path, overwritten next call) and is read back LAZILY
+    graft.sources.Staging.deleteRecursively(staged.toFile)
+    s.read.parquet(outDir)
   }
 
   case class CdcFeed(doc_id: Long, op: String, h2: String)
@@ -518,20 +530,22 @@ object EventStream {
         StructField("h2", StringType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(staged.toString)
-    val queryName = s"stream_cdc_${System.nanoTime()}"
+    // parquet FILE sink (append across the 3 micro-batches), the
+    // streaming_join_outer materialization path: the emitted key-grain
+    // post-images land executor-side, never through a driver memory sink
+    val outDir = graft.sources.Staging.dir("stream_cdc_out", dir)
+    val outFile = new java.io.File(outDir)
+    if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
     val q = cdcApply(src, initial).toDF().writeStream
       .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(queryName)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", staged.resolve("ckpt").toString)
       .trigger(Trigger.ProcessingTime(0))
       .start()
     try q.processAllAvailable() finally q.stop()
-    val sink = s.table(queryName)
-    val emitted = s.createDataFrame(
-      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-    s.catalog.dropTempView(queryName)
-    staged.toFile.listFiles().foreach(_.delete())
-    java.nio.file.Files.deleteIfExists(staged)
+    val emitted = s.read.parquet(outDir)
+    graft.sources.Staging.deleteRecursively(staged.toFile)
     // CDC-sink assembly: emitted post-images override, deletes drop,
     // untouched base rows pass through as rev 0
     base.join(emitted, Seq("doc_id"), "full_outer")
@@ -849,11 +863,16 @@ object EventStream {
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged.toString)
-    val queryName = s"stream_late_${System.nanoTime()}"
+    // parquet FILE sink (append-mode windowed agg), the
+    // streaming_join_outer materialization path — no driver memory sink
+    val outDir = graft.sources.Staging.dir("stream_late_out", dir)
+    val outFile = new java.io.File(outDir)
+    if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
     val q = lateDropAgg(src).writeStream
       .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(queryName)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", staged.resolve("ckpt").toString)
       .trigger(Trigger.ProcessingTime(0))
       .start()
     try {
@@ -862,17 +881,8 @@ object EventStream {
       java.nio.file.Files.move(firstPart(b2Dir), staged.resolve("events_b2.parquet"))
       q.processAllAvailable()
     } finally q.stop()
-    val sink = s.table(queryName)
-    val result = s.createDataFrame(
-      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
-    s.catalog.dropTempView(queryName)
-    new java.io.File(staged.toString).listFiles().filter(_.isFile).foreach(_.delete())
-    Seq(b1Dir, b2Dir).foreach { d =>
-      val f = new java.io.File(d)
-      if (f.exists()) { f.listFiles().foreach(_.delete()); f.delete() }
-    }
-    java.nio.file.Files.deleteIfExists(staged)
-    result.orderBy("win_ms", "event_type")
+    graft.sources.Staging.deleteRecursively(staged.toFile)
+    s.read.parquet(outDir).orderBy("win_ms", "event_type")
   }
 
   /** Batch restatement of the drop rule: batch-1 rows only (within 2 h of

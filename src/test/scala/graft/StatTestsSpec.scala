@@ -90,11 +90,14 @@ class StatTestsSpec extends SparkSpec {
     val groups = bal.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     assert(r.getAs[Long]("k_groups") == groups.size.toLong)
     assert(r.getAs[Long]("n_total") == bal.length.toLong)
-    // same centi-unit integer path as the operator (truncating divs)
-    val bss = groups.values.map(v => 100L * v.sum * v.sum / v.length).sum
+    // same centi-unit path as the operator: per-group 100·s² product in
+    // DOUBLE (BIGINT would overflow below sf1) rounded to centi, then
+    // integer sums
+    val bss = groups.values
+      .map(v => math.round(100 * (v.sum.toDouble * v.sum) / v.length)).sum
     val sAll = bal.map(_._2).sum
     val qAll = bal.map(x => x._2 * x._2).sum
-    val ssb = bss - 100L * sAll * sAll / bal.length
+    val ssb = bss - math.round(100 * (sAll.toDouble * sAll) / bal.length)
     val ssw = 100L * qAll - bss
     assert(r.getAs[Long]("ssb_centi") == ssb)
     assert(r.getAs[Long]("ssw_centi") == ssw)
