@@ -34,6 +34,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence ONLY the window package's "No Partition Defined" WARN: every
+    // surviving unpartitioned window in the suite is a provably bounded
+    // metadata-grid window (PlanSpec's guard rejects any data-grain
+    // ntile/percent_rank/cume_dist without a partition), so the flood is
+    // noise that would mask a REAL unpartitioned-window regression
+    // elsewhere in the logs.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory) {
       bench.foreach { case (_, fn) =>
@@ -45,10 +54,18 @@ object Bench {
     // back-to-back per query, so one load spike on the shared machine can't
     // hit all runs of the same query), then take per-query medians.
     val names = bench.keys.toSeq
-    val runs: Seq[Map[String, Double]] = (1 to nRuns).map { _ =>
+    // canonical plan fingerprint per query, captured on the first timed
+    // run (the plan is already forced by execution; hashing its string is
+    // microseconds) — see PlanFingerprint for why
+    val fingerprints = scala.collection.mutable.Map[String, String]()
+    val runs: Seq[Map[String, Double]] = (1 to nRuns).map { runIdx =>
       bench.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try {
+            val df = fn(spark, sfDir)
+            if (runIdx == 1) fingerprints(name) = PlanFingerprint.fingerprint(df)
+            df.count(); true
+          }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         spark.catalog.clearCache() // per-query scratch caches must not skew later queries
@@ -77,8 +94,24 @@ object Bench {
     // BENCH_r*.json came back "parsed": null). The stdout line stays compact
     // and guaranteed parseable: totals + worst-vs-baseline + top-5 slowest.
     val detailPath = new java.io.File("bench_full.json").getAbsolutePath
+    val fps = names.sorted.flatMap(n => fingerprints.get(n).map(f =>
+      s"\"" + n + "\":\"" + f + "\"")).mkString("{", ",", "}")
+    // diff against the committed reference fingerprints: an unchanged
+    // fingerprint certifies a timing swing as machine noise
+    val refFps: Map[String, String] = scala.util.Try {
+      val f = new java.io.File("PLAN_FINGERPRINTS.json")
+      if (!f.isFile) Map.empty[String, String]
+      else {
+        val txt = scala.io.Source.fromFile(f, "UTF-8")
+        val body = try txt.mkString finally txt.close()
+        "\"([^\"]+)\"\\s*:\\s*\"([a-f0-9]+)\"".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2)).toMap
+      }
+    }.getOrElse(Map.empty)
+    val fpChanged = names.sorted.filter(n =>
+      refFps.contains(n) && fingerprints.get(n).exists(_ != refFps(n)))
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"runs":$nRuns,"queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"runs":$nRuns,"queries":$qs,"spread":$spread,"fingerprints":$fps,"fingerprint_changed":${fpChanged.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(detailPath); try w.println(fullJson) finally w.close()
     // baseline medians from BASELINE.md's `| name | median | spread |` table
     val baseline: Map[String, Double] = scala.util.Try {
@@ -104,7 +137,7 @@ object Bench {
       if (ratios.isEmpty) ("none", -1.0) else ratios.maxBy(_._2)
     val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, m, _, _) => s"\"" + k + "\":" + r3(m) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failures":$failures,"runs":$nRuns,"n_queries":${results.size},"worst_ratio_vs_baseline":${r3(worstR)},"worst_query":"$worstQ","queries":$top5,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failures":$failures,"runs":$nRuns,"n_queries":${results.size},"worst_ratio_vs_baseline":${r3(worstR)},"worst_query":"$worstQ","fingerprint_changes":${fpChanged.size},"queries":$top5,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

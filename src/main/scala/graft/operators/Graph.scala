@@ -29,6 +29,65 @@ object Graph {
 
   private val iters = 3
 
+  // ---------------------------------------------------------------------
+  // Staged co-purchase edge layout: the six graph queries each re-derive
+  // the DISTINCT basket² edge relation from lineitem — honest for
+  // per-query benching, but a production pipeline derives the graph ONCE
+  // and runs every algorithm against the staged layout. This stages the
+  // DEGREE-ORIENTED edge relation (src, dst, pdst) as a managed table
+  // bucketed AND sorted on src (BucketedLayout pattern): the wedge
+  // self-join — the dominant cost of triangle counting / clustering
+  // coefficient — then runs as a merge of co-bucketed pre-sorted files
+  // with NO exchange, and the symmetric relation LPA needs is just the
+  // oriented rows unioned with their flips. The `_staged` query variants
+  // below run against this layout under the SAME oracles — the layout is
+  // semantically invisible, only the plan changes.
+  // ---------------------------------------------------------------------
+  private val edgeStaged = scala.collection.mutable.Set[String]()
+
+  private[graft] def ensureEdgesStaged(s: SparkSession, d: String): String =
+    synchronized {
+      val table = "graft_edges_orient_" +
+        d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")
+      if (!edgeStaged.contains(table)) {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+            s"/$table")
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+        graft.sources.Sinks.writeBucketed(
+          orientedEdges(s, d), table, "src", 8, sortCol = Some("src"))
+        edgeStaged += table
+      }
+      table
+    }
+
+  /** The shared derivation: undirected DISTINCT co-purchase edges,
+    * degree-oriented (src = (deg,id)-smaller endpoint, pdst packs the
+    * destination's (deg,id) order) — the q_triangle_count machinery. */
+  private def orientedEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val pk = deg.select(col("node"),
+      (col("deg") * lit(1000000000L) + col("node")).as("pk"))
+    und
+      .join(pk.select(col("node").as("u"), col("pk").as("pu")), "u")
+      .join(pk.select(col("node").as("v"), col("pk").as("pv")), "v")
+      .select(
+        when(col("pu") < col("pv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("pu") < col("pv"), col("v")).otherwise(col("u")).as("dst"),
+        when(col("pu") < col("pv"), col("pv")).otherwise(col("pu")).as("pdst"))
+  }
+
   def qPagerankCopurchase(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
@@ -852,7 +911,76 @@ object Graph {
       |    AS transitivity_bp
       |FROM tri t CROSS JOIN shape s""".stripMargin
 
+  /** q_triangle_count against the staged bucketed edge layout — same
+    * oracle; the wedge self-join runs exchange-free on co-bucketed
+    * pre-sorted files. */
+  def qTriangleCountStaged(s: SparkSession, d: String): DataFrame = {
+    val e = s.table(ensureEdgesStaged(s, d))
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val closing = e.select(col("src").as("cy"), col("dst").as("cz"))
+    val closingSide =
+      if (e.count() < 5000000L) broadcast(closing) else closing
+    val tri = e.as("ab").join(e.as("ac"),
+        col("ab.src") === col("ac.src") && col("ab.pdst") < col("ac.pdst"))
+      .select(col("ab.src").as("x"), col("ab.dst").as("y"),
+        col("ac.dst").as("z"))
+      .join(closingSide,
+        col("y") === col("cy") && col("z") === col("cz"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val w = Window.orderBy(col("n_triangles").desc, col("node").asc)
+    perNode.join(deg, "node")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 50)
+      .select(col("rk"), col("node").as("p_partkey"), col("deg").as("degree"),
+        col("n_triangles"))
+      .orderBy("rk")
+  }
+
+  /** q_clustering_coeff against the staged layout — same oracle. */
+  def qClusteringCoeffStaged(s: SparkSession, d: String): DataFrame = {
+    val e = s.table(ensureEdgesStaged(s, d))
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val closing = e.select(col("src").as("cy"), col("dst").as("cz"))
+    val closingSide =
+      if (e.count() < 5000000L) broadcast(closing) else closing
+    val tri = e.as("ab").join(e.as("ac"),
+        col("ab.src") === col("ac.src") && col("ab.pdst") < col("ac.pdst"))
+      .select(col("ab.dst").as("y"), col("ac.dst").as("z"))
+      .join(closingSide,
+        col("y") === col("cy") && col("z") === col("cz"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val shape = broadcast(deg.agg(
+      count(lit(1)).as("n_nodes"), sum("deg").as("deg_sum"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges")))
+    tri.crossJoin(shape)
+      .select(col("n_nodes"), expr("deg_sum div 2").as("n_edges"),
+        col("n_wedges"), col("n_triangles"),
+        expr("(30000 * n_triangles) div n_wedges").as("transitivity_bp"))
+  }
+
+  /** q_label_propagation against the staged layout — same oracle; the
+    * symmetric relation is the oriented rows plus their flips (each
+    * undirected edge is staged exactly once). */
+  def qLabelPropagationStaged(s: SparkSession, d: String): DataFrame = {
+    val e = s.table(ensureEdgesStaged(s, d))
+    val edges = e.select(col("src"), col("dst"))
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    labelPropagationOn(edges)
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_triangle_count_staged", qTriangleCountStaged, Some(qTriangleCountSql)),
+    Q("q_clustering_coeff_staged", qClusteringCoeffStaged,
+      Some(qClusteringCoeffSql)),
+    Q("q_label_propagation_staged", qLabelPropagationStaged,
+      Some(qLabelPropagationSql)),
     Q("q_hits", qHits, Some(qHitsSql)),
     Q("q_assortativity", qAssortativity, Some(qAssortativitySql)),
     Q("q_clustering_coeff", qClusteringCoeff, Some(qClusteringCoeffSql)),
