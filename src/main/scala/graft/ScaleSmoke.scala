@@ -220,7 +220,20 @@ object ScaleSmoke {
       "q_survival_km" -> operators.Sessionize.qSurvivalKm,
       "streaming_kmv" -> streaming.EventStream.streamingKmv,
       "q_clustering_coeff" -> operators.Graph.qClusteringCoeff,
-      "sim_label_spread" -> operators.Similarity.simLabelSpread)
+      "sim_label_spread" -> operators.Similarity.simLabelSpread,
+      "q_sssp_weighted" -> operators.Graph.qSsspWeighted,
+      "q_peak_concurrency" -> operators.Sessionize.qPeakConcurrency,
+      "q_analyze_stats" -> operators.Relational.qAnalyzeStats,
+      // streaming_join_outer split-measured (the ivfpq build/search
+      // pattern): _stage = the harness half (normalize + sentinel write),
+      // the full query = stage + two-phase watermark replay; replay cost
+      // is the difference
+      "streaming_join_outer_stage" -> { (s, d) =>
+        val (staged, _) = streaming.EventStream.stageJoinOuterInputs(s, d)
+        graft.sources.Staging.deleteRecursively(staged.toFile)
+        s.range(1).toDF("ok")
+      },
+      "streaming_join_outer" -> streaming.EventStream.streamingJoinOuter)
     val queries =
       if (args.isEmpty) allQueries else allQueries.filter(q => args.contains(q._1))
 

@@ -29,6 +29,7 @@ object SparkEntry {
       sources.Quarantine.all ++
       sources.Incremental.all ++
       sources.ZipIngest.all ++
+      sources.TarIngest.all ++
       sources.CsvSource.all :+
       Q("streaming_sessionize", streaming.EventStream.streamingSessionize,
         Some(streaming.EventStream.streamingSessionizeSql)) :+

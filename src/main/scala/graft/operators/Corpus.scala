@@ -655,6 +655,11 @@ object Corpus {
         count("extra_chars").as("n_with_extra"),
         sum(coalesce(col("extra_chars"), lit(0L))).as("sum_extra"))
       .orderBy("lang")
+    // BOUNDED driver collect, deliberate: the collected relation is the
+    // per-language aggregate (≤ |langs| rows, metadata-scale), and
+    // materializing it lets the staging dir be deleted EAGERLY instead of
+    // leaking until session end. The data-grain work above stays
+    // distributed.
     val out = merged.collect()
     graft.sources.Staging.deleteRecursively(new java.io.File(dir))
     s.createDataFrame(java.util.Arrays.asList(out: _*), merged.schema)

@@ -324,7 +324,14 @@ object EventStream {
     * result flows executor→files→scan without ever sitting on the driver,
     * exactly as a production deployment would run it. The output dir is
     * deterministic per dataset and overwritten per call. */
-  def streamingJoinOuter(s: SparkSession, dir: String): DataFrame = {
+  /** The harness-staging half of streamingJoinOuter, split out so the
+    * scale harness (ScaleSmoke) can measure staging vs stream-replay cost
+    * separately (the ivfpq build/search split pattern): normalize events
+    * into the replay dir as batch 1 and write the far-future watermark
+    * sentinel as the (initially hidden) batch 2. Returns (replay dir,
+    * sentinel file to move in as phase 2). */
+  private[graft] def stageJoinOuterInputs(
+      s: SparkSession, dir: String): (java.nio.file.Path, java.nio.file.Path) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = graft.Tables.events(s, dir)
     val maxNs = ev.agg(max("ts")).head().getLong(0)
@@ -343,6 +350,11 @@ object EventStream {
       .coalesce(1).write.parquet(sentinelDir)
     val sentFile = new java.io.File(sentinelDir).listFiles()
       .filter(_.getName.endsWith(".parquet")).head.toPath
+    (staged, sentFile)
+  }
+
+  def streamingJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val (staged, sentFile) = stageJoinOuterInputs(s, dir)
     val src = s.readStream
       .schema(eventsSchema)
       .option("maxFilesPerTrigger", "1")
