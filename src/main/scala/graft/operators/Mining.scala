@@ -157,13 +157,17 @@ object Mining {
       .orderBy(col("k"), col("support").desc, col("itemset"))
   }
 
+  // MATERIALIZED CTEs + SEMI JOIN prunes (the q_kcore oracle precedent):
+  // the plain-CTE + triple-correlated-EXISTS form re-inlined `pairs` (and
+  // its basket self-join) into every EXISTS and took DuckDB >45 min at
+  // sf0.1; this equivalent restatement runs in ~1.5 s with identical rows.
   private val qItemsetsAprioriSql =
-    """WITH baskets AS (
+    """WITH baskets AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey AS ok, p_brand AS item
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
-      |), ms AS (
+      |), ms AS MATERIALIZED (
       |  SELECT count(DISTINCT ok) // 100 AS minsup FROM baskets
-      |), pairs AS (
+      |), pairs AS MATERIALIZED (
       |  SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS support
       |  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.item < b.item
       |  GROUP BY a.item, b.item
@@ -175,9 +179,9 @@ object Mining {
       |    FROM baskets a
       |    JOIN baskets b ON a.ok = b.ok AND a.item < b.item
       |    JOIN baskets c ON a.ok = c.ok AND b.item < c.item) t
-      |  WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.i1 = t.i1 AND p.i2 = t.i2)
-      |    AND EXISTS (SELECT 1 FROM pairs p WHERE p.i1 = t.i1 AND p.i2 = t.i3)
-      |    AND EXISTS (SELECT 1 FROM pairs p WHERE p.i1 = t.i2 AND p.i2 = t.i3)
+      |  SEMI JOIN pairs p12 ON p12.i1 = t.i1 AND p12.i2 = t.i2
+      |  SEMI JOIN pairs p13 ON p13.i1 = t.i1 AND p13.i2 = t.i3
+      |  SEMI JOIN pairs p23 ON p23.i1 = t.i2 AND p23.i2 = t.i3
       |  GROUP BY t.i1, t.i2, t.i3
       |  HAVING count(*) >= (SELECT minsup FROM ms)
       |)
