@@ -96,6 +96,11 @@ object Graph {
         col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
       .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
       .cache()
+    pagerankOn(edges)
+  }
+
+  /** PageRank core over any symmetric (src, dst) edge relation. */
+  private def pagerankOn(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
     // r0 = 1.0 in micro-units; damping 0.85 as integer 850/1000
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
@@ -975,12 +980,24 @@ object Graph {
     labelPropagationOn(edges)
   }
 
+  /** q_pagerank_copurchase against the staged layout — same oracle, same
+    * flip-union symmetric relation as the staged LPA. */
+  def qPagerankCopurchaseStaged(s: SparkSession, d: String): DataFrame = {
+    val e = s.table(ensureEdgesStaged(s, d))
+    val edges = e.select(col("src"), col("dst"))
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    pagerankOn(edges)
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_triangle_count_staged", qTriangleCountStaged, Some(qTriangleCountSql)),
     Q("q_clustering_coeff_staged", qClusteringCoeffStaged,
       Some(qClusteringCoeffSql)),
     Q("q_label_propagation_staged", qLabelPropagationStaged,
       Some(qLabelPropagationSql)),
+    Q("q_pagerank_copurchase_staged", qPagerankCopurchaseStaged,
+      Some(qPagerankCopurchaseSql)),
     Q("q_hits", qHits, Some(qHitsSql)),
     Q("q_assortativity", qAssortativity, Some(qAssortativitySql)),
     Q("q_clustering_coeff", qClusteringCoeff, Some(qClusteringCoeffSql)),
