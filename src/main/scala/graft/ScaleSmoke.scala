@@ -222,6 +222,9 @@ object ScaleSmoke {
       "q_clustering_coeff" -> operators.Graph.qClusteringCoeff,
       "sim_label_spread" -> operators.Similarity.simLabelSpread,
       "q_sssp_weighted" -> operators.Graph.qSsspWeighted,
+      "corpus_warc_ingest" -> sources.WarcIngest.warcIngest,
+      "corpus_compaction_plan" -> sources.Compaction.compactionPlan,
+      "text_bpe_encode" -> operators.BpeTrain.textBpeEncode,
       "q_peak_concurrency" -> operators.Sessionize.qPeakConcurrency,
       "q_analyze_stats" -> operators.Relational.qAnalyzeStats,
       // streaming_join_outer split-measured (the ivfpq build/search

@@ -30,6 +30,8 @@ object SparkEntry {
       sources.Incremental.all ++
       sources.ZipIngest.all ++
       sources.TarIngest.all ++
+      sources.WarcIngest.all ++   // zip/tar/WARC: the container-ingest trio
+      sources.Compaction.all ++
       sources.CsvSource.all :+
       Q("streaming_sessionize", streaming.EventStream.streamingSessionize,
         Some(streaming.EventStream.streamingSessionizeSql)) :+
