@@ -223,6 +223,7 @@ object ScaleSmoke {
       "sim_label_spread" -> operators.Similarity.simLabelSpread,
       "q_sssp_weighted" -> operators.Graph.qSsspWeighted,
       "corpus_warc_ingest" -> sources.WarcIngest.warcIngest,
+      "q_attribution_markov" -> operators.Attribution.qAttributionMarkov,
       "corpus_compaction_plan" -> sources.Compaction.compactionPlan,
       "text_bpe_encode" -> operators.BpeTrain.textBpeEncode,
       "q_peak_concurrency" -> operators.Sessionize.qPeakConcurrency,

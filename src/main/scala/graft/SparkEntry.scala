@@ -16,6 +16,7 @@ object SparkEntry {
       operators.TextAnalysis.all ++
       operators.BpeTrain.all ++
       operators.Sessionize.all ++
+      operators.Attribution.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.Skew.all ++

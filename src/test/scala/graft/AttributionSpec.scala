@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import operators.Attribution
+
+/** Markov removal-effect attribution invariants on sf0.001. */
+class AttributionSpec extends SparkSpec {
+
+  test("transition micro-probabilities conserve mass per (variant, from) up to floor loss") {
+    val t = Attribution.transitionsForTest(spark, sf)
+    val rows = t.groupBy("v", "from")
+      .agg(sum("pm").as("mass"), count(lit(1)).as("deg"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mass, deg) = (r.getLong(2), r.getLong(3))
+      assert(mass <= 1000000L, s"mass>1 for ${r.getString(0)}/${r.getString(1)}")
+      assert(mass >= 1000000L - deg, s"floor loss exceeds outdegree: $mass/$deg")
+    }
+  }
+
+  test("removal variants drop exactly the removed state's rows") {
+    val t = Attribution.transitionsForTest(spark, sf)
+    val bad = t.filter(col("v") =!= "none" &&
+      (col("from") === col("v") || col("to") === col("v"))).count()
+    assert(bad == 0L)
+  }
+
+  test("output: one row per touch channel, probabilities in [0, 1e6], effects in [-1000, 1000]") {
+    val out = Attribution.qAttributionMarkov(spark, sf).collect()
+    assert(out.length == 4) // click, error, signup, view
+    out.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(1) <= 1000000L) // p_full
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000L) // p_removed
+      assert(math.abs(r.getLong(3)) <= 1000L)
+    }
+    // p_full identical across rows (it is the shared baseline)
+    assert(out.map(_.getLong(1)).distinct.length == 1)
+  }
+}
