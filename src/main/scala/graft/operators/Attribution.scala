@@ -223,7 +223,150 @@ object Attribution {
        |ORDER BY channel""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Shapley-value attribution (Zhao et al. 2018 simplified-Shapley form):
+  // the characteristic value v(S) of a coalition is the conversion rate of
+  // journeys whose OBSERVED touch set is exactly S; each channel's credit
+  // is its exact Shapley value over the 2^4 subset lattice.
+  //
+  // Scale design: the only data-grain work is the same one-window journey
+  // pass + a per-journey collect_set — linear, one shuffle. Everything
+  // after runs on the ≤2^|channels| coalition relation (16 rows). All
+  // arithmetic is exact integer: v quantized to micro-units by floor div,
+  // Shapley weights s!(n-1-s)!/n! carried ×24 so the coefficients
+  // {6,2,2,6} are integers — credits emit in micro×24 units and the
+  // telescoping identity Σφ = 24·(v(full)-v(∅)) holds EXACTLY (spec).
+  // The channel taxonomy is configuration (as in any real attribution
+  // setup), pinned to the four touch types.
+  // ---------------------------------------------------------------------
+
+  private val channels = Seq("click", "error", "signup", "view") // sorted
+
+  /** Per-coalition observed conversion: (cset, n_journeys, v_micro). */
+  private def coalitions(s: SparkSession, d: String): DataFrame = {
+    val ms = nsToMs("ts")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), ms.as("t"), col("event_id"), col("event_type"))
+    val wUser = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val marked = ev
+      .withColumn("is_p", (col("event_type") === "purchase").cast("long"))
+      .withColumn("j", sum("is_p").over(wUser) - col("is_p"))
+    val touches = marked.filter(col("is_p") === 0)
+    val converts = marked.filter(col("is_p") === 1)
+      .select(col("user_id"), col("j")).distinct()
+      .withColumn("conv", lit(true))
+    val journeySets = touches.groupBy("user_id", "j")
+      .agg(array_join(array_sort(collect_set("event_type")), ",").as("cset"))
+      .join(converts, Seq("user_id", "j"), "left")
+      .select(col("cset"), when(col("conv"), 1L).otherwise(0L).as("c"))
+    val directJourneys = converts
+      .join(touches.select("user_id", "j").distinct(),
+        Seq("user_id", "j"), "left_anti")
+      .select(lit("").as("cset"), lit(1L).as("c"))
+    journeySets.unionByName(directJourneys)
+      .groupBy("cset")
+      .agg(count(lit(1)).as("n"),
+        expr(s"($M * sum(c)) div count(1)").as("v"))
+  }
+
+  /** Driver-contract query: exact-integer Shapley credit per channel in
+    * micro×24 units, alongside the grand-coalition and empty-coalition
+    * values the telescoping identity closes over. */
+  def qAttributionShapley(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vObs = coalitions(s, d)
+    // the full 16-row subset lattice; unobserved coalitions carry v = 0
+    val masks = s.range(16).toDF("m")
+      .withColumn("cset", concat_ws(",",
+        channels.zipWithIndex.map { case (c, i) =>
+          when(expr(s"(m >> $i) & 1") === 1, c)
+        }: _*))
+      .join(vObs.select("cset", "v"), Seq("cset"), "left")
+      .select(col("m"), coalesce(col("v"), lit(0L)).as("v"))
+    val chanIdx = channels.zipWithIndex
+      .map { case (c, i) => (c, i.toLong) }
+      .toDF("channel", "i")
+    // rows (channel, S without channel): coef(|S|)·(v(S ∪ {i}) − v(S));
+    // coef = 24·|S|!(3−|S|)!/4! = {6,2,2,6}
+    val pairs = chanIdx.crossJoin(masks.withColumnRenamed("v", "v_s"))
+      .filter(expr("(m >> i) & 1") === 0)
+      .withColumn("bc", expr(
+        "((m>>0)&1) + ((m>>1)&1) + ((m>>2)&1) + ((m>>3)&1)"))
+      .withColumn("coef", expr(
+        "CASE bc WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"))
+      .withColumn("m_with", expr("m + (1 << i)"))
+      .join(masks.select(col("m").as("m_with"), col("v").as("v_si")), "m_with")
+    val phi = pairs.groupBy("channel")
+      .agg(sum(expr("coef * (v_si - v_s)")).as("phi_u24"))
+    val bounds = masks.agg(
+      max(when(col("m") === 15, col("v"))).as("v_full"),
+      max(when(col("m") === 0, col("v"))).as("v_empty"))
+    phi.crossJoin(broadcast(bounds))
+      .select(col("channel"), col("phi_u24"), col("v_full"), col("v_empty"))
+      .orderBy("channel")
+  }
+
+  private val qAttributionShapleySql =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_ms(ts) AS t, event_id, event_type,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+       |  FROM events
+       |), marked AS (
+       |  SELECT *, CAST(sum(is_p) OVER (PARTITION BY user_id
+       |      ORDER BY t, event_id) - is_p AS BIGINT) AS j
+       |  FROM ev
+       |), touches AS (
+       |  SELECT user_id, j, event_type FROM marked WHERE is_p = 0
+       |), converts AS (
+       |  SELECT DISTINCT user_id, j FROM marked WHERE is_p = 1
+       |), journey_sets AS (
+       |  SELECT t.user_id, t.j,
+       |    array_to_string(array_sort(array_agg(DISTINCT t.event_type)), ',')
+       |      AS cset
+       |  FROM touches t GROUP BY 1, 2
+       |), journeys AS (
+       |  SELECT js.cset,
+       |    CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END AS c
+       |  FROM journey_sets js LEFT JOIN converts cv
+       |    ON cv.user_id = js.user_id AND cv.j = js.j
+       |  UNION ALL
+       |  SELECT '' AS cset, 1 AS c
+       |  FROM converts cv
+       |  WHERE NOT EXISTS (SELECT 1 FROM touches t
+       |    WHERE t.user_id = cv.user_id AND t.j = cv.j)
+       |), v_obs AS MATERIALIZED (
+       |  SELECT cset, CAST(($M * sum(c)) // count(*) AS BIGINT) AS v
+       |  FROM journeys GROUP BY cset
+       |), masks AS MATERIALIZED (
+       |  SELECT t.m, coalesce(vo.v, 0) AS v
+       |  FROM (
+       |    SELECT r.range AS m, concat_ws(',',
+       |      CASE WHEN (r.range >> 0) & 1 = 1 THEN 'click' END,
+       |      CASE WHEN (r.range >> 1) & 1 = 1 THEN 'error' END,
+       |      CASE WHEN (r.range >> 2) & 1 = 1 THEN 'signup' END,
+       |      CASE WHEN (r.range >> 3) & 1 = 1 THEN 'view' END) AS cset
+       |    FROM range(0, 16) r
+       |  ) t LEFT JOIN v_obs vo ON vo.cset = t.cset
+       |), chan AS (
+       |  SELECT * FROM (VALUES ('click', 0), ('error', 1),
+       |    ('signup', 2), ('view', 3)) AS c(channel, i)
+       |), pairs AS (
+       |  SELECT ch.channel,
+       |    CASE ((ms.m>>0)&1) + ((ms.m>>1)&1) + ((ms.m>>2)&1) + ((ms.m>>3)&1)
+       |      WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END AS coef,
+       |    ms.v AS v_s, mw.v AS v_si
+       |  FROM chan ch
+       |  JOIN masks ms ON (ms.m >> ch.i) & 1 = 0
+       |  JOIN masks mw ON mw.m = ms.m + (1 << ch.i)
+       |)
+       |SELECT p.channel,
+       |  CAST(sum(p.coef * (p.v_si - p.v_s)) AS BIGINT) AS phi_u24,
+       |  CAST((SELECT v FROM masks WHERE m = 15) AS BIGINT) AS v_full,
+       |  CAST((SELECT v FROM masks WHERE m = 0) AS BIGINT) AS v_empty
+       |FROM pairs p GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("q_attribution_markov", qAttributionMarkov, Some(qAttributionMarkovSql))
+    Q("q_attribution_markov", qAttributionMarkov, Some(qAttributionMarkovSql)),
+    Q("q_attribution_shapley", qAttributionShapley, Some(qAttributionShapleySql))
   )
 }

@@ -26,6 +26,15 @@ class AttributionSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("shapley: exact telescoping identity Σφ = 24·(v_full − v_empty)") {
+    val out = Attribution.qAttributionShapley(spark, sf).collect()
+    assert(out.length == 4)
+    val sumPhi = out.map(_.getLong(1)).sum
+    val (vFull, vEmpty) = (out.head.getLong(2), out.head.getLong(3))
+    assert(sumPhi == 24L * (vFull - vEmpty))
+    assert(out.forall(r => r.getLong(2) == vFull && r.getLong(3) == vEmpty))
+  }
+
   test("output: one row per touch channel, probabilities in [0, 1e6], effects in [-1000, 1000]") {
     val out = Attribution.qAttributionMarkov(spark, sf).collect()
     assert(out.length == 4) // click, error, signup, view
