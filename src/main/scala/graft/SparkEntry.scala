@@ -17,6 +17,7 @@ object SparkEntry {
       operators.BpeTrain.all ++
       operators.Sessionize.all ++
       operators.Attribution.all ++
+      operators.Privacy.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.Skew.all ++
