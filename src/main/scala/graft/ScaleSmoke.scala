@@ -224,6 +224,7 @@ object ScaleSmoke {
       "q_sssp_weighted" -> operators.Graph.qSsspWeighted,
       "corpus_warc_ingest" -> sources.WarcIngest.warcIngest,
       "q_attribution_markov" -> operators.Attribution.qAttributionMarkov,
+      "q_attribution_position" -> operators.Attribution.qAttributionPosition,
       "corpus_compaction_plan" -> sources.Compaction.compactionPlan,
       "text_bpe_encode" -> operators.BpeTrain.textBpeEncode,
       "q_peak_concurrency" -> operators.Sessionize.qPeakConcurrency,

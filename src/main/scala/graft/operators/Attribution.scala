@@ -365,8 +365,78 @@ object Attribution {
        |  CAST((SELECT v FROM masks WHERE m = 0) AS BIGINT) AS v_empty
        |FROM pairs p GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Position-based (U-shaped) attribution — the rule-based member of the
+  // family (last-touch / markov / shapley / position): converting
+  // journeys credit 40% to the first touch, 40% to the last, and split
+  // the remaining 20% evenly across middle touches. Exact integer
+  // micro-units: single touch = 1e6, two touches = 5e5 each, n ≥ 3 =
+  // 4e5 / (2e5 div (n−2)) / 4e5 — the floor remainder of the middle
+  // split is dropped identically in both engines, so per-journey credit
+  // sums to ≤ 1e6 with a deficit < n−2 micro. One window pass, one
+  // hash-aggregate — linear, one shuffle.
+  // ---------------------------------------------------------------------
+
+  /** Driver-contract query: per channel, total U-shaped credit (micro)
+    * and the touch count it accrued over, converting journeys only. */
+  def qAttributionPosition(s: SparkSession, d: String): DataFrame = {
+    val ms = nsToMs("ts")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), ms.as("t"), col("event_id"), col("event_type"))
+    val wUser = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val marked = ev
+      .withColumn("is_p", (col("event_type") === "purchase").cast("long"))
+      .withColumn("j", sum("is_p").over(wUser) - col("is_p"))
+    val touches = marked.filter(col("is_p") === 0)
+    val converts = marked.filter(col("is_p") === 1)
+      .select(col("user_id"), col("j")).distinct()
+    val wj = Window.partitionBy("user_id", "j").orderBy("t", "event_id")
+    touches
+      .join(converts, Seq("user_id", "j"), "left_semi")
+      .withColumn("pos", row_number().over(wj))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id", "j")))
+      .withColumn("credit", expr(
+        """CASE WHEN n = 1 THEN 1000000L
+          |     WHEN n = 2 THEN 500000L
+          |     WHEN pos = 1 OR pos = n THEN 400000L
+          |     ELSE 200000L div (n - 2) END""".stripMargin))
+      .groupBy(col("event_type").as("channel"))
+      .agg(sum("credit").as("credit_micro"),
+        count(lit(1)).as("n_touches"))
+      .orderBy("channel")
+  }
+
+  private val qAttributionPositionSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS t, event_id, event_type,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      |  FROM events
+      |), marked AS (
+      |  SELECT *, CAST(sum(is_p) OVER (PARTITION BY user_id
+      |      ORDER BY t, event_id) - is_p AS BIGINT) AS j
+      |  FROM ev
+      |), converts AS (
+      |  SELECT DISTINCT user_id, j FROM marked WHERE is_p = 1
+      |), touches AS (
+      |  SELECT m.user_id, m.j, m.event_type,
+      |    row_number() OVER (PARTITION BY m.user_id, m.j
+      |      ORDER BY m.t, m.event_id) AS pos,
+      |    count(*) OVER (PARTITION BY m.user_id, m.j) AS n
+      |  FROM marked m
+      |  WHERE m.is_p = 0 AND EXISTS (SELECT 1 FROM converts cv
+      |    WHERE cv.user_id = m.user_id AND cv.j = m.j)
+      |)
+      |SELECT event_type AS channel,
+      |  CAST(sum(CASE WHEN n = 1 THEN 1000000
+      |    WHEN n = 2 THEN 500000
+      |    WHEN pos = 1 OR pos = n THEN 400000
+      |    ELSE 200000 // (n - 2) END) AS BIGINT) AS credit_micro,
+      |  CAST(count(*) AS BIGINT) AS n_touches
+      |FROM touches GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_attribution_markov", qAttributionMarkov, Some(qAttributionMarkovSql)),
-    Q("q_attribution_shapley", qAttributionShapley, Some(qAttributionShapleySql))
+    Q("q_attribution_shapley", qAttributionShapley, Some(qAttributionShapleySql)),
+    Q("q_attribution_position", qAttributionPosition, Some(qAttributionPositionSql))
   )
 }

@@ -35,6 +35,28 @@ class AttributionSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) == vFull && r.getLong(3) == vEmpty))
   }
 
+  test("position: credit conserves ~1e6 per converting touched journey (floor deficit < touches)") {
+    import org.apache.spark.sql.functions._
+    val out = Attribution.qAttributionPosition(spark, sf)
+      .agg(sum("credit_micro"), sum("n_touches")).collect()(0)
+    val (credit, nTouches) = (out.getLong(0), out.getLong(1))
+    // recompute the number of converting journeys that have touches
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), graft.functions.TimeFunctions.nsToMs("ts").as("t"),
+        col("event_id"), col("event_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t", "event_id")
+    val marked = ev
+      .withColumn("is_p", (col("event_type") === "purchase").cast("long"))
+      .withColumn("j", sum("is_p").over(w) - col("is_p"))
+    val nj = marked.filter(col("is_p") === 0)
+      .join(marked.filter(col("is_p") === 1).select("user_id", "j").distinct(),
+        Seq("user_id", "j"), "left_semi")
+      .select("user_id", "j").distinct().count()
+    assert(credit <= 1000000L * nj)
+    assert(credit > 1000000L * nj - nTouches) // floor loss < n−2 per journey
+  }
+
   test("output: one row per touch channel, probabilities in [0, 1e6], effects in [-1000, 1000]") {
     val out = Attribution.qAttributionMarkov(spark, sf).collect()
     assert(out.length == 4) // click, error, signup, view
