@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Sessionize.all ++
       operators.Attribution.all ++
       operators.Privacy.all ++
+      operators.BotDetect.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.Skew.all ++
