@@ -303,4 +303,19 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("transitivity_bp") == 30000L * tris / wedges)
     assert(r.getAs[Long]("transitivity_bp") <= 10000L)
   }
+
+  test("modularity: two disjoint triangles read exactly Q = 0.5; sf graph in [-1, 1]") {
+    import org.apache.spark.sql.functions._
+    // symmetric directed relation of two disjoint triangles {1,2,3}, {4,5,6}
+    val und = Seq((1L,2L),(2L,3L),(1L,3L),(4L,5L),(5L,6L),(4L,6L))
+    val edges = spark.createDataFrame(und ++ und.map(_.swap)).toDF("src","dst")
+    val r = operators.Graph.modularityOn(edges).collect()(0)
+    assert(r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Long]("n_edges") == 6L)
+    assert(r.getAs[Long]("intra_edges") == 6L)
+    assert(r.getAs[Long]("modularity_micro") == 500000L)
+    val sf0 = operators.Graph.qGraphModularity(spark, sf).collect()(0)
+    assert(math.abs(sf0.getAs[Long]("modularity_micro")) <= 1000000L)
+    assert(sf0.getAs[Long]("intra_edges") <= sf0.getAs[Long]("n_edges"))
+  }
 }
