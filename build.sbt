@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output goes straight to the real stdout instead of
+// through sbt's logger: Bench's one-line JSON summary must arrive
+// prefix-free (sbt's "[info] " prefix broke the driver's parser for 8
+// rounds straight — BENCH_r*.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -113,7 +113,7 @@ object Attribution {
       .select("v", "from", "to", "pm")
       .as[(String, String, String, Long)]
       .collect()
-    val results = rows.groupBy(_._1).toSeq.map { case (v, rs) =>
+    val results = rows.groupBy(_._1).toSeq.flatMap { case (v, rs) =>
       val states = (rs.map(_._2).distinct :+ "conv")
       val idx = states.zipWithIndex.toMap
       val edges = rs.map { case (_, f, t, pm) => (idx(f), idx.get(t), pm) }
@@ -128,7 +128,10 @@ object Attribution {
         while (i < p.length) { p(i) = acc(i) / M; i += 1 }
         p(idx("conv")) = M
       }
-      (v, p(idx("start")))
+      // A variant whose removal strips EVERY start-edge has no 'start'
+      // state; the oracle's p_start CTE yields no row for it, so omit it
+      // here too (oracle parity on skewed data, instead of a crash).
+      idx.get("start").map(si => (v, p(si)))
     }
     val pFull = results.find(_._1 == "none").map(_._2).getOrElse(0L)
     val out = results.filterNot(_._1 == "none").sortBy(_._1)

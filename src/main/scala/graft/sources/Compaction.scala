@@ -39,7 +39,9 @@ object Compaction {
     manifest
       .withColumn("bytes_before",
         coalesce(sum(col(bytesCol)).over(w) - col(bytesCol), lit(0L)))
-      .withColumn("bucket", (col("bytes_before") / targetBytes).cast("long"))
+      // integer floor div (not double /): exact for any target, matching
+      // the oracle's `//` even past double's 2^53 exact-integer range
+      .withColumn("bucket", expr(s"bytes_before div $targetBytes"))
       .groupBy(col(partCol), col("bucket"))
       .agg(count(lit(1)).as("n_files"),
         sum(col(bytesCol)).as("bucket_bytes"),

@@ -86,6 +86,16 @@ object WarcIngest {
     out.result()
   }
 
+  /** GZIPOutputStream whose member-closing path releases its native
+    * Deflater: plain `finish()` leaves the Deflater to the GC/Cleaner
+    * (close() would also close the shared underlying stream), which at
+    * archive scale is one leaked native buffer per record. `endMember()`
+    * finishes the member then calls `Deflater.end()` explicitly. */
+  private final class MemberGzip(out: java.io.OutputStream)
+      extends GZIPOutputStream(out) {
+    def endMember(): Unit = { finish(); `def`.end() }
+  }
+
   /** Write one WARC/1.0 record as its own gzip member (the CommonCrawl
     * `.warc.gz` layout). Headers emit in the given order; Content-Length
     * is derived from the block. */
@@ -93,7 +103,7 @@ object WarcIngest {
       out: java.io.OutputStream,
       headers: Seq[(String, String)],
       block: Array[Byte]): Unit = {
-    val gz = new GZIPOutputStream(out) // one member per record; do NOT close `out`
+    val gz = new MemberGzip(out) // one member per record; do NOT close `out`
     gz.write("WARC/1.0".getBytes(US_ASCII)); gz.write(CRLF)
     (headers :+ ("Content-Length" -> block.length.toString)).foreach { case (k, v) =>
       gz.write(s"$k: $v".getBytes(US_ASCII)); gz.write(CRLF)
@@ -101,7 +111,7 @@ object WarcIngest {
     gz.write(CRLF)
     gz.write(block)
     gz.write(CRLF); gz.write(CRLF)
-    gz.finish() // ends this member; stream stays open for the next record
+    gz.endMember() // ends member + frees Deflater; `out` stays open
   }
 
   /** One row per record across every `.warc.gz` under `path`:
