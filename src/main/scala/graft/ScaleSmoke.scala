@@ -148,6 +148,47 @@ object ScaleSmoke {
     embScaled.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
+  /** The ~100x (sf10-equivalent) arm: lineitem + documents only — the two
+    * tables behind the four heaviest at-risk plans (clustering coeff,
+    * dedup clusters/canonical/containment). Keys offset per replica as in
+    * `stage`; document text is made VOCABULARY-DISJOINT per replica by
+    * tagging every token with the replica id instead of rotating: with
+    * ~54-word docs, 100 rotations would wrap (r ≥ n is the identity) and
+    * pile up exact/near copies — C(100,2) synthetic near-dup pairs per
+    * document, a duplication-density catastrophe that measures the data,
+    * not the plan. Disjoint vocabularies keep each replica's internal
+    * near-dup structure EXACTLY the original corpus's (pairs scale
+    * linearly with replicas) while the shingle-df distribution keeps its
+    * shape 100x wider — the growth mode of a real corpus gaining new
+    * domains. Built with ONE range(100) cross join per table, not a
+    * 100-leaf unionAll. */
+  private[graft] def stage100(spark: SparkSession, src: String, out: String): Unit = {
+    val reps = 100
+    val rdf = broadcast(spark.range(reps).toDF("r"))
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val maxO = orderStride(spark, src)
+    val maxP = li.agg(max("l_partkey")).head.getLong(0) + 1
+    val maxS = li.agg(max("l_suppkey")).head.getLong(0) + 1
+    li.crossJoin(rdf)
+      .withColumn("l_orderkey", col("l_orderkey") + col("r") * maxO)
+      .withColumn("l_partkey", col("l_partkey") + col("r") * maxP)
+      .withColumn("l_suppkey", col("l_suppkey") + col("r") * maxS)
+      .drop("r")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val doc = spark.read.parquet(s"$src/documents.parquet")
+    val maxD = doc.agg(max("doc_id")).head.getLong(0) + 1
+    // "$1x" then the replica id: the 'x' stops Java's replacement parser
+    // from swallowing the id digits into the group number
+    val tagged = when(col("r") === 0, col("text")).otherwise(
+      regexp_replace(col("text"), lit("(\\S+)"),
+        concat(lit("$1x"), col("r"))))
+    doc.crossJoin(rdf)
+      .select((col("doc_id") + col("r") * maxD).as("doc_id"),
+        tagged.as("text"), col("lang"), col("source"),
+        length(tagged).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -179,6 +220,48 @@ object ScaleSmoke {
     if (!new java.io.File(s"$big/orders.parquet").isDirectory) {
       println(s"[scale] staging 10x orders -> $big")
       stageOrders(spark, small, big)
+    }
+
+    // ~100x arm (`runMain graft.ScaleSmoke --sf10 [names]`): the four
+    // heaviest at-risk plans measured across the FULL decade triple
+    // sf0.1 → sf1 → sf10, to confirm no super-linear knee appears beyond
+    // the single decade the standard arm covers. sf10 runs are timed
+    // once (the signal sought is a knee, i.e. a factor, not noise-level
+    // precision) — the full arm is ~tens of minutes.
+    if (args.headOption.contains("--sf10")) {
+      val big10 = new java.io.File("scale_sf10").getAbsolutePath
+      if (!new java.io.File(s"$big10/documents.parquet").isDirectory) {
+        println(s"[scale] staging 100x replicas of $small -> $big10")
+        stage100(spark, small, big10)
+      }
+      val names: Set[String] =
+        if (args.length > 1) args.drop(1).toSet
+        else Set("q_clustering_coeff", "dedup_clusters",
+          "dedup_cluster_canonical", "dedup_containment")
+      val qs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+        "q_clustering_coeff" -> (operators.Graph.qClusteringCoeff _),
+        "dedup_clusters" -> (operators.Dedup.dedupClusters _),
+        "dedup_cluster_canonical" -> (operators.Dedup.dedupClusterCanonical _),
+        "dedup_containment" -> (operators.Dedup.dedupContainment _)
+      ).filter(q => names.contains(q._1))
+      qs.foreach { case (_, fn) => // warmup (JIT + codegen), untimed
+        fn(spark, small).count(); spark.catalog.clearCache()
+      }
+      def once(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"${"query"}%-24s ${"sf0.1 s"}%10s ${"sf1 s"}%10s ${"sf10 s"}%10s ${"e01"}%8s ${"e12"}%8s")
+      qs.foreach { case (name, fn) =>
+        val a = math.min(once(fn, small), once(fn, small))
+        val b = once(fn, big)
+        val c = once(fn, big10)
+        println(f"$name%-24s $a%10.2f $b%10.2f $c%10.2f ${math.log10(b / a)}%8.2f ${math.log10(c / b)}%8.2f")
+      }
+      spark.stop()
+      return
     }
 
     // optional args = subset of query names to measure (default: all)
@@ -229,6 +312,17 @@ object ScaleSmoke {
       "text_bpe_encode" -> operators.BpeTrain.textBpeEncode,
       "q_peak_concurrency" -> operators.Sessionize.qPeakConcurrency,
       "q_analyze_stats" -> operators.Relational.qAnalyzeStats,
+      "q_graph_modularity" -> operators.Graph.qGraphModularity,
+      "q_triangle_count_staged" -> operators.Graph.qTriangleCountStaged,
+      "q_clustering_coeff_staged" -> operators.Graph.qClusteringCoeffStaged,
+      "q_label_propagation_staged" -> operators.Graph.qLabelPropagationStaged,
+      "q_pagerank_copurchase_staged" -> operators.Graph.qPagerankCopurchaseStaged,
+      "dedup_minhash_lsh_staged" -> operators.Dedup.dedupMinhashLshStaged,
+      "dedup_clusters_staged" -> operators.Dedup.dedupClustersStaged,
+      "dedup_cluster_canonical_staged" -> operators.Dedup.dedupClusterCanonicalStaged,
+      "dedup_semantic_clusters_staged" -> operators.Dedup.dedupSemanticClustersStaged,
+      "sim_ann_ivf_staged" -> operators.Similarity.simAnnIvfStaged,
+      "sim_ann_ivfpq_staged" -> operators.Similarity.simAnnIvfpqStaged,
       // streaming_join_outer split-measured (the ivfpq build/search
       // pattern): _stage = the harness half (normalize + sentinel write),
       // the full query = stage + two-phase watermark replay; replay cost

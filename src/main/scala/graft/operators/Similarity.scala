@@ -144,7 +144,40 @@ object Similarity {
     * Lloyd iterations as CTEs, including the empty-cell carry-forward.
     * SimilaritySpec additionally bounds recall vs brute force and asserts
     * the probe actually restricts the candidate set. */
+  /** The built IVF index as relations + the probe knob — the BUILD/SEARCH
+    * split mirrors production use (build once, search many); the staged
+    * variant persists these relations and runs the search path alone. */
+  private[graft] final case class IvfIndex(
+      emb: DataFrame, cdf: DataFrame, member: DataFrame, nProbe: Int)
+
   def simAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val ix = ivfBuild(s, d)
+    val emb = ix.emb; val cdf = ix.cdf
+    val member = ix.member; val nProbe = ix.nProbe
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // each query probes its nProbe nearest cells
+    val wq = Window.partitionBy("qid").orderBy(col("aff").desc, col("cid").asc)
+    val probes = queries.join(broadcast(cdf), lit(true))
+      .select(col("qid"), col("qv"), col("qnrm"), col("cid"),
+        (vecDot(col("qv"), col("cv")) - vecDot(col("cv"), col("cv")) / 2).as("aff"))
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= nProbe)
+      .select("qid", "qv", "qnrm", "cid")
+    val cand = probes.join(member, "cid")
+      .join(emb, "vec_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand_id"),
+        round(vecDot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("cand_id").asc)
+    cand.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("qid", "cand_id", "cosine", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  /** BUILD path: sampled distributed Lloyd + the full cell-assignment
+    * pass (the inverted file). */
+  private[graft] def ivfBuild(s: SparkSession, d: String): IvfIndex = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
@@ -220,17 +253,51 @@ object Similarity {
 
     val cdf = s.createDataFrame(centroids.map { case (i, c) => (i, c) }).toDF("cid", "cv")
     val member = assign(emb, centroids) // final FULL cell assignment (the inverted file)
-    val queries = emb.filter(col("vec_id") < 10)
+    IvfIndex(emb, cdf, member, nProbe)
+  }
+
+  // ---------------------------------------------------------------------
+  // Staged ANN index (Staging idiom — the graph/dedup staging applied to
+  // the similarity index): sim_ann_ivf/sim_ann_ivfpq honestly rebuild
+  // their index per run, but production searches a PERSISTED index (FAISS
+  // `add` once, `search` many; the split-measured search exponent is the
+  // flat −0.12). The staged variants persist the index relations as
+  // managed tables — the inverted file bucketed by CELL, the production
+  // read layout, so a probe touches only its cells' buckets — and run the
+  // search path alone, under the SAME oracles (a staged index holds
+  // exactly what the in-run build computes, so results are identical).
+  // ---------------------------------------------------------------------
+
+  /** IVF staged layout: centroid table + inverted file (cid, vec_id, v,
+    * nrm) bucketed+sorted by cid. Returns (cdf table, invfile table,
+    * nCells). */
+  private def stagedIvf(s: SparkSession, d: String): (String, String, Long) = {
+    lazy val built = ivfBuild(s, d) // evaluated only if a table is missing
+    val (cdfT, nCells) = graft.sources.Staging.ensureTable(s, "sim_ivf_cdf",
+      d, "embeddings.parquet", "cid", 4, Some("cid"))(built.cdf)
+    val (invT, _) = graft.sources.Staging.ensureTable(s, "sim_ivf_invfile",
+      d, "embeddings.parquet", "cid", 8, Some("cid"))(
+      built.member.join(built.emb, "vec_id")
+        .select(col("cid"), col("vec_id"), col("v"), col("nrm")))
+    (cdfT, invT, nCells)
+  }
+
+  /** sim_ann_ivf against the staged index — same oracle; the search is
+    * probe-cells → ONE join against the cell-bucketed inverted file. */
+  def simAnnIvfStaged(s: SparkSession, d: String): DataFrame = {
+    val (cdfT, invT, nCells) = stagedIvf(s, d)
+    val cdf = s.table(cdfT)
+    val inv = s.table(invT)
+    val nProbe = math.max(3L, math.ceil(nCells / 8.0).toLong).toInt
+    val queries = inv.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    // each query probes its nProbe nearest cells
     val wq = Window.partitionBy("qid").orderBy(col("aff").desc, col("cid").asc)
     val probes = queries.join(broadcast(cdf), lit(true))
       .select(col("qid"), col("qv"), col("qnrm"), col("cid"),
         (vecDot(col("qv"), col("cv")) - vecDot(col("cv"), col("cv")) / 2).as("aff"))
       .withColumn("rk", row_number().over(wq)).filter(col("rk") <= nProbe)
       .select("qid", "qv", "qnrm", "cid")
-    val cand = probes.join(member, "cid")
-      .join(emb, "vec_id")
+    val cand = probes.join(inv, "cid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cand_id"),
         round(vecDot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 4).as("cosine"))
@@ -787,6 +854,32 @@ object Similarity {
 
   def simAnnIvfpq(s: SparkSession, d: String): DataFrame =
     ivfpqSearch(ivfpqBuild(s, d), shortlist = 10, topk = 3)
+
+  /** IVFPQ staged layout: centroids, PQ codebook, member (by cell) and PQ
+    * codes persisted as managed tables; search reads the tables only. */
+  private def stagedIvfpq(s: SparkSession, d: String): IvfpqIndex = {
+    import graft.sources.Staging.ensureTable
+    lazy val built = ivfpqBuild(s, d) // evaluated only if a table is missing
+    val (cdfT, nCells) = ensureTable(s, "sim_ivfpq_cdf", d,
+      "embeddings.parquet", "cid", 4, Some("cid"))(built.cdf)
+    val (cbT, _) = ensureTable(s, "sim_ivfpq_codebook", d,
+      "embeddings.parquet", "cs", 4, Some("cs"))(built.codebook)
+    val (mbT, _) = ensureTable(s, "sim_ivfpq_member", d,
+      "embeddings.parquet", "cid", 8, Some("cid"))(built.member)
+    val (enT, _) = ensureTable(s, "sim_ivfpq_encoded", d,
+      "embeddings.parquet", "vec_id", 8, Some("vec_id"))(built.encoded)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+    val nProbe = math.max(2L, math.ceil(nCells / 8.0).toLong).toInt
+    IvfpqIndex(emb, s.table(cdfT), s.table(cbT), s.table(mbT),
+      s.table(enT), nProbe)
+  }
+
+  /** sim_ann_ivfpq against the staged index — same oracle, search-only
+    * cost (probe + broadcast ADC LUT + shortlist re-rank). */
+  def simAnnIvfpqStaged(s: SparkSession, d: String): DataFrame =
+    ivfpqSearch(stagedIvfpq(s, d), shortlist = 10, topk = 3)
 
   /** BUILD path: coarse assignment (n·nCells affinities) + residual PQ
     * encoding (n·m·nCodes affinities) — the one-time index-construction
@@ -1789,6 +1882,8 @@ object Similarity {
     Q("sim_rank_fusion", simRankFusion, Some(simRankFusionSql)),
     Q("sim_diversity_sample", simDiversitySample, Some(simDiversitySampleSql)),
     Q("sim_ann_ivfpq", simAnnIvfpq, Some(simAnnIvfpqSql)),
+    Q("sim_ann_ivfpq_staged", simAnnIvfpqStaged, Some(simAnnIvfpqSql)),
+    Q("sim_ann_ivf_staged", simAnnIvfStaged, Some(simAnnIvfSql)),
     Q("sim_recall_eval", simRecallEval, Some(simRecallEvalSql)),
     Q("sim_maxsim", simMaxsim, Some(simMaxsimSql)),
     Q("sim_ann_pq", simAnnPq, Some(simAnnPqSql)),

@@ -22,6 +22,55 @@ object Staging {
     System.getProperty("java.io.tmpdir") + s"/graft_${tag}_${key}_$jvmToken"
   }
 
+  // ---------------------------------------------------------------------
+  // Managed-table staging (the BucketedLayout pattern): a production
+  // pipeline derives its shared relations — graph edges, dedup shingles,
+  // MinHash signatures, ANN index parts — ONCE and persists them bucketed;
+  // every downstream pass reads the staged layout. `ensureTable` memoizes
+  // per JVM, records the row count at staging time (so size gates never
+  // re-count an invariant staged relation), and keys the table name on the
+  // dataset's content stamp so same-basename dirs never collide and
+  // regenerated data never serves a stale layout.
+  // ---------------------------------------------------------------------
+
+  private val stagedTables = scala.collection.mutable.Map[String, Long]()
+
+  /** Dataset identity = canonical path + mtime of a witness file (the
+    * table the derivation reads): distinct for same-basename dirs, and a
+    * regenerate under the same path changes the stamp. */
+  def contentStamp(datasetDir: String, witnessFile: String): String = {
+    val canon = new java.io.File(datasetDir).getCanonicalFile
+    val w = new java.io.File(canon, witnessFile)
+    val mtime = if (w.exists()) w.lastModified() else 0L
+    val h = scala.util.hashing.MurmurHash3
+      .stringHash(canon.getPath + ":" + mtime)
+    canon.getName.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      (h & 0x7fffffffL).toString
+  }
+
+  /** Stage `derive` as a bucketed (optionally sorted) managed table,
+    * once per JVM per (tag, dataset stamp). Returns (table, row count). */
+  def ensureTable(s: org.apache.spark.sql.SparkSession, tag: String,
+      datasetDir: String, witnessFile: String, bucketCol: String,
+      numBuckets: Int, sortCol: Option[String])(
+      derive: => org.apache.spark.sql.DataFrame): (String, Long) =
+    synchronized {
+      val table = s"graft_${tag}_" + contentStamp(datasetDir, witnessFile)
+      stagedTables.get(table) match {
+        case Some(n) => (table, n)
+        case None =>
+          s.sql(s"DROP TABLE IF EXISTS $table")
+          val loc = new java.io.File(
+            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+              s"/$table")
+          if (loc.exists()) deleteRecursively(loc)
+          Sinks.writeBucketed(derive, table, bucketCol, numBuckets, sortCol)
+          val n = s.table(table).count()
+          stagedTables(table) = n
+          (table, n)
+      }
+    }
+
   /** Recursive delete — staging trees nest (`_temporary/<query>/...`), a
     * one-level sweep leaves deep litter behind. */
   def deleteRecursively(f: java.io.File): Unit = {

@@ -22,6 +22,27 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  /** State-store backend rung: every streaming query here runs on the
+    * default HDFS-backed in-memory provider OR on RocksDB, flipped by ONE
+    * session flag (`spark.graft.stateStore` = `hdfs` | `rocksdb`, env
+    * `SPARK_GRAFT_STATE_STORE` as fallback). At 100 TB the production
+    * backend is RocksDB — state (session windows, join buffers, KMV
+    * sketches) lives off-heap on local SSD instead of in executor heap
+    * snapshots, so state size is bounded by disk, not memory.
+    * StreamingSpec proves backend parity (same results both rungs); the
+    * provider is read from SQLConf at query start, so setting it here
+    * applies per started query, never retroactively. */
+  private[graft] def applyStateStore(s: SparkSession): Unit = {
+    val choice = s.conf.getOption("spark.graft.stateStore")
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_STORE")).getOrElse("hdfs")
+    val provider =
+      if (choice.equalsIgnoreCase("rocksdb"))
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      else
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+  }
+
   /** events schema when TIMESTAMP(NANOS) is read as a raw long (see
     * Tables.events). */
   val eventsSchema: StructType = StructType(Seq(
@@ -354,6 +375,7 @@ object EventStream {
   }
 
   def streamingJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    applyStateStore(s)
     val (staged, sentFile) = stageJoinOuterInputs(s, dir)
     val src = s.readStream
       .schema(eventsSchema)
@@ -428,6 +450,7 @@ object EventStream {
       queryName: String,
       mode: OutputMode = OutputMode.Append): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    applyStateStore(s)
     // FileStreamSource needs a DIRECTORY; the sf dir has one file per table,
     // so stage events.parquet into a temp dir. One file = one micro-batch,
     // which also means no cross-batch late data to fight the watermark.
@@ -548,6 +571,7 @@ object EventStream {
     val outDir = graft.sources.Staging.dir("stream_cdc_out", dir)
     val outFile = new java.io.File(outDir)
     if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
+    applyStateStore(s)
     val q = cdcApply(src, initial).toDF().writeStream
       .outputMode(OutputMode.Append)
       .format("parquet")
@@ -880,6 +904,7 @@ object EventStream {
     val outDir = graft.sources.Staging.dir("stream_late_out", dir)
     val outFile = new java.io.File(outDir)
     if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
+    applyStateStore(s)
     val q = lateDropAgg(src).writeStream
       .outputMode(OutputMode.Append)
       .format("parquet")

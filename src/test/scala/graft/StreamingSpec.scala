@@ -230,4 +230,26 @@ class StreamingSpec extends SparkSpec {
       assert(est <= ex * 3 / 2 && est >= ex / 2, s"window $w: est $est vs exact $ex")
     }
   }
+
+  test("RocksDB state-store rung: sessionize + kmv parity with the default backend") {
+    // the provider class is read from SQLConf at query start, and every
+    // streaming query here uses a fresh checkpoint dir, so flipping the
+    // rung between calls is a clean per-query switch
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val sessDefault = canon(EventStream.streamingSessionize(spark, sf))
+    val kmvDefault = canon(EventStream.streamingKmv(spark, sf))
+    spark.conf.set("spark.graft.stateStore", "rocksdb")
+    try {
+      val sessRocks = canon(EventStream.streamingSessionize(spark, sf))
+      val kmvRocks = canon(EventStream.streamingKmv(spark, sf))
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDB"), "rung did not switch the provider")
+      assert(sessRocks == sessDefault,
+        "session-window results diverge across state-store backends")
+      assert(kmvRocks == kmvDefault,
+        "KMV sketch results diverge across state-store backends")
+      assert(sessRocks.nonEmpty && kmvRocks.nonEmpty)
+    } finally spark.conf.set("spark.graft.stateStore", "hdfs")
+  }
 }
