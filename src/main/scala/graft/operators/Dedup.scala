@@ -732,30 +732,39 @@ object Dedup {
   // ---------------------------------------------------------------------
   private def stagedShingles(s: SparkSession, d: String): String =
     graft.sources.Staging.ensureTable(s, "dedup_shingles", d,
-      "documents.parquet", "doc_id", 8, Some("doc_id"))(
+      "documents.parquet", "doc_id", 32, Some("doc_id"))(
       shingleRelation(s, d))._1
 
   /** Signatures derive FROM the staged shingle table (never re-shingle). */
   private def stagedSignatures(s: SparkSession, d: String): String = {
     val shTable = stagedShingles(s, d)
     graft.sources.Staging.ensureTable(s, "dedup_sig", d,
-      "documents.parquet", "doc_id", 8, Some("doc_id"))(
+      "documents.parquet", "doc_id", 32, Some("doc_id"))(
       minhashSignatures(s.table(shTable)))._1
   }
 
   private def stagedEmbCells(s: SparkSession, d: String): String =
     graft.sources.Staging.ensureTable(s, "dedup_embcells", d,
-      "embeddings.parquet", "cid", 8, Some("cid"))(embAssigned(s, d))._1
+      "embeddings.parquet", "cid", 32, Some("cid"))(embAssigned(s, d))._1
+
+  /** The staged shingle table CACHED for the query's lifetime: the pair
+    * finders consume the relation 3x (df stats, prefix ranking, doc
+    * sets), and re-decompressing a corpus-scale parquet read per consumer
+    * costs more than the one in-memory materialization — the staged read
+    * keeps the derivation saving AND the unstaged variants' cache
+    * locality (cached plans preserve the bucketed partitioning). */
+  private def stagedShingleRead(s: SparkSession, d: String): DataFrame =
+    s.table(stagedShingles(s, d)).cache()
 
   /** dedup_minhash_lsh against the staged shingle + signature layout —
     * same oracle (the unblocked all-pairs truth). */
   def dedupMinhashLshStaged(s: SparkSession, d: String): DataFrame =
-    minhashLshOn(s.table(stagedShingles(s, d)),
+    minhashLshOn(stagedShingleRead(s, d),
       s.table(stagedSignatures(s, d)))
 
   /** dedup_clusters against the staged shingle layout — same oracle. */
   def dedupClustersStaged(s: SparkSession, d: String): DataFrame =
-    clusterPairs(ngramJaccardPairs(s.table(stagedShingles(s, d)))
+    clusterPairs(ngramJaccardPairs(stagedShingleRead(s, d))
       .select("doc_a", "doc_b"))
 
   /** dedup_cluster_canonical against the staged shingle layout — same

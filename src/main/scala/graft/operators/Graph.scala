@@ -52,7 +52,7 @@ object Graph {
     * broadcast size gate never re-counts the invariant staged relation). */
   private def stagedEdges(s: SparkSession, d: String): (String, Long) =
     graft.sources.Staging.ensureTable(s, "edges_orient", d,
-      "lineitem.parquet", "src", 8, Some("src"))(orientedEdges(s, d))
+      "lineitem.parquet", "src", 32, Some("src"))(orientedEdges(s, d))
 
   private[graft] def ensureEdgesStaged(s: SparkSession, d: String): String =
     stagedEdges(s, d)._1

@@ -276,7 +276,7 @@ object Similarity {
     val (cdfT, nCells) = graft.sources.Staging.ensureTable(s, "sim_ivf_cdf",
       d, "embeddings.parquet", "cid", 4, Some("cid"))(built.cdf)
     val (invT, _) = graft.sources.Staging.ensureTable(s, "sim_ivf_invfile",
-      d, "embeddings.parquet", "cid", 8, Some("cid"))(
+      d, "embeddings.parquet", "cid", 32, Some("cid"))(
       built.member.join(built.emb, "vec_id")
         .select(col("cid"), col("vec_id"), col("v"), col("nrm")))
     (cdfT, invT, nCells)
@@ -865,9 +865,9 @@ object Similarity {
     val (cbT, _) = ensureTable(s, "sim_ivfpq_codebook", d,
       "embeddings.parquet", "cs", 4, Some("cs"))(built.codebook)
     val (mbT, _) = ensureTable(s, "sim_ivfpq_member", d,
-      "embeddings.parquet", "cid", 8, Some("cid"))(built.member)
+      "embeddings.parquet", "cid", 32, Some("cid"))(built.member)
     val (enT, _) = ensureTable(s, "sim_ivfpq_encoded", d,
-      "embeddings.parquet", "vec_id", 8, Some("vec_id"))(built.encoded)
+      "embeddings.parquet", "vec_id", 32, Some("vec_id"))(built.encoded)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", vecNorm(col("v")))

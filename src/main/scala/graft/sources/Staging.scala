@@ -49,7 +49,14 @@ object Staging {
   }
 
   /** Stage `derive` as a bucketed (optionally sorted) managed table,
-    * once per JVM per (tag, dataset stamp). Returns (table, row count). */
+    * once per JVM per (tag, dataset stamp). Returns (table, row count).
+    *
+    * `numBuckets` must MATCH the session's shuffle parallelism for
+    * data-grain relations (32 here): a bucketed scan runs one task per
+    * bucket, so under-bucketing caps every downstream co-bucketed stage —
+    * measured 3x on the sf1 dedup arm with 8 buckets on 32 cores. (At
+    * cluster scale: buckets in the thousands, ≥ executor-core count.)
+    * Metadata-sized relations (centroids, codebooks) can stay small. */
   def ensureTable(s: org.apache.spark.sql.SparkSession, tag: String,
       datasetDir: String, witnessFile: String, bucketCol: String,
       numBuckets: Int, sortCol: Option[String])(
