@@ -318,6 +318,7 @@ object ScaleSmoke {
       "q_label_propagation_staged" -> operators.Graph.qLabelPropagationStaged,
       "q_pagerank_copurchase_staged" -> operators.Graph.qPagerankCopurchaseStaged,
       "dedup_minhash_lsh_staged" -> operators.Dedup.dedupMinhashLshStaged,
+      "dedup_incremental_staged" -> operators.Dedup.dedupIncrementalStaged,
       "dedup_clusters_staged" -> operators.Dedup.dedupClustersStaged,
       "dedup_cluster_canonical_staged" -> operators.Dedup.dedupClusterCanonicalStaged,
       "dedup_semantic_clusters_staged" -> operators.Dedup.dedupSemanticClustersStaged,

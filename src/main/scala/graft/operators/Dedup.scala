@@ -780,6 +780,66 @@ object Dedup {
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .withColumnRenamed("doc_id", "vec_id")
 
+  /** The 8-band hash array over the h0..h31 signature columns — shared by
+    * the LSH variants and the corpus band index. */
+  private def bandArray: org.apache.spark.sql.Column = {
+    val rowsPerBand = numHashes / bands
+    array((0 until bands).map(b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"h$i")): _*)): _*)
+  }
+
+  private def sidesOf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source").isin("src0", "src1").as("is_new"))
+
+  /** The CORPUS side's banded MinHash index staged as a managed table
+    * bucketed by the probe key — the persisted structure the every-day
+    * ingest probes at 100 TB: (corpus_doc, nc, band_idx, band_hash).
+    * Derives from the staged signature table, never re-shingling. */
+  private def stagedCorpusBandIndex(s: SparkSession, d: String): String = {
+    val sigT = stagedSignatures(s, d)
+    graft.sources.Staging.ensureTable(s, "dedup_corpusband", d,
+      "documents.parquet", "band_hash", 32, Some("band_hash")) {
+      s.table(sigT).join(sidesOf(s, d), "doc_id").filter(!col("is_new"))
+        .select(col("doc_id").as("corpus_doc"), col("n_sh").as("nc"),
+          posexplode(bandArray).as(Seq("band_idx", "band_hash")))
+    }._1
+  }
+
+  /** dedup_incremental against the PERSISTED corpus band index — the
+    * production shape of the every-day operation: the corpus's index and
+    * shingle relation are staged tables (built once, amortized over every
+    * ingest); only the arriving batch computes signatures, and its banded
+    * relation broadcasts to probe the index. Same unblocked cross-side
+    * oracle. */
+  def dedupIncrementalStaged(s: SparkSession, d: String): DataFrame = {
+    val sh = stagedShingleRead(s, d)
+    val corpusB = s.table(stagedCorpusBandIndex(s, d))
+    val newDocs = sidesOf(s, d).filter(col("is_new")).select("doc_id")
+    val shNew = sh.join(newDocs, "doc_id")
+    val newB = minhashSignatures(shNew)
+      .select(col("doc_id").as("new_doc"), col("n_sh").as("nn"),
+        posexplode(bandArray).as(Seq("band_idx", "band_hash")))
+    val cand = corpusB.join(broadcast(newB), Seq("band_idx", "band_hash"))
+      .select("new_doc", "corpus_doc", "nn", "nc")
+      .distinct()
+    val inter = cand
+      .join(shNew.as("sa"), col("sa.doc_id") === col("new_doc"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("corpus_doc") &&
+          col("sb.shingle") === col("sa.shingle"))
+      .groupBy("new_doc", "corpus_doc", "nn", "nc")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .select(col("new_doc"), col("corpus_doc"),
+        round(col("n_common").cast("double") /
+          (col("nn") + col("nc") - col("n_common")).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("new_doc", "corpus_doc")
+  }
+
   private val dedupSemanticClustersSql =
     s"""WITH RECURSIVE $embeddingPairCte,
        |edges AS (
@@ -1274,6 +1334,8 @@ object Dedup {
     Q("dedup_retention_funnel", dedupRetentionFunnel, Some(dedupRetentionFunnelSql)),
     Q("dedup_cluster_canonical", dedupClusterCanonical, Some(dedupClusterCanonicalSql)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
+    Q("dedup_incremental_staged", dedupIncrementalStaged,
+      Some(dedupIncrementalSql)),
     Q("dedup_overlap_sketch", dedupOverlapSketch, Some(dedupOverlapSketchSql)),
     Q("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
