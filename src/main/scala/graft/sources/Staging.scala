@@ -33,17 +33,30 @@ object Staging {
   // regenerated data never serves a stale layout.
   // ---------------------------------------------------------------------
 
-  private val stagedTables = scala.collection.mutable.Map[String, Long]()
+  private val stagedTables = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[(String, Long)]]()
 
-  /** Dataset identity = canonical path + mtime of a witness file (the
-    * table the derivation reads): distinct for same-basename dirs, and a
-    * regenerate under the same path changes the stamp. */
+  /** Dataset identity = canonical path + mtime + total byte size + file
+    * count of the witness (the table the derivation reads): distinct for
+    * same-basename dirs, and a regenerate under the same path changes the
+    * stamp even when it lands inside the same filesystem-mtime tick
+    * (coarse-granularity filesystems, fast tests) — the size/count fold
+    * catches what mtime alone misses. */
   def contentStamp(datasetDir: String, witnessFile: String): String = {
     val canon = new java.io.File(datasetDir).getCanonicalFile
     val w = new java.io.File(canon, witnessFile)
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory) {
+        val children = Option(f.listFiles()).getOrElse(Array.empty)
+        children.map(walk).foldLeft((0L, 0L)) {
+          case ((sz, n), (csz, cn)) => (sz + csz, n + cn)
+        }
+      } else if (f.isFile) (f.length(), 1L)
+      else (0L, 0L)
+    val (size, nFiles) = walk(w)
     val mtime = if (w.exists()) w.lastModified() else 0L
     val h = scala.util.hashing.MurmurHash3
-      .stringHash(canon.getPath + ":" + mtime)
+      .stringHash(s"${canon.getPath}:$mtime:$size:$nFiles")
     canon.getName.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       (h & 0x7fffffffL).toString
   }
@@ -60,23 +73,45 @@ object Staging {
   def ensureTable(s: org.apache.spark.sql.SparkSession, tag: String,
       datasetDir: String, witnessFile: String, bucketCol: String,
       numBuckets: Int, sortCol: Option[String])(
-      derive: => org.apache.spark.sql.DataFrame): (String, Long) =
-    synchronized {
-      val table = s"graft_${tag}_" + contentStamp(datasetDir, witnessFile)
-      stagedTables.get(table) match {
-        case Some(n) => (table, n)
-        case None =>
-          s.sql(s"DROP TABLE IF EXISTS $table")
-          val loc = new java.io.File(
-            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
-              s"/$table")
-          if (loc.exists()) deleteRecursively(loc)
-          Sinks.writeBucketed(derive, table, bucketCol, numBuckets, sortCol)
-          val n = s.table(table).count()
-          stagedTables(table) = n
-          (table, n)
+      derive: => org.apache.spark.sql.DataFrame): (String, Long) = {
+    val stamp = contentStamp(datasetDir, witnessFile)
+    val table = s"graft_${tag}_$stamp"
+    // Per-key latch: only same-table callers wait on a staging in flight;
+    // staging one relation never serializes unrelated staging or queries
+    // (a global lock here stalled every concurrent caller for the full
+    // derive+write+count job).
+    var owner = false
+    val fut = stagedTables.computeIfAbsent(table, _ => {
+      owner = true
+      new java.util.concurrent.CompletableFuture[(String, Long)]()
+    })
+    if (owner) {
+      try {
+        // Sweep SUPERSEDED stamps of the same (tag, dataset basename):
+        // the stamp changes when the dataset regenerates, and the old
+        // stamped table would otherwise sit in the warehouse forever.
+        val prefix = table.dropRight(stamp.split("_").last.length)
+        s.catalog.listTables().collect()
+          .map(_.name)
+          .filter(t => t.startsWith(prefix) && t != table)
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+            s"/$table")
+        if (loc.exists()) deleteRecursively(loc)
+        Sinks.writeBucketed(derive, table, bucketCol, numBuckets, sortCol)
+        val n = s.table(table).count()
+        fut.complete((table, n))
+      } catch {
+        case e: Throwable =>
+          stagedTables.remove(table, fut) // a later caller may retry
+          fut.completeExceptionally(e)
+          throw e
       }
     }
+    fut.join()
+  }
 
   /** Recursive delete — staging trees nest (`_temporary/<query>/...`), a
     * one-level sweep leaves deep litter behind. */
