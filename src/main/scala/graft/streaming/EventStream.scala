@@ -495,6 +495,75 @@ object EventStream {
     s.read.parquet(outDir)
   }
 
+  /** Checkpoint-recovery replay harness (spec-driven): the property
+    * checkpoints exist for, which batch parity and backend parity never
+    * exercise. The events table is split into two ts-halves staged as two
+    * source files. `interrupted = true` processes file 1, STOPS the query
+    * (the crash stand-in), then starts a NEW query from the SAME
+    * checkpoint to process file 2 — source offsets, aggregate/session
+    * state, and sink commits must all resume exactly. `interrupted =
+    * false` replays both files through one uninterrupted query with the
+    * same one-file-per-trigger batch boundaries. Equality of the two
+    * final outputs proves the recovery: losing state at the restart would
+    * split every session/window spanning the mid-point. Complete-mode
+    * overwrite sink, so the final emission is the full answer in both
+    * arms (the runOnBatch convention). Returns sorted row renderings —
+    * the staging tree (including the output) is deleted before return. */
+  private[graft] def runSplitReplay(
+      s: SparkSession, dir: String, build: DataFrame => DataFrame,
+      interrupted: Boolean): Seq[String] = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    applyStateStore(s)
+    val staged = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val srcDir = staged.resolve("src")
+    java.nio.file.Files.createDirectories(srcDir)
+    val ev = graft.Tables.events(s, dir)
+    val mm = ev.agg(min("ts"), max("ts")).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    def writeHalf(pred: org.apache.spark.sql.Column, name: String,
+        into: java.nio.file.Path): Unit = {
+      val tmp = staged.resolve(name + "_tmp").toString
+      ev.filter(pred).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.move(part, into.resolve(name))
+      val dtmp = new java.io.File(tmp)
+      dtmp.listFiles().foreach(_.delete()); dtmp.delete()
+    }
+    writeHalf(col("ts") <= mid, "b1.parquet", srcDir)
+    writeHalf(col("ts") > mid, "b2.parquet", staged) // hidden until phase 2
+    val outDir = staged.resolve("out").toString
+    def start() = {
+      val src = s.readStream.schema(eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      build(src).writeStream
+        .outputMode(OutputMode.Complete)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(outDir)
+        }
+        .option("checkpointLocation", staged.resolve("ckpt").toString)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+    }
+    def revealB2(): Unit = java.nio.file.Files.move(
+      staged.resolve("b2.parquet"), srcDir.resolve("b2.parquet"))
+    if (interrupted) {
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      revealB2()
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+    } else {
+      revealB2()
+      val q = start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val rows = s.read.parquet(outDir).collect()
+      .map(_.toString).sorted.toSeq
+    graft.sources.Staging.deleteRecursively(staged.toFile)
+    rows
+  }
+
   case class CdcFeed(doc_id: Long, op: String, h2: String)
   case class CdcSnap(h: String)
   case class CdcEmit(doc_id: Long, action: String, h16: String)

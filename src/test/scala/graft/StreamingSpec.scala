@@ -252,4 +252,30 @@ class StreamingSpec extends SparkSpec {
       assert(sessRocks.nonEmpty && kmvRocks.nonEmpty)
     } finally spark.conf.set("spark.graft.stateStore", "hdfs")
   }
+
+  test("checkpoint recovery: stop after batch 1, restart, equals uninterrupted (both backends)") {
+    // the property checkpoints exist for: source offsets, aggregation /
+    // session state, and sink commits all resume across a stop+restart.
+    // Losing state at the restart would split every session (and every
+    // KMV window sketch) spanning the ts mid-point split.
+    for (backend <- Seq("hdfs", "rocksdb")) {
+      spark.conf.set("spark.graft.stateStore", backend)
+      try {
+        val sessRecovered = EventStream.runSplitReplay(
+          spark, sf, df => EventStream.sessionWindowAgg(df), interrupted = true)
+        val sessStraight = EventStream.runSplitReplay(
+          spark, sf, df => EventStream.sessionWindowAgg(df), interrupted = false)
+        assert(sessRecovered.nonEmpty, s"[$backend] empty recovered output")
+        assert(sessRecovered == sessStraight,
+          s"[$backend] session state did not survive the checkpoint restart")
+        val kmvRecovered = EventStream.runSplitReplay(
+          spark, sf, EventStream.kmvUsersByWindow, interrupted = true)
+        val kmvStraight = EventStream.runSplitReplay(
+          spark, sf, EventStream.kmvUsersByWindow, interrupted = false)
+        assert(kmvRecovered.nonEmpty, s"[$backend] empty recovered KMV output")
+        assert(kmvRecovered == kmvStraight,
+          s"[$backend] KMV sketch state did not survive the checkpoint restart")
+      } finally spark.conf.set("spark.graft.stateStore", "hdfs")
+    }
+  }
 }
