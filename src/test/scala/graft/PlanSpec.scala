@@ -337,10 +337,24 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val violations = SparkEntry.allQueries.flatMap { q =>
       // sparkPlan is the pre-AQE physical plan: scans are visible as nodes
-      // (executedPlan wraps everything in AdaptiveSparkPlanExec)
-      q.build(spark, sf).queryExecution.sparkPlan.collectWithSubqueries {
+      // (executedPlan wraps everything in AdaptiveSparkPlanExec). Subqueries
+      // are walked MANUALLY: at this phase InjectRuntimeFilter's bloom
+      // subqueries are still LOGICAL plans inside ScalarSubquery
+      // expressions (they fire when a warm cache gives accurate stats), and
+      // collectWithSubqueries would cast them to SparkPlan and throw. A
+      // logical subquery tree references the same relations the main tree
+      // scans, so skipping it drops no coverage.
+      val plan = q.build(spark, sf).queryExecution.sparkPlan
+      val subPlans = plan.collect { case n => n }
+        .flatMap(_.expressions)
+        .flatMap(_.collect {
+          case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+            pe.plan
+        })
+        .collect { case sp: org.apache.spark.sql.execution.SparkPlan => sp }
+      (plan +: subPlans).flatMap(_.collect {
         case s: FileSourceScanExec => s
-      }.flatMap { s =>
+      }).flatMap { s =>
         val path = s.relation.location.rootPaths.headOption.map(_.toString).getOrElse("")
         val table = path.split('/').last
         val full = s.relation.dataSchema.size
