@@ -237,9 +237,14 @@ object ScaleSmoke {
       val names: Set[String] =
         if (args.length > 1) args.drop(1).toSet
         else Set("q_clustering_coeff", "dedup_clusters",
-          "dedup_cluster_canonical", "dedup_containment")
+          "dedup_cluster_canonical", "dedup_containment",
+          "q_triangle_count_staged")
       val qs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
         "q_clustering_coeff" -> (operators.Graph.qClusteringCoeff _),
+        // the one plausibly-superlinear plan left after r9 (first-decade
+        // staged exponent 1.22 on a noisy sf1 cell): the wedge family's
+        // second-decade reading
+        "q_triangle_count_staged" -> (operators.Graph.qTriangleCountStaged _),
         "dedup_clusters" -> (operators.Dedup.dedupClusters _),
         "dedup_cluster_canonical" -> (operators.Dedup.dedupClusterCanonical _),
         "dedup_containment" -> (operators.Dedup.dedupContainment _)
@@ -313,6 +318,8 @@ object ScaleSmoke {
       "q_peak_concurrency" -> operators.Sessionize.qPeakConcurrency,
       "q_analyze_stats" -> operators.Relational.qAnalyzeStats,
       "q_graph_modularity" -> operators.Graph.qGraphModularity,
+      "q_graph_modularity_staged" -> operators.Graph.qGraphModularityStaged,
+      "dedup_index_append" -> operators.Dedup.dedupIndexAppend,
       "q_triangle_count_staged" -> operators.Graph.qTriangleCountStaged,
       "q_clustering_coeff_staged" -> operators.Graph.qClusteringCoeffStaged,
       "q_label_propagation_staged" -> operators.Graph.qLabelPropagationStaged,
