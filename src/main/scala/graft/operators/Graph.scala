@@ -82,6 +82,28 @@ object Graph {
       graft.sources.Staging.contentStamp(d, "lineitem.parquet"), e.count())
   }
 
+
+  /** The closing-side join strategy for the wedge family, by |E|: below
+    * the gate the |E|-row closing relation BROADCASTS (wedges never leave
+    * their partitions); above it, a SHUFFLED-HASH semi builds on the
+    * closing side and STREAMS the wedges — the default sort-merge
+    * fallback sorts the O(Σ outdeg²) wedge relation, whose spill filled a
+    * 250 GB disk at the sf10 (~100x) decade measurement. GraphSpec pins
+    * both strategies in the physical plan.
+    *
+    * Gate value: 50M edges = two packed longs × 50M ≈ 800 MB hashed —
+    * heavy but routine for dimension-grade broadcasts on production
+    * executors, and ALWAYS cheaper than materializing the wedge relation
+    * through a shuffle (the r10 sf10 measure: broadcast closes 37M edges
+    * in-place; the SHJ fallback pays a one-time wedge-relation shuffle
+    * that reads ~1.17 exponent across the strategy flip). Past 50M the
+    * broadcast risks executor OOM and the streamed SHJ is the honest
+    * fallback. */
+  private[graft] val closingBroadcastGate = 50000000L
+  private[graft] def closingSideFor(closing: DataFrame, nEdges: Long): DataFrame =
+    if (nEdges < closingBroadcastGate) broadcast(closing)
+    else closing.hint("shuffle_hash")
+
   /** The shared derivation: undirected DISTINCT co-purchase edges,
     * degree-oriented (src = (deg,id)-smaller endpoint, pdst packs the
     * destination's (deg,id) order) — the q_triangle_count machinery. */
@@ -203,14 +225,16 @@ object Graph {
         when(col("pu") < col("pv"), col("pv")).otherwise(col("pu")).as("pdst"))
       .cache()
     // wedge at the lowest-ordered corner; close with the oriented (y→z) edge.
-    // The wedge relation is O(Σ outdeg²) ≫ |E| — never shuffle it. The edge
-    // set is |E| rows of 2 longs, so when it fits (size gate, same pattern
-    // as Dedup's CC broadcast) the closing-edge check is a BROADCAST semi
-    // join and the wedges stay put; beyond the gate it falls back to the
-    // shuffle join, still correct.
+    // The wedge relation is O(Σ outdeg²) ≫ |E| — never shuffle it, and NEVER
+    // SORT it. The edge set is |E| rows of 2 longs, so when it fits (size
+    // gate, same pattern as Dedup's CC broadcast) the closing-edge check is
+    // a BROADCAST semi join and the wedges stay put; beyond the gate the
+    // fallback is a SHUFFLED-HASH semi (hash built on the |E|-sized closing
+    // side, wedges streamed) — the default sort-merge fallback sorted the
+    // FULL wedge relation, whose spill filled a 250 GB disk at the sf10
+    // (~100x) decade measurement before the closing check even ran.
     val closing = e.select(col("src").as("cy"), col("dst").as("cz"))
-    val closingSide =
-      if (derivedEdgeCount(d, e) < 5000000L) broadcast(closing) else closing
+    val closingSide = closingSideFor(closing, derivedEdgeCount(d, e))
     val tri = e.as("ab").join(e.as("ac"),
         col("ab.src") === col("ac.src") && col("ab.pdst") < col("ac.pdst"))
       .select(col("ab.src").as("x"), col("ab.dst").as("y"),
@@ -714,11 +738,32 @@ object Graph {
   // broadcasts. Top-25 via rank-filter window (WindowGroupLimit — plans
   // as distributed top-k, PlanSpec-guarded).
   // ---------------------------------------------------------------------
-  def qHits(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.lineitem(s, d)
+  def qHits(s: SparkSession, d: String): DataFrame =
+    hitsOn(bipartiteEdges(s, d).cache())
+
+  /** The bipartite customer–part purchase relation the HITS family scores
+    * — the per-query derivation (one join + distinct). */
+  private def bipartiteEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
-      .cache()
+
+  /** Staged bipartite edge table, bucketed+sorted on the hub key: the
+    * graph-derivation-once idiom applied to the HITS relation (the
+    * co-purchase `edges_orient` table can't serve here — HITS scores the
+    * customer→part bipartite graph, not part–part co-purchase). */
+  private def stagedBipartite(s: SparkSession, d: String): String =
+    graft.sources.Staging.ensureTable(s, "edges_bipart", d,
+      "lineitem.parquet", "c", 32, Some("c"))(bipartiteEdges(s, d))._1
+
+  /** q_hits against the staged bipartite layout — same oracle; the four
+    * normalization levels run against the bucketed table read (cached:
+    * every level consumes it). */
+  def qHitsStaged(s: SparkSession, d: String): DataFrame =
+    hitsOn(s.table(stagedBipartite(s, d)).cache())
+
+  /** HITS core over any bipartite (c, p) relation. */
+  private def hitsOn(e: DataFrame): DataFrame = {
     // cache the pre-norm scores: the max-aggregate AND the downstream join
     // both consume them, and without the cache each normalization level
     // re-executes its whole upstream chain (the max's broadcast stage would
@@ -891,8 +936,7 @@ object Graph {
         when(col("pu") < col("pv"), col("pv")).otherwise(col("pu")).as("pdst"))
       .cache()
     val closing = e.select(col("src").as("cy"), col("dst").as("cz"))
-    val closingSide =
-      if (derivedEdgeCount(d, e) < 5000000L) broadcast(closing) else closing
+    val closingSide = closingSideFor(closing, derivedEdgeCount(d, e))
     val tri = e.as("ab").join(e.as("ac"),
         col("ab.src") === col("ac.src") && col("ab.pdst") < col("ac.pdst"))
       .select(col("ab.dst").as("y"), col("ac.dst").as("z"))
@@ -954,8 +998,7 @@ object Graph {
       .unionAll(e.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val closing = e.select(col("src").as("cy"), col("dst").as("cz"))
-    val closingSide =
-      if (nEdges < 5000000L) broadcast(closing) else closing
+    val closingSide = closingSideFor(closing, nEdges)
     val tri = e.as("ab").join(e.as("ac"),
         col("ab.src") === col("ac.src") && col("ab.pdst") < col("ac.pdst"))
       .select(col("ab.src").as("x"), col("ab.dst").as("y"),
@@ -982,8 +1025,7 @@ object Graph {
       .unionAll(e.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val closing = e.select(col("src").as("cy"), col("dst").as("cz"))
-    val closingSide =
-      if (nEdges < 5000000L) broadcast(closing) else closing
+    val closingSide = closingSideFor(closing, nEdges)
     val tri = e.as("ab").join(e.as("ac"),
         col("ab.src") === col("ac.src") && col("ab.pdst") < col("ac.pdst"))
       .select(col("ab.dst").as("y"), col("ac.dst").as("z"))
@@ -1133,6 +1175,7 @@ object Graph {
     Q("q_pagerank_copurchase_staged", qPagerankCopurchaseStaged,
       Some(qPagerankCopurchaseSql)),
     Q("q_hits", qHits, Some(qHitsSql)),
+    Q("q_hits_staged", qHitsStaged, Some(qHitsSql)),
     Q("q_assortativity", qAssortativity, Some(qAssortativitySql)),
     Q("q_clustering_coeff", qClusteringCoeff, Some(qClusteringCoeffSql)),
     Q("q_degree_hist", qDegreeHist, Some(qDegreeHistSql)),

@@ -318,4 +318,23 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(sf0.getAs[Long]("modularity_micro")) <= 1000000L)
     assert(sf0.getAs[Long]("intra_edges") <= sf0.getAs[Long]("n_edges"))
   }
+
+  test("wedge closing check: broadcast below the |E| gate, shuffled-hash (never sort-merge) above") {
+    import org.apache.spark.sql.functions._
+    val wedges = spark.range(1000).select(
+      (col("id") % 10).as("y"), (col("id") % 7).as("z"))
+    val closing = spark.range(50).select(
+      (col("id") % 10).as("cy"), (col("id") % 7).as("cz"))
+    def planWith(nEdges: Long): String = wedges
+      .join(operators.Graph.closingSideFor(closing, nEdges),
+        col("y") === col("cy") && col("z") === col("cz"), "left_semi")
+      .queryExecution.sparkPlan.toString
+    val below = planWith(operators.Graph.closingBroadcastGate - 1)
+    assert(below.contains("BroadcastHashJoin"), s"no broadcast below gate:\n$below")
+    val above = planWith(operators.Graph.closingBroadcastGate + 1)
+    // the sort-merge fallback sorts the O(sum outdeg^2) wedge relation —
+    // the sf10 disk-fill failure mode this gate exists to prevent
+    assert(above.contains("ShuffledHashJoin") && !above.contains("SortMergeJoin"),
+      s"closing fallback must stream wedges, not sort them:\n$above")
+  }
 }
