@@ -1220,10 +1220,21 @@ object Dedup {
   // from the UNBLOCKED all-pairs truth, so the funnel's hash match
   // re-asserts full LSH recall end-to-end through the composition.
   // ---------------------------------------------------------------------
-  def dedupRetentionFunnel(s: SparkSession, d: String): DataFrame = {
+  def dedupRetentionFunnel(s: SparkSession, d: String): DataFrame =
+    retentionFunnelOn(s, d, dedupMinhashLsh(s, d))
+
+  /** dedup_retention_funnel against the staged shingle + signature layout
+    * — same oracle; the daily dashboard shape (the funnel re-publishes per
+    * ingest batch, the near-dup relations are persisted, only the exact
+    * md5 pass scans raw documents). */
+  def dedupRetentionFunnelStaged(s: SparkSession, d: String): DataFrame =
+    retentionFunnelOn(s, d, dedupMinhashLshStaged(s, d))
+
+  private def retentionFunnelOn(
+      s: SparkSession, d: String, lsh: DataFrame): DataFrame = {
     val nRaw = Tables.documents(s, d).agg(count(lit(1)).as("n"))
     val exact = dedupExact(s, d).filter(!col("is_dup")).select("doc_id")
-    val losers = dedupMinhashLsh(s, d).select(col("doc_b").as("doc_id")).distinct()
+    val losers = lsh.select(col("doc_b").as("doc_id")).distinct()
     val near = exact.join(losers, Seq("doc_id"), "left_anti")
     val stages = nRaw.select(lit(1L).as("stage_id"), lit("raw").as("stage"), col("n"))
       .unionAll(exact.agg(count(lit(1)).as("n"))
@@ -1454,6 +1465,8 @@ object Dedup {
       Some(dedupSketchCalibrationSql)),
     Q("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     Q("dedup_retention_funnel", dedupRetentionFunnel, Some(dedupRetentionFunnelSql)),
+    Q("dedup_retention_funnel_staged", dedupRetentionFunnelStaged,
+      Some(dedupRetentionFunnelSql)),
     Q("dedup_cluster_canonical", dedupClusterCanonical, Some(dedupClusterCanonicalSql)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("dedup_incremental_staged", dedupIncrementalStaged,
