@@ -320,6 +320,9 @@ object ScaleSmoke {
       "q_graph_modularity" -> operators.Graph.qGraphModularity,
       "q_graph_modularity_staged" -> operators.Graph.qGraphModularityStaged,
       "dedup_index_append" -> operators.Dedup.dedupIndexAppend,
+      "q_hits_staged" -> operators.Graph.qHitsStaged,
+      "dedup_retention_funnel_staged" ->
+        operators.Dedup.dedupRetentionFunnelStaged,
       "q_triangle_count_staged" -> operators.Graph.qTriangleCountStaged,
       "q_clustering_coeff_staged" -> operators.Graph.qClusteringCoeffStaged,
       "q_label_propagation_staged" -> operators.Graph.qLabelPropagationStaged,
