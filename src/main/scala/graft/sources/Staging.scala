@@ -90,10 +90,26 @@ object Staging {
         // Sweep SUPERSEDED stamps of the same (tag, dataset basename):
         // the stamp changes when the dataset regenerates, and the old
         // stamped table would otherwise sit in the warehouse forever.
+        // Safe because staging is memoized per JVM — a catalog table not
+        // in stagedTables is from a prior session (never reused: every
+        // JVM re-derives on first touch) or a superseded stamp; tables
+        // latched in THIS JVM are protected, so a same-basename SIBLING
+        // dataset staged concurrently is never swept out from under its
+        // readers.
+        // case-insensitive compare: the catalog lowercases table names
         val prefix = table.dropRight(stamp.split("_").last.length)
+          .toLowerCase(java.util.Locale.ROOT)
+        val latched = {
+          val it = stagedTables.keySet().iterator()
+          val b = Set.newBuilder[String]
+          while (it.hasNext) b += it.next().toLowerCase(java.util.Locale.ROOT)
+          b.result()
+        }
         s.catalog.listTables().collect()
-          .map(_.name)
-          .filter(t => t.startsWith(prefix) && t != table)
+          .map(_.name.toLowerCase(java.util.Locale.ROOT))
+          .filter(t => t.startsWith(prefix) &&
+            t != table.toLowerCase(java.util.Locale.ROOT) &&
+            !latched.contains(t))
           .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
         s.sql(s"DROP TABLE IF EXISTS $table")
         val loc = new java.io.File(
@@ -111,6 +127,15 @@ object Staging {
       }
     }
     fut.join()
+  }
+
+  /** Test hook: evict a table's per-JVM latch so StagingSpec can model a
+    * prior-session stale table (which is never latched) without a second
+    * JVM. Not used by production paths. */
+  private[graft] def evictForSpec(table: String): Unit = {
+    val f = stagedTables.remove(table)
+    if (f != null) f.cancel(true)
+    ()
   }
 
   /** Recursive delete — staging trees nest (`_temporary/<query>/...`), a

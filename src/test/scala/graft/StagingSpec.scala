@@ -63,4 +63,36 @@ class StagingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $tbl1")
     } finally Staging.deleteRecursively(t)
   }
+
+  test("superseded stamps are swept; same-basename siblings staged in-JVM are not") {
+    val t1 = java.nio.file.Files.createTempDirectory("graft_stage_e").toFile
+    val t2 = java.nio.file.Files.createTempDirectory("graft_stage_f").toFile
+    try {
+      val dA = mkDataset(t1, "sfZ")
+      val dB = mkDataset(t2, "sfZ") // same basename, different dataset
+      val (tblA, _) = Staging.ensureTable(spark, "spec_sweep", dA.getPath,
+        "documents.parquet", "k", 2, Some("k"))(spark.range(3).toDF("k"))
+      val (tblB, _) = Staging.ensureTable(spark, "spec_sweep", dB.getPath,
+        "documents.parquet", "k", 2, Some("k"))(spark.range(4).toDF("k"))
+      // staging the same-basename sibling B must NOT sweep A's live table
+      assert(spark.table(tblA).count() == 3L && spark.table(tblB).count() == 4L)
+      // regenerate A -> new stamp; the OLD A table is superseded garbage
+      // from this JVM's perspective only after its latch is cleared (a
+      // prior-session table is never latched, which is the real-world
+      // sweep target) — simulate by evicting the latch
+      val wA = new java.io.File(dA, "documents.parquet")
+      assert(wA.setLastModified(wA.lastModified() + 60000))
+      Staging.evictForSpec(tblA)
+      val (tblA2, _) = Staging.ensureTable(spark, "spec_sweep", dA.getPath,
+        "documents.parquet", "k", 2, Some("k"))(spark.range(6).toDF("k"))
+      assert(tblA2 != tblA, "regenerate did not change the table name")
+      assert(!spark.catalog.tableExists(tblA),
+        "superseded stamped table survived the sweep")
+      assert(spark.table(tblB).count() == 4L, "sibling swept by mistake")
+      spark.sql(s"DROP TABLE IF EXISTS $tblA2")
+      spark.sql(s"DROP TABLE IF EXISTS $tblB")
+    } finally {
+      Staging.deleteRecursively(t1); Staging.deleteRecursively(t2)
+    }
+  }
 }
