@@ -245,6 +245,7 @@ object ScaleSmoke {
         // staged exponent 1.22 on a noisy sf1 cell): the wedge family's
         // second-decade reading
         "q_triangle_count_staged" -> (operators.Graph.qTriangleCountStaged _),
+        "q_clustering_coeff_staged" -> (operators.Graph.qClusteringCoeffStaged _),
         "dedup_clusters" -> (operators.Dedup.dedupClusters _),
         "dedup_cluster_canonical" -> (operators.Dedup.dedupClusterCanonical _),
         "dedup_containment" -> (operators.Dedup.dedupContainment _)
