@@ -321,6 +321,10 @@ object ScaleSmoke {
       "q_graph_modularity" -> operators.Graph.qGraphModularity,
       "q_graph_modularity_staged" -> operators.Graph.qGraphModularityStaged,
       "dedup_index_append" -> operators.Dedup.dedupIndexAppend,
+      // the production append path alone (probe + union, no proof arm)
+      "dedup_index_append_apply" ->
+        ((s: SparkSession, d: String) =>
+          operators.Dedup.indexAppendApply(s, d)),
       "q_hits_staged" -> operators.Graph.qHitsStaged,
       "dedup_retention_funnel_staged" ->
         operators.Dedup.dedupRetentionFunnelStaged,

@@ -882,7 +882,12 @@ object Dedup {
   // dedup_incremental's) with exactly `bands` band rows and ZERO
   // mismatches per doc.
   // ---------------------------------------------------------------------
-  def dedupIndexAppend(s: SparkSession, d: String): DataFrame = {
+  /** The PRODUCTION half of the maintenance loop alone — probe, drop
+    * matched batch docs, union the survivors' band rows onto the
+    * persisted index. ScaleSmoke split-measures this (the ivfpq
+    * build/search pattern): the oracled query below adds a full rebuild
+    * arm purely to PROVE the invariant, roughly doubling its cost. */
+  private[graft] def indexAppendApply(s: SparkSession, d: String): DataFrame = {
     val sh = stagedShingleRead(s, d)
     val corpusB = s.table(stagedCorpusBandIndex(s, d))
     val newDocs = sidesOf(s, d).filter(col("is_new")).select("doc_id")
@@ -907,11 +912,16 @@ object Dedup {
       .select("new_doc").distinct()
     val survivorB = newB.join(matched, Seq("new_doc"), "left_anti")
     // append path: persisted corpus rows ∪ the survivors' band rows
-    val appended = corpusB
+    corpusB
       .select(col("corpus_doc").as("doc_id"), col("nc").as("n_sh"),
         col("band_idx"), col("band_hash"))
       .unionAll(survivorB.select(col("new_doc").as("doc_id"),
         col("nn").as("n_sh"), col("band_idx"), col("band_hash")))
+  }
+
+  def dedupIndexAppend(s: SparkSession, d: String): DataFrame = {
+    val sh = stagedShingleRead(s, d)
+    val appended = indexAppendApply(s, d)
     // rebuild path: signatures recomputed from the shingle relation for
     // the exact same doc set, banded fresh
     val keepDocs = appended.select("doc_id").distinct()
