@@ -322,6 +322,29 @@ class PlanSpec extends SparkSpec {
     assert(p10.contains("TakeOrderedAndProject"), s"q10 top-20 not distributed:\n$p10")
   }
 
+  test("staged community queries read staged tables, never recompute the derivation") {
+    // the r10 staging contract: q_graph_modularity_staged /
+    // q_label_propagation_staged read the persisted LPA label table (the
+    // 3 LPA rounds are paid once at staging), q_hits_staged reads the
+    // bipartite edge table. A regression back to in-query recompute shows
+    // as the staged-table scan vanishing and the aggregate count jumping.
+    val modStaged = planOf(Graph.qGraphModularityStaged(spark, sf))
+    assert(modStaged.contains("graft_lpa_labels"),
+      s"staged modularity does not scan the label table:\n$modStaged")
+    val modFull = planOf(Graph.qGraphModularity(spark, sf))
+    def aggs(p: String) = "HashAggregate".r.findAllIn(p).length
+    assert(aggs(modStaged) < aggs(modFull),
+      "staged modularity should shed the LPA rounds' aggregates")
+    val lpaStaged = planOf(Graph.qLabelPropagationStaged(spark, sf))
+    assert(lpaStaged.contains("graft_lpa_labels"),
+      s"staged LPA report does not scan the label table:\n$lpaStaged")
+    val hitsStaged = planOf(Graph.qHitsStaged(spark, sf))
+    assert(hitsStaged.contains("graft_edges_bipart"),
+      s"staged HITS does not scan the bipartite table:\n$hitsStaged")
+    assert(!hitsStaged.contains("lineitem.parquet"),
+      "staged HITS must not re-derive from lineitem")
+  }
+
   test("no query plans an unpartitioned CartesianProduct") {
     // BroadcastNestedLoopJoin over a broadcast-small side is an intentional
     // pattern (query-set scoring, anchor assignment); a CartesianProduct
