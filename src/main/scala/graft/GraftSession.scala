@@ -23,11 +23,20 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // the wedge family's closing-side broadcast gate
+      // (Graph.closingBroadcastGate, 50M edges ≈ 800 MB-1.4 GB) is
+      // collected through the driver by BroadcastExchange; the 1g default
+      // would fail edge counts just under the gate at runtime
+      .config("spark.driver.maxResultSize", "4g")
       .config("spark.sql.session.timeZone", "UTC")
 
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()
     GraftExtensions.install(s) // in case an existing session was returned
+    // clear warehouse litter from dead sessions (once per JVM): staged
+    // graft_* tables are re-derived on first touch, so an unlatched,
+    // uncataloged directory can only be a prior session's orphan
+    sources.Staging.sweepOrphans(s)
     s
   }
 }

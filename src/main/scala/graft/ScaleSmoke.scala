@@ -197,6 +197,12 @@ object ScaleSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "96g")
+      // Graph.closingBroadcastGate admits closing-side broadcasts up to
+      // ~800 MB-1.4 GB of packed rows; BroadcastExchange COLLECTS that to
+      // the driver first, and the default maxResultSize (1g) would kill
+      // edge counts in the 40-50M band at runtime instead of letting the
+      // gate decide. 4g clears the gate's worst case with headroom.
+      .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

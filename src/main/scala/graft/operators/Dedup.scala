@@ -454,16 +454,14 @@ object Dedup {
     * The argmax is ONE hash-aggregate (`max_by` on a (aff, −cid) struct) over
     * narrow (vec_id, cid, aff) rows — map-side partial, no window sort, and
     * the wide vector column never rides through the shuffle. */
-  // canonical dataset stamp -> |embeddings| (the relation is a pure
-  // function of the static dataset: count once per JVM, not once per run —
-  // the cell-count gate must not cost a scan on every staged-variant run)
-  private val embCounts = new java.util.concurrent.ConcurrentHashMap[
-    String, java.lang.Long]()
-
+  // |embeddings| is a pure function of the static dataset: counted once
+  // per JVM via the shared future-latched memo (Staging.memoizedCount) —
+  // the "emb_rows" key is shared with Similarity's index-sizing sites, so
+  // the whole JVM pays ONE count job per dataset, and no caller ever
+  // blocks on a map bin lock for the duration of the job
   private def embeddingCount(s: SparkSession, d: String): Long =
-    embCounts.computeIfAbsent(
-      graft.sources.Staging.contentStamp(d, "embeddings.parquet"),
-      _ => Tables.embeddings(s, d).count()).longValue()
+    graft.sources.Staging.memoizedCount("emb_rows", d, "embeddings.parquet")(
+      Tables.embeddings(s, d).count())
 
   private[graft] def embeddingCells(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.{asDouble, vecDot}
@@ -935,7 +933,11 @@ object Dedup {
         max(coalesce(col("a.n_sh"), col("r.n_sh"))).as("n_sh"),
         count(lit(1)).as("n_bands"),
         sum(when(col("a.band_hash").isNull || col("r.band_hash").isNull ||
-          col("a.band_hash") =!= col("r.band_hash"), 1L).otherwise(0L))
+          col("a.band_hash") =!= col("r.band_hash") ||
+          // the stored shingle count is part of the proved invariant too:
+          // without this, an n_sh disagreement would be absorbed by the
+          // max(coalesce(...)) above and never counted
+          !(col("a.n_sh") <=> col("r.n_sh")), 1L).otherwise(0L))
           .as("n_mismatch"))
       .orderBy("doc_id")
   }

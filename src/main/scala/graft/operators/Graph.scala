@@ -43,10 +43,6 @@ object Graph {
   // below run against this layout under the SAME oracles — the layout is
   // semantically invisible, only the plan changes.
   // ---------------------------------------------------------------------
-  // canonical dataset stamp -> derived |E| for the UNSTAGED queries (the
-  // relation is a pure function of the static dataset, so count once per
-  // JVM instead of once per run)
-  private val edgeCounts = scala.collection.mutable.Map[String, Long]()
 
   /** Staged oriented-edge table + its |E| (recorded at staging time — the
     * broadcast size gate never re-counts the invariant staged relation). */
@@ -75,12 +71,14 @@ object Graph {
   /** |E| of the per-query derived oriented relation — identical to the
     * staged count semantically, but computed against THIS query's cached
     * lineage so the unstaged queries stay independent of the staged
-    * layout. Memoized per dataset: the derivation is deterministic over
-    * static files, so later runs skip the counting job. */
-  private def derivedEdgeCount(d: String, e: DataFrame): Long = synchronized {
-    edgeCounts.getOrElseUpdate(
-      graft.sources.Staging.contentStamp(d, "lineitem.parquet"), e.count())
-  }
+    * layout. Memoized per dataset via the shared future-latched memo
+    * (Staging.memoizedCount): the derivation is deterministic over static
+    * files, so later runs skip the counting job — and unlike the old
+    * object-level synchronized block, an in-flight count never blocks
+    * unrelated graph queries. */
+  private def derivedEdgeCount(d: String, e: DataFrame): Long =
+    graft.sources.Staging.memoizedCount("edges_derived", d,
+      "lineitem.parquet")(e.count())
 
 
   /** The closing-side join strategy for the wedge family, by |E|: below

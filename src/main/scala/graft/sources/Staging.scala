@@ -74,6 +74,7 @@ object Staging {
       datasetDir: String, witnessFile: String, bucketCol: String,
       numBuckets: Int, sortCol: Option[String])(
       derive: => org.apache.spark.sql.DataFrame): (String, Long) = {
+    sweepOrphans(s) // first staging in the JVM clears dead-session litter
     val stamp = contentStamp(datasetDir, witnessFile)
     val table = s"graft_${tag}_$stamp"
     // Per-key latch: only same-table callers wait on a staging in flight;
@@ -108,6 +109,11 @@ object Staging {
         s.catalog.listTables().collect()
           .map(_.name.toLowerCase(java.util.Locale.ROOT))
           .filter(t => t.startsWith(prefix) &&
+            // the remainder must be EXACTLY the stamp's numeric hash:
+            // sanitized basenames can be proper prefixes of each other
+            // ('sf0' vs 'sf0.1' -> 'sf0_1'), and without this check
+            // dataset 'sf0' would sweep 'sf0_1_<hash>' tables too
+            t.drop(prefix.length).forall(_.isDigit) &&
             t != table.toLowerCase(java.util.Locale.ROOT) &&
             !latched.contains(t))
           .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
@@ -128,6 +134,79 @@ object Staging {
     }
     fut.join()
   }
+
+  // -------------------------------------------------------------------
+  // Memoized dataset-derived scalar counts (|embeddings|, |E|, ...): a
+  // relation that is a pure function of the static dataset is counted
+  // once per JVM, keyed on the dataset's content stamp. The future-latch
+  // keeps the ConcurrentHashMap bin lock held only for the cheap insert —
+  // the counting JOB runs outside the map callback, so a concurrent
+  // caller whose key hashes to the same bin never stalls behind a full
+  // Spark job (the computeIfAbsent-with-count() anti-pattern this
+  // replaces; same shape as ensureTable's latch above).
+  // -------------------------------------------------------------------
+
+  private val memoCounts = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[java.lang.Long]]()
+
+  def memoizedCount(tag: String, datasetDir: String, witnessFile: String)(
+      count: => Long): Long = {
+    val key = tag + ":" + contentStamp(datasetDir, witnessFile)
+    var owner = false
+    val fut = memoCounts.computeIfAbsent(key, _ => {
+      owner = true
+      new java.util.concurrent.CompletableFuture[java.lang.Long]()
+    })
+    if (owner) {
+      try fut.complete(java.lang.Long.valueOf(count))
+      catch {
+        case e: Throwable =>
+          memoCounts.remove(key, fut) // a later caller may retry
+          fut.completeExceptionally(e)
+          throw e
+      }
+    }
+    fut.join().longValue()
+  }
+
+  // -------------------------------------------------------------------
+  // Session-start orphan sweep: the superseded-stamp sweep above only
+  // fires when the SAME (tag, basename) re-stages, so warehouse
+  // directories abandoned by dead JVMs under tags this session never
+  // touches would persist forever. The catalog is in-memory (no Hive
+  // metastore), so a prior session's tables survive only as DIRECTORIES
+  // under spark-warehouse/ — sweep any graft_* dir that is neither
+  // latched in this JVM nor registered in this session's catalog. Safe
+  // under the single-JVM-per-warehouse invariant: every JVM re-derives
+  // on first touch (ensureTable drops + rewrites before use), so an
+  // unlatched, uncataloged graft_* dir can only be litter.
+  // -------------------------------------------------------------------
+
+  private val orphanSweepDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Runs once per JVM (first GraftSession build / first staging);
+    * `force` re-runs it for StagingSpec. */
+  def sweepOrphans(s: org.apache.spark.sql.SparkSession,
+      force: Boolean = false): Unit =
+    if (orphanSweepDone.compareAndSet(false, true) || force) {
+      val wh = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+      val latched = {
+        val it = stagedTables.keySet().iterator()
+        val b = Set.newBuilder[String]
+        while (it.hasNext) b += it.next().toLowerCase(java.util.Locale.ROOT)
+        b.result()
+      }
+      val inCatalog = s.catalog.listTables().collect()
+        .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+      Option(wh.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter { f =>
+          val n = f.getName.toLowerCase(java.util.Locale.ROOT)
+          f.isDirectory && n.startsWith("graft_") &&
+            !latched.contains(n) && !inCatalog.contains(n)
+        }
+        .foreach(deleteRecursively)
+    }
 
   /** Test hook: evict a table's per-JVM latch so StagingSpec can model a
     * prior-session stale table (which is never latched) without a second

@@ -95,4 +95,52 @@ class StagingSpec extends SparkSpec {
       Staging.deleteRecursively(t1); Staging.deleteRecursively(t2)
     }
   }
+
+  test("a basename that prefixes another basename never sweeps its tables") {
+    // 'sf0' sanitizes to a proper prefix of 'sf0.1' -> 'sf0_1'; the
+    // superseded-stamp sweep for dataset 'sf0' must not match the
+    // 'sf0_1' tables even when those are unlatched (prior session)
+    val t1 = java.nio.file.Files.createTempDirectory("graft_stage_g").toFile
+    try {
+      val dLong = mkDataset(t1, "sf9.1")
+      val dShort = mkDataset(t1, "sf9")
+      val (tblLong, _) = Staging.ensureTable(spark, "spec_prefix",
+        dLong.getPath, "documents.parquet", "k", 2, Some("k"))(
+        spark.range(7).toDF("k"))
+      // model a prior-session table: cataloged but unlatched
+      Staging.evictForSpec(tblLong)
+      val (tblShort, _) = Staging.ensureTable(spark, "spec_prefix",
+        dShort.getPath, "documents.parquet", "k", 2, Some("k"))(
+        spark.range(2).toDF("k"))
+      assert(tblLong.toLowerCase.startsWith(
+        tblShort.toLowerCase.dropRight(tblShort.split("_").last.length)),
+        "fixture lost its prefix relationship — test would prove nothing")
+      assert(spark.catalog.tableExists(tblLong),
+        "prefix-sibling table swept by the shorter basename's staging")
+      assert(spark.table(tblLong).count() == 7L)
+      spark.sql(s"DROP TABLE IF EXISTS $tblLong")
+      spark.sql(s"DROP TABLE IF EXISTS $tblShort")
+    } finally Staging.deleteRecursively(t1)
+  }
+
+  test("session-start sweep removes prior-session orphan dirs, keeps latched tables") {
+    val t = java.nio.file.Files.createTempDirectory("graft_stage_h").toFile
+    try {
+      val d = mkDataset(t, "sfW")
+      val (tblLive, _) = Staging.ensureTable(spark, "spec_orphan", d.getPath,
+        "documents.parquet", "k", 2, Some("k"))(spark.range(9).toDF("k"))
+      // a prior-session orphan survives only as a warehouse DIRECTORY
+      // (the catalog is in-memory): plant one, neither latched nor cataloged
+      val wh = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+      val orphan = new java.io.File(wh, "graft_deadtag_sfq_123456789")
+      orphan.mkdirs()
+      val litter = new java.io.File(orphan, "part-00000.parquet")
+      assert(litter.createNewFile())
+      Staging.sweepOrphans(spark, force = true)
+      assert(!orphan.exists(), "prior-session orphan dir survived the sweep")
+      assert(spark.table(tblLive).count() == 9L, "live latched table swept")
+      spark.sql(s"DROP TABLE IF EXISTS $tblLive")
+    } finally Staging.deleteRecursively(t)
+  }
 }
