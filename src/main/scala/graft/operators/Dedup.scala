@@ -775,7 +775,7 @@ object Dedup {
     * bounds it in any long-lived session. Unpersisting inside the query
     * is impossible: the returned DataFrame is lazy, so the consumer
     * executes after this function returns. */
-  private def stagedShingleRead(s: SparkSession, d: String): DataFrame =
+  private[operators] def stagedShingleRead(s: SparkSession, d: String): DataFrame =
     s.table(stagedShingles(s, d)).cache()
 
   /** dedup_minhash_lsh against the staged shingle + signature layout —

@@ -646,17 +646,23 @@ object TextAnalysis {
       punctCount(col("text")).cast("long").as("n_punct"),
       nonSpaceCount(col("text")).as("n_nonspace"))
     base
-      .withColumn("reason",
-        when(col("n_tokens") < 20, "too_short")
-          .when(col("n_nonspace") < col("n_tokens") * 3, "short_words")
-          .when(col("n_nonspace") > col("n_tokens") * 12, "long_words")
-          .when(col("n_alpha") * 10 < col("len_chars") * 6, "low_alpha")
-          .when(col("n_punct") * 100 > col("len_chars") * 10, "high_punct")
-          .otherwise("keep"))
+      .withColumn("reason", filterReason)
       .withColumn("keep", (col("reason") === "keep").cast("boolean"))
       .select("doc_id", "n_tokens", "keep", "reason")
       .orderBy("doc_id")
   }
+
+  /** The fixed-order rule cascade over the precomputed counters
+    * (n_tokens, n_nonspace, n_alpha, n_punct, len_chars) — shared with
+    * the composed curation pipeline (llm_pretrain_e2e), which must apply
+    * EXACTLY these rules in exactly this order. */
+  private[operators] def filterReason: Column =
+    when(col("n_tokens") < 20, "too_short")
+      .when(col("n_nonspace") < col("n_tokens") * 3, "short_words")
+      .when(col("n_nonspace") > col("n_tokens") * 12, "long_words")
+      .when(col("n_alpha") * 10 < col("len_chars") * 6, "low_alpha")
+      .when(col("n_punct") * 100 > col("len_chars") * 10, "high_punct")
+      .otherwise("keep")
 
   private val textFilterChainSql =
     """WITH b AS (
