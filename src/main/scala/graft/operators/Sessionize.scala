@@ -94,7 +94,13 @@ object Sessionize {
     * history. Only decomposable aggregates participate (a count-distinct
     * would need a sketch — q_kmv_distinct is that operator). Oracle = the
     * full-table aggregate: snapshot + delta must be indistinguishable from
-    * recomputation. */
+    * recomputation.
+    *
+    * The snapshot is staged through Staging.ensureTable — latched and
+    * cataloged like every other staged relation, so the session-start
+    * orphan sweep can never mistake it for dead-JVM litter (a private
+    * parquet dir + local memo here was exactly the r11 regression: the
+    * sweep deleted the live dir and the stale memo kept reading it). */
   def qIncrAgg(s: SparkSession, d: String): DataFrame = {
     val cutNs = 1705968000000L * 1000000L // 2024-01-23T00:00Z, mid-range at every SF
     val partial = (df: DataFrame) => df
@@ -103,24 +109,17 @@ object Sessionize {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("cents").as("val_cents"),
         min("cents").as("min_cents"), max("cents").as("max_cents"))
-    val path = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
-      s"/graft_events_aggsnap_${d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")}"
-    qIncrAggStaged.synchronized {
-      if (!qIncrAggStaged.contains(path)) {
-        partial(Tables.events(s, d).filter(col("ts") < cutNs))
-          .write.mode("overwrite").parquet(path)
-        qIncrAggStaged += path
-      }
-    }
-    s.read.parquet(path)
+    // snapshot is metadata-sized (one row per event_type): small buckets
+    val (snap, _) = graft.sources.Staging.ensureTable(s, "events_aggsnap",
+      d, "events.parquet", "event_type", 4, Some("event_type"))(
+      partial(Tables.events(s, d).filter(col("ts") < cutNs)))
+    s.table(snap)
       .unionByName(partial(Tables.events(s, d).filter(col("ts") >= cutNs)))
       .groupBy("event_type")
       .agg(sum("n").as("n"), sum("val_cents").as("val_cents"),
         min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
       .orderBy("event_type")
   }
-
-  private val qIncrAggStaged = scala.collection.mutable.Set[String]()
 
   private val qIncrAggSql =
     """WITH e AS (

@@ -191,22 +191,46 @@ object Staging {
     if (orphanSweepDone.compareAndSet(false, true) || force) {
       val wh = new java.io.File(
         s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
-      val latched = {
-        val it = stagedTables.keySet().iterator()
-        val b = Set.newBuilder[String]
-        while (it.hasNext) b += it.next().toLowerCase(java.util.Locale.ROOT)
-        b.result()
-      }
+      // List candidate dirs FIRST, snapshot the catalog after, and
+      // re-check the latch set freshly per candidate immediately before
+      // deleting. ensureTable registers its latch BEFORE creating the
+      // table directory, so any dir a concurrent staging creates while
+      // this sweep runs is already latched by the time we could see it —
+      // the fresh per-candidate check can't miss it. (The r11 ordering
+      // snapshotted latched+catalog before listFiles(), leaving a window
+      // where a mid-write staged dir was neither, and got deleted.)
+      val candidates = Option(wh.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter { f =>
+          f.isDirectory &&
+            f.getName.toLowerCase(java.util.Locale.ROOT).startsWith("graft_")
+        }
       val inCatalog = s.catalog.listTables().collect()
         .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
-      Option(wh.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter { f =>
-          val n = f.getName.toLowerCase(java.util.Locale.ROOT)
-          f.isDirectory && n.startsWith("graft_") &&
-            !latched.contains(n) && !inCatalog.contains(n)
+      candidates.foreach { f =>
+        val n = f.getName.toLowerCase(java.util.Locale.ROOT)
+        val latchedNow = stagedTables.containsKey(n) || {
+          val it = stagedTables.keySet().iterator()
+          var hit = false
+          while (!hit && it.hasNext)
+            hit = it.next().toLowerCase(java.util.Locale.ROOT) == n
+          hit
         }
-        .foreach(deleteRecursively)
+        if (!latchedNow && !inCatalog.contains(n)) deleteRecursively(f)
+      }
     }
+
+  /** Test hook: register a latch with no catalog entry, modelling the
+    * mid-write window of a concurrent ensureTable (latch registered,
+    * directory being written, saveAsTable not yet committed). Lets
+    * StagingSpec prove the sweep's fixed invariant — a latched,
+    * uncataloged dir survives — without a racing thread. */
+  private[graft] def latchForSpec(table: String): Unit = {
+    val f = new java.util.concurrent.CompletableFuture[(String, Long)]()
+    f.complete((table, 0L))
+    stagedTables.put(table, f)
+    ()
+  }
 
   /** Test hook: evict a table's per-JVM latch so StagingSpec can model a
     * prior-session stale table (which is never latched) without a second

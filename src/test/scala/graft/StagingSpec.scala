@@ -143,4 +143,40 @@ class StagingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $tblLive")
     } finally Staging.deleteRecursively(t)
   }
+
+  test("sweep keeps a latched-but-uncataloged dir (mid-write staging window)") {
+    // Models the r11 ADVICE race: a concurrent ensureTable has registered
+    // its latch and is writing the table directory, but saveAsTable has
+    // not yet committed the catalog entry. The sweep must not delete it —
+    // the fresh per-candidate latch check (taken AFTER listing) is what
+    // protects it.
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val midwrite = new java.io.File(wh, "graft_midwrite_sfq_42")
+    midwrite.mkdirs()
+    try {
+      Staging.latchForSpec("graft_midwrite_sfq_42")
+      Staging.sweepOrphans(spark, force = true)
+      assert(midwrite.exists(),
+        "sweep deleted a latched (mid-write) staged dir")
+    } finally {
+      Staging.evictForSpec("graft_midwrite_sfq_42")
+      Staging.deleteRecursively(midwrite)
+    }
+  }
+
+  test("force sweep never kills q_incr_agg's live snapshot (r11 regression)") {
+    // The exact r11 failing chain: SessionizeSpec stages the incremental
+    // snapshot, StagingSpec force-sweeps, later suites re-run the query.
+    // With the snapshot routed through ensureTable it is latched AND
+    // cataloged, so the sweep must leave it alone and the re-run must
+    // return identical rows without restaging.
+    val d = "/root/testdata/sf0.001"
+    val before = graft.operators.Sessionize.qIncrAgg(spark, d).collect()
+    Staging.sweepOrphans(spark, force = true)
+    val after = graft.operators.Sessionize.qIncrAgg(spark, d).collect()
+    assert(before.sameElements(after),
+      "q_incr_agg changed across a forced orphan sweep")
+    assert(before.nonEmpty)
+  }
 }
