@@ -28,6 +28,7 @@ object SparkEntry {
       operators.TimeSeries.all ++
       operators.StatTests.all ++
       operators.Multimodal.all ++
+      operators.LlmPretrain.all ++
       sources.JsonlSource.all ++
       sources.Quarantine.all ++
       sources.Incremental.all ++

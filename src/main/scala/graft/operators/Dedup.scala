@@ -109,6 +109,24 @@ object Dedup {
 
   // Shingle CTE mirrors wordShingles(normalizeText(text), 3): tokenize the
   // normalized text, emit distinct 3-grams (1-based list indexing).
+  // Parameterized over the source relation + a CTE-name suffix so composed
+  // oracles (llm_pretrain_e2e) can shingle two different doc sets in one
+  // statement; the bare `shingleCte` keeps the historical documents form.
+  private[operators] def shingleCteOver(rel: String, sfx: String = ""): String =
+    s"""toks$sfx AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(lower(text), '&amp;', '&', 'g'),
+      |      '&nbsp;', ' ', 'g'), '(?m)^\\s*\\d+\\s*$$', '', 'g'), '[ \\t]+', ' ', 'g'),
+      |      '\\n{3,}', e'\\n\\n', 'g'), '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t
+      |  FROM $rel
+      |), idx$sfx AS (
+      |  SELECT doc_id, t, unnest(generate_series(1, array_length(t) - 2)) AS i
+      |  FROM toks$sfx WHERE array_length(t) >= 3
+      |), sh$sfx AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM idx$sfx
+      |)""".stripMargin
   private[operators] val shingleCte =
     s"""$toksCte, idx AS (
       |  SELECT doc_id, t, unnest(generate_series(1, array_length(t) - 2)) AS i
@@ -293,7 +311,14 @@ object Dedup {
 
   /** Banded-LSH core over any (shingle relation, signature relation) pair —
     * shared by the per-query derivation and the staged-layout variant. */
-  private def minhashLshOn(sh: DataFrame, sig: DataFrame): DataFrame = {
+  private def minhashLshOn(sh: DataFrame, sig: DataFrame): DataFrame =
+    lshVerifiedPairs(sh, sig).orderBy("doc_a", "doc_b")
+
+  /** The unordered verified-pair relation (doc_a < doc_b, exact jaccard ≥
+    * 0.5) behind minhashLshOn — exposed so the composed curation pipeline
+    * (llm_pretrain_e2e) applies EXACTLY the production banding + exact-
+    * verify semantics to its survivor set rather than a re-derivation. */
+  private[operators] def lshVerifiedPairs(sh: DataFrame, sig: DataFrame): DataFrame = {
     val rowsPerBand = numHashes / bands
     // band hash = xxhash64 over the band's 4 signature slots; n_sh rides
     // along so the final Jaccard denominator needs no join back to sig
@@ -320,7 +345,6 @@ object Dedup {
           (col("na") + col("nb") - col("n_common")).cast("double"), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Unblocked exact-Jaccard pair SQL — the ground-truth ≥0.5 pair set. Used
@@ -750,8 +774,10 @@ object Dedup {
       "documents.parquet", "doc_id", 32, Some("doc_id"))(
       shingleRelation(s, d))._1
 
-  /** Signatures derive FROM the staged shingle table (never re-shingle). */
-  private def stagedSignatures(s: SparkSession, d: String): String = {
+  /** Signatures derive FROM the staged shingle table (never re-shingle).
+    * private[operators]: the composed curation pipeline (llm_pretrain_e2e)
+    * probes the SAME persisted signature relation for its survivor set. */
+  private[operators] def stagedSignatures(s: SparkSession, d: String): String = {
     val shTable = stagedShingles(s, d)
     graft.sources.Staging.ensureTable(s, "dedup_sig", d,
       "documents.parquet", "doc_id", 32, Some("doc_id"))(
