@@ -966,14 +966,10 @@ object Corpus {
     * layout-invisible contract as the bucketed/Z-order variants. Filter
     * pushdown and column pruning work identically on the ORC scan. */
   def corpusOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val path = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
-      s"/graft_documents_orc_${d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")}"
-    orcStaged.synchronized {
-      if (!orcStaged.contains(path)) {
-        Tables.documents(s, d).write.mode("overwrite").orc(path)
-        orcStaged += path
-      }
-    }
+    // ensureDir: latched against the orphan sweep, memo self-heals
+    val path = graft.sources.Staging.ensureDir(s,
+      s"graft_documents_orc_${d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")}")(
+      p => Tables.documents(s, d).write.mode("overwrite").orc(p))
     s.read.orc(path)
       .filter(col("n_chars") > 0)
       .groupBy("lang", "source")
@@ -983,7 +979,6 @@ object Corpus {
       .orderBy("lang", "source")
   }
 
-  private val orcStaged = scala.collection.mutable.Set[String]()
 
   private val corpusOrcRoundtripSql =
     """SELECT lang, source, count(*) AS n_docs,
@@ -1057,14 +1052,10 @@ object Corpus {
     * file listing, this query proves result parity). Layout invisible:
     * oracle = the same filter over the plain table. */
   def corpusPartitionedScan(s: SparkSession, d: String): DataFrame = {
-    val path = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
-      s"/graft_documents_bylang_${d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")}"
-    partitionedStaged.synchronized {
-      if (!partitionedStaged.contains(path)) {
-        graft.sources.Sinks.writePartitioned(Tables.documents(s, d), path, "lang")
-        partitionedStaged += path
-      }
-    }
+    // ensureDir: latched against the orphan sweep, memo self-heals
+    val path = graft.sources.Staging.ensureDir(s,
+      s"graft_documents_bylang_${d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")}")(
+      p => graft.sources.Sinks.writePartitioned(Tables.documents(s, d), p, "lang"))
     s.read.parquet(path)
       .filter(col("lang").isin("en", "de"))
       .groupBy("lang", "source")
@@ -1072,7 +1063,6 @@ object Corpus {
       .orderBy("lang", "source")
   }
 
-  private val partitionedStaged = scala.collection.mutable.Set[String]()
 
   private val corpusPartitionedScanSql =
     """SELECT lang, source, count(*) AS n_docs,

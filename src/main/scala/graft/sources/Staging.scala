@@ -136,6 +136,51 @@ object Staging {
   }
 
   // -------------------------------------------------------------------
+  // Staged warehouse DIRECTORIES that are not managed tables (Z-order /
+  // ORC / hive-partitioned layout copies): same per-JVM future-latch as
+  // ensureTable, so the orphan sweep can tell a live staged dir from
+  // dead-session litter, plus a SELF-HEALING existence check — a forced
+  // sweep (tests) or an external delete invalidates the memo instead of
+  // poisoning every later read (the r11 q_incr_agg failure mode, which
+  // also applied to all three layout dirs).
+  // -------------------------------------------------------------------
+
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
+
+  /** Stage a warehouse directory `name` once per JVM via `write(path)`;
+    * returns the absolute path. Latched against the orphan sweep while
+    * live; restages if the directory vanished since staging. */
+  def ensureDir(s: org.apache.spark.sql.SparkSession, name: String)(
+      write: String => Unit): String = {
+    sweepOrphans(s) // first staging in the JVM clears dead-session litter
+    val path = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+      s"/$name"
+    var owner = false
+    val fut = stagedDirs.computeIfAbsent(name, _ => {
+      owner = true
+      new java.util.concurrent.CompletableFuture[String]()
+    })
+    if (owner) {
+      try {
+        write(path)
+        fut.complete(path)
+      } catch {
+        case e: Throwable =>
+          stagedDirs.remove(name, fut) // a later caller may retry
+          fut.completeExceptionally(e)
+          throw e
+      }
+    }
+    val p = fut.join()
+    if (new java.io.File(p).exists()) p
+    else { // self-heal: dir swept/deleted after staging — drop memo, restage
+      stagedDirs.remove(name, fut)
+      ensureDir(s, name)(write)
+    }
+  }
+
+  // -------------------------------------------------------------------
   // Memoized dataset-derived scalar counts (|embeddings|, |E|, ...): a
   // relation that is a pure function of the static dataset is counted
   // once per JVM, keyed on the dataset's content stamp. The future-latch
@@ -209,13 +254,15 @@ object Staging {
         .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
       candidates.foreach { f =>
         val n = f.getName.toLowerCase(java.util.Locale.ROOT)
-        val latchedNow = stagedTables.containsKey(n) || {
-          val it = stagedTables.keySet().iterator()
-          var hit = false
-          while (!hit && it.hasNext)
-            hit = it.next().toLowerCase(java.util.Locale.ROOT) == n
-          hit
-        }
+        def latchedIn(m: java.util.concurrent.ConcurrentHashMap[String, _]) =
+          m.containsKey(n) || {
+            val it = m.keySet().iterator()
+            var hit = false
+            while (!hit && it.hasNext)
+              hit = it.next().toLowerCase(java.util.Locale.ROOT) == n
+            hit
+          }
+        val latchedNow = latchedIn(stagedTables) || latchedIn(stagedDirs)
         if (!latchedNow && !inCatalog.contains(n)) deleteRecursively(f)
       }
     }

@@ -40,21 +40,17 @@ object ZOrderLayout {
     }
   }
 
-  private val staged = scala.collection.mutable.Map[String, String]()
-
   private def suffix(d: String): String =
     d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")
 
   /** Stage the Z-ordered lineitem copy for `d` (no-op if already staged this
-    * session); returns the parquet path. */
-  def ensureStaged(s: SparkSession, d: String): String = synchronized {
-    staged.getOrElseUpdate(d, {
-      val path = s.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:") + s"/graft_lineitem_z_${suffix(d)}"
-      writeZOrdered(Tables.lineitem(s, d), path, "l_partkey", "l_suppkey")
-      path
-    })
-  }
+    * session); returns the parquet path. Staged through Staging.ensureDir
+    * so the dir is latched against the orphan sweep and the memo self-heals
+    * if the dir vanishes (a private memo here was the r11 q_incr_agg bug
+    * class: a forced sweep deleted the dir, the memo kept the path). */
+  def ensureStaged(s: SparkSession, d: String): String =
+    Staging.ensureDir(s, s"graft_lineitem_z_${suffix(d)}")(path =>
+      writeZOrdered(Tables.lineitem(s, d), path, "l_partkey", "l_suppkey"))
 
   /** Rewrite `df` Z-ordered by (ka, kb): range-partition on the Z-value so
     * each output file owns a contiguous curve range, sort within partitions

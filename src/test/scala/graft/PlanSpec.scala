@@ -345,6 +345,36 @@ class PlanSpec extends SparkSpec {
       "staged HITS must not re-derive from lineitem")
   }
 
+  test("llm_pretrain_e2e: one direct fixture scan, cached ledger, broadcast benchmark, no cartesian") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val plan = operators.LlmPretrain.llmPretrainE2e(spark, sf).queryExecution.sparkPlan
+    // exactly ONE direct fixture read survives outside the cache boundary
+    // (the quarantine audit); the good-row side and everything downstream
+    // of it live inside the cached ledger
+    val fixtureScans = plan.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft_docs_q")) => s
+    }
+    assert(fixtureScans.size == 1,
+      s"expected 1 direct fixture scan, got ${fixtureScans.size}:\n$plan")
+    // funnel rows 1-5 (one aggregate), stage 6 and stage 7 each read the
+    // ledger from cache — three in-memory scans, zero ledger recomputes
+    val imts = plan.collect { case i: InMemoryTableScanExec => i }
+    assert(imts.size >= 3, s"expected >=3 cached-ledger reads, got ${imts.size}:\n$plan")
+    // inside the cached ledger: benchmark shingles broadcast onto the
+    // corpus side, and near-dup probing reads the PERSISTED shingle +
+    // signature tables (never re-shingles the corpus)
+    val cached = imts.map(_.relation.cachedPlan.toString).mkString("\n")
+    assert(cached.contains("BroadcastHashJoin"),
+      s"benchmark join not broadcast in cached ledger:\n$cached")
+    assert(cached.contains("graft_dedup_shingles"), s"no staged shingle scan:\n$cached")
+    assert(cached.contains("graft_dedup_sig"), s"no staged signature scan:\n$cached")
+    // the LSH band self-join and all funnel joins stay equi/broadcast
+    assert(!plan.toString.contains("CartesianProduct") &&
+      !cached.contains("CartesianProduct"), "cartesian in composed DAG")
+  }
+
   test("no query plans an unpartitioned CartesianProduct") {
     // BroadcastNestedLoopJoin over a broadcast-small side is an intentional
     // pattern (query-set scoring, anchor assignment); a CartesianProduct
