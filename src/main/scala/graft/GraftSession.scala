@@ -33,6 +33,26 @@ object GraftSession {
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()
     GraftExtensions.install(s) // in case an existing session was returned
+    // Builder configs DON'T apply when getOrCreate returns an existing
+    // session, and spark.driver.maxResultSize is fixed at context start —
+    // verify the wedge-closing prerequisites actually took and warn
+    // loudly if not, instead of failing ~800 MB broadcasts at runtime.
+    // Raising maxResultSize only removes Spark's clean guard; the collect
+    // still needs driver HEAP — the gate's worst case (~1.4 GB of packed
+    // rows just under Graph.closingBroadcastGate) wants ≥ 8 GiB of driver
+    // memory (see the gate's doc).
+    val mrs = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.sparkContext.getConf.get("spark.driver.maxResultSize", "1g"))
+    if (mrs != 0L && mrs < 4L * 1024 * 1024 * 1024)
+      org.slf4j.LoggerFactory.getLogger("graft").warn(
+        s"graft: spark.driver.maxResultSize=$mrs < 4g (existing session?) — " +
+          "wedge-closing broadcasts near the 50M-edge gate will fail; " +
+          "set it at context start or lower Graph.closingBroadcastGate")
+    if (Runtime.getRuntime.maxMemory < 6L * 1024 * 1024 * 1024)
+      org.slf4j.LoggerFactory.getLogger("graft").warn(
+        s"graft: driver heap ${Runtime.getRuntime.maxMemory} < 6g — a " +
+          "closing-side broadcast collect near the 50M-edge gate can OOM; " +
+          "give the driver >= 8g (ScaleSmoke uses 96g) for sf >= 1 graph loads")
     // clear warehouse litter from dead sessions (once per JVM): staged
     // graft_* tables are re-derived on first touch, so an unlatched,
     // uncataloged directory can only be a prior session's orphan

@@ -96,7 +96,16 @@ object Graph {
     * in-place; the SHJ fallback pays a one-time wedge-relation shuffle
     * that reads ~1.17 exponent across the strategy flip). Past 50M the
     * broadcast risks executor OOM and the streamed SHJ is the honest
-    * fallback. */
+    * fallback.
+    *
+    * DRIVER REQUIREMENTS just under the gate: BroadcastExchange COLLECTS
+    * the closing side through the driver, so the worst case (~1.4 GB of
+    * packed rows at 49.9M edges) needs BOTH spark.driver.maxResultSize ≥
+    * 4g (set at context start — GraftSession's builder does, and
+    * getOrCreate warns when an existing session didn't) AND driver heap
+    * with room for the collect (≥ 8 GiB recommended; ScaleSmoke runs
+    * 96g). A default-heap driver past maxResultSize just OOMs with a
+    * less actionable error. */
   private[graft] val closingBroadcastGate = 50000000L
   private[graft] def closingSideFor(closing: DataFrame, nEdges: Long): DataFrame =
     if (nEdges < closingBroadcastGate) broadcast(closing)

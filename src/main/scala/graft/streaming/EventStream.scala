@@ -508,10 +508,19 @@ object EventStream {
     * split every session/window spanning the mid-point. Complete-mode
     * overwrite sink, so the final emission is the full answer in both
     * arms (the runOnBatch convention). Returns sorted row renderings —
-    * the staging tree (including the output) is deleted before return. */
+    * the staging tree (including the output) is deleted before return.
+    *
+    * `crashMidBatch = true` hardens the crash stand-in from a clean stop
+    * at a batch boundary to a failure INSIDE a micro-batch: the second
+    * batch's sink write completes and then the foreachBatch throws — the
+    * batch's offsets are in the offset log but its commit never lands, so
+    * the restart must REPLAY the batch against the previous state version
+    * and the idempotent overwrite sink must absorb the duplicate emission
+    * (the exactly-once contract). The harness self-asserts the planted
+    * crash actually fired. */
   private[graft] def runSplitReplay(
       s: SparkSession, dir: String, build: DataFrame => DataFrame,
-      interrupted: Boolean): Seq[String] = {
+      interrupted: Boolean, crashMidBatch: Boolean = false): Seq[String] = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     applyStateStore(s)
     val staged = java.nio.file.Files.createTempDirectory("graft_ckpt")
@@ -533,13 +542,17 @@ object EventStream {
     writeHalf(col("ts") <= mid, "b1.parquet", srcDir)
     writeHalf(col("ts") > mid, "b2.parquet", staged) // hidden until phase 2
     val outDir = staged.resolve("out").toString
-    def start() = {
+    def start(crash: Option[java.util.concurrent.atomic.AtomicBoolean]) = {
       val src = s.readStream.schema(eventsSchema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
       build(src).writeStream
         .outputMode(OutputMode.Complete)
-        .foreachBatch { (b: DataFrame, _: Long) =>
+        .foreachBatch { (b: DataFrame, id: Long) =>
           b.write.mode("overwrite").parquet(outDir)
+          // planted mid-batch crash: the sink has WRITTEN but the batch's
+          // commit-log entry will never land — the restart must replay
+          if (id >= 1 && crash.exists(_.compareAndSet(false, true)))
+            throw new RuntimeException("planted mid-batch crash (spec)")
         }
         .option("checkpointLocation", staged.resolve("ckpt").toString)
         .trigger(Trigger.ProcessingTime(0))
@@ -547,15 +560,26 @@ object EventStream {
     }
     def revealB2(): Unit = java.nio.file.Files.move(
       staged.resolve("b2.parquet"), srcDir.resolve("b2.parquet"))
-    if (interrupted) {
-      val q1 = start()
+    if (crashMidBatch) {
+      revealB2()
+      val planted = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val q1 = start(Some(planted))
+      try q1.processAllAvailable()
+      catch { case _: Throwable => () } // the planted crash kills the query
+      finally if (q1.isActive) q1.stop()
+      require(planted.get,
+        "planted mid-batch crash never fired — batch boundaries changed?")
+      val q2 = start(None)
+      try q2.processAllAvailable() finally q2.stop()
+    } else if (interrupted) {
+      val q1 = start(None)
       try q1.processAllAvailable() finally q1.stop()
       revealB2()
-      val q2 = start()
+      val q2 = start(None)
       try q2.processAllAvailable() finally q2.stop()
     } else {
       revealB2()
-      val q = start()
+      val q = start(None)
       try q.processAllAvailable() finally q.stop()
     }
     val rows = s.read.parquet(outDir).collect()

@@ -337,4 +337,41 @@ class GraphSpec extends SparkSpec {
     assert(above.contains("ShuffledHashJoin") && !above.contains("SortMergeJoin"),
       s"closing fallback must stream wedges, not sort them:\n$above")
   }
+
+  test("link predict: the RA wedge feeds a hash-aggregate with no sort over the wedge relation") {
+    // The O(Σdeg²) wedge relation is the materialization hazard: sorting
+    // it (a SortAggregate, or a Sort planned between the z-join and its
+    // aggregate) is the disk-fill failure mode the wedge family's closing
+    // gate exists to prevent. Sorting the O(E) ew INPUTS of a sort-merge
+    // z-join is fine — the pin is on the join's OUTPUT side.
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val plan = operators.Graph.qLinkPredict(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    assert(!plan.toString.contains("SortAggregate"),
+      s"wedge scoring fell back to a sort-based aggregate:\n$plan")
+    def isWedgeJoin(p: SparkPlan): Boolean = p match {
+      case j: BaseJoinExec => j.leftKeys.exists {
+        case a: AttributeReference => a.name == "z"
+        case _ => false
+      }
+      case _ => false
+    }
+    // root-to-wedge-join path; the segment between the join and its
+    // NEAREST aggregate above must contain no Sort and no shuffle —
+    // projections and a broadcast anti-join are the only legal residents
+    def path(p: SparkPlan): Option[List[SparkPlan]] =
+      if (isWedgeJoin(p)) Some(List(p))
+      else p.children.view.flatMap(path).headOption.map(p :: _)
+    val pth = path(plan).getOrElse(fail(s"no z-wedge join in plan:\n$plan"))
+    val idxAgg = pth.lastIndexWhere(_.isInstanceOf[HashAggregateExec])
+    assert(idxAgg >= 0, s"no hash-aggregate above the z-wedge join:\n$plan")
+    val between = pth.slice(idxAgg + 1, pth.length - 1)
+    assert(between.forall(n =>
+      !n.isInstanceOf[SortExec] && !n.isInstanceOf[ShuffleExchangeExec]),
+      s"wedge relation sorted or re-shuffled before aggregation:\n$plan")
+  }
 }

@@ -278,4 +278,35 @@ class StreamingSpec extends SparkSpec {
       } finally spark.conf.set("spark.graft.stateStore", "hdfs")
     }
   }
+
+  test("mid-batch crash recovery: sink written, commit lost, replay equals uninterrupted (both backends)") {
+    // Harder than the clean-stop case above: the query dies INSIDE a
+    // micro-batch — after the sink write, before the commit log — so the
+    // restart must detect the uncommitted batch in the offset log, replay
+    // it against the prior state version, and the idempotent overwrite
+    // sink must absorb the duplicate emission (the exactly-once
+    // contract). The harness self-asserts the planted crash fired.
+    for (backend <- Seq("hdfs", "rocksdb")) {
+      spark.conf.set("spark.graft.stateStore", backend)
+      try {
+        val crashed = EventStream.runSplitReplay(
+          spark, sf, df => EventStream.sessionWindowAgg(df),
+          interrupted = false, crashMidBatch = true)
+        val straight = EventStream.runSplitReplay(
+          spark, sf, df => EventStream.sessionWindowAgg(df),
+          interrupted = false)
+        assert(crashed.nonEmpty, s"[$backend] empty post-crash output")
+        assert(crashed == straight,
+          s"[$backend] mid-batch crash replay diverged from the uninterrupted run")
+        val kmvCrashed = EventStream.runSplitReplay(
+          spark, sf, EventStream.kmvUsersByWindow,
+          interrupted = false, crashMidBatch = true)
+        val kmvStraight = EventStream.runSplitReplay(
+          spark, sf, EventStream.kmvUsersByWindow, interrupted = false)
+        assert(kmvCrashed.nonEmpty, s"[$backend] empty post-crash KMV output")
+        assert(kmvCrashed == kmvStraight,
+          s"[$backend] KMV state diverged across the mid-batch crash replay")
+      } finally spark.conf.set("spark.graft.stateStore", "hdfs")
+    }
+  }
 }
