@@ -18,6 +18,24 @@ object Bench {
     s(s.size / 2) // odd run counts: the true median; even: upper median
   }
 
+  /** Machine-load CONTROL: a fixed CPU-bound Spark job (hash-reduce over a
+    * constant range — no I/O, no shuffle skew, no data dependence) timed
+    * with the same median-of-N discipline as the suite. The quiet-machine
+    * reading is recorded in BASELINE.md ("calibration control"); a bench
+    * whose calib_sec reads k× that value ran on a k×-loaded box, so a
+    * total/worst-ratio swing WITH unchanged fingerprints AND an elevated
+    * calib is machine-decidably load, not regression — the adjudication
+    * that previously needed a manual same-session no-change re-run. */
+  private def calibrate(s: SparkSession, runs: Int): Double = {
+    import org.apache.spark.sql.functions._
+    val ts = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      s.range(400000000L).select(sum(xxhash64(col("id")))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    median(ts)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -58,6 +76,8 @@ object Bench {
     // run (the plan is already forced by execution; hashing its string is
     // microseconds) — see PlanFingerprint for why
     val fingerprints = scala.collection.mutable.Map[String, String]()
+    // load control bracketing the suite: see calibrate's doc
+    val calibBefore = calibrate(spark, nRuns)
     val runs: Seq[Map[String, Double]] = (1 to nRuns).map { runIdx =>
       bench.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -110,8 +130,11 @@ object Bench {
     }.getOrElse(Map.empty)
     val fpChanged = names.sorted.filter(n =>
       refFps.contains(n) && fingerprints.get(n).exists(_ != refFps(n)))
+    val calibAfter = calibrate(spark, nRuns)
+    val calib =
+      s""""calib_before_sec":${math.round(calibBefore * 1000) / 1000.0},"calib_after_sec":${math.round(calibAfter * 1000) / 1000.0}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"runs":$nRuns,"queries":$qs,"spread":$spread,"fingerprints":$fps,"fingerprint_changed":${fpChanged.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"runs":$nRuns,$calib,"queries":$qs,"spread":$spread,"fingerprints":$fps,"fingerprint_changed":${fpChanged.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(detailPath); try w.println(fullJson) finally w.close()
     // baseline medians from BASELINE.md's `| name | median | spread |` table
     val baseline: Map[String, Double] = scala.util.Try {
@@ -137,7 +160,7 @@ object Bench {
       if (ratios.isEmpty) ("none", -1.0) else ratios.maxBy(_._2)
     val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, m, _, _) => s"\"" + k + "\":" + r3(m) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failures":$failures,"runs":$nRuns,"n_queries":${results.size},"worst_ratio_vs_baseline":${r3(worstR)},"worst_query":"$worstQ","fingerprint_changes":${fpChanged.size},"queries":$top5,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failures":$failures,"runs":$nRuns,"n_queries":${results.size},"worst_ratio_vs_baseline":${r3(worstR)},"worst_query":"$worstQ","fingerprint_changes":${fpChanged.size},$calib,"queries":$top5,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
