@@ -27,7 +27,7 @@ object Bench {
     * calib is machine-decidably load, not regression — the adjudication
     * that previously needed a manual same-session no-change re-run. */
   private def calibrate(s: SparkSession, runs: Int): Double = {
-    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.functions.{col, sum, xxhash64}
     val ts = (1 to runs).map { _ =>
       val t0 = System.nanoTime()
       s.range(400000000L).select(sum(xxhash64(col("id")))).head()
