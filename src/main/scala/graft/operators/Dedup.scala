@@ -862,19 +862,32 @@ object Dedup {
     * relation broadcasts to probe the index. Same unblocked cross-side
     * oracle. */
   def dedupIncrementalStaged(s: SparkSession, d: String): DataFrame = {
-    val sh = stagedShingleRead(s, d)
+    val shT = stagedShingles(s, d)
     val corpusB = s.table(stagedCorpusBandIndex(s, d))
     val newDocs = sidesOf(s, d).filter(col("is_new")).select("doc_id")
-    val shNew = sh.join(newDocs, "doc_id")
+    // batch shingles: bucketed-table scan broadcast-pruned to the arriving
+    // batch, CACHED (signatures + verification probe side both consume
+    // it) — batch-sized, never the full corpus relation. Caching the whole
+    // corpus shingle read here was the r12 sf10 finding: the verification
+    // join shuffled 260M corpus shingle rows to verify batch-sized
+    // candidates (second-decade exponent 1.35; with the prune it falls
+    // back in line).
+    val shNew = s.table(shT).join(broadcast(newDocs), "doc_id").cache()
     val newB = minhashSignatures(shNew)
       .select(col("doc_id").as("new_doc"), col("n_sh").as("nn"),
         posexplode(bandArray).as(Seq("band_idx", "band_hash")))
     val cand = corpusB.join(broadcast(newB), Seq("band_idx", "band_hash"))
       .select("new_doc", "corpus_doc", "nn", "nc")
       .distinct()
+    // corpus-side verification shingles pruned to CANDIDATE docs BEFORE
+    // any exchange: candidates are batch-sized, so the linear-in-corpus
+    // cost is one sequential bucketed scan with a broadcast semi — the
+    // corpus never shuffles at corpus grain on the daily path
+    val candDocs = cand.select(col("corpus_doc").as("doc_id")).distinct()
+    val shCand = s.table(shT).join(broadcast(candDocs), "doc_id")
     val inter = cand
       .join(shNew.as("sa"), col("sa.doc_id") === col("new_doc"))
-      .join(sh.as("sb"),
+      .join(shCand.as("sb"),
         col("sb.doc_id") === col("corpus_doc") &&
           col("sb.shingle") === col("sa.shingle"))
       .groupBy("new_doc", "corpus_doc", "nn", "nc")
@@ -912,10 +925,13 @@ object Dedup {
     * build/search pattern): the oracled query below adds a full rebuild
     * arm purely to PROVE the invariant, roughly doubling its cost. */
   private[graft] def indexAppendApply(s: SparkSession, d: String): DataFrame = {
-    val sh = stagedShingleRead(s, d)
+    val shT = stagedShingles(s, d)
     val corpusB = s.table(stagedCorpusBandIndex(s, d))
     val newDocs = sidesOf(s, d).filter(col("is_new")).select("doc_id")
-    val shNew = sh.join(newDocs, "doc_id")
+    // same candidate-pruned probe shape as dedupIncrementalStaged: the
+    // batch and candidate relations are batch-sized, the corpus never
+    // shuffles at corpus grain on the daily path
+    val shNew = s.table(shT).join(broadcast(newDocs), "doc_id").cache()
     val newB = minhashSignatures(shNew)
       .select(col("doc_id").as("new_doc"), col("n_sh").as("nn"),
         posexplode(bandArray).as(Seq("band_idx", "band_hash")))
@@ -924,9 +940,11 @@ object Dedup {
     // batch docs with a verified J >= 0.5 corpus match do NOT enter
     val cand = corpusB.join(broadcast(newB), Seq("band_idx", "band_hash"))
       .select("new_doc", "corpus_doc", "nn", "nc").distinct()
+    val candDocs = cand.select(col("corpus_doc").as("doc_id")).distinct()
+    val shCand = s.table(shT).join(broadcast(candDocs), "doc_id")
     val matched = cand
-      .join(sh.as("sa"), col("sa.doc_id") === col("new_doc"))
-      .join(sh.as("sb"),
+      .join(shNew.as("sa"), col("sa.doc_id") === col("new_doc"))
+      .join(shCand.as("sb"),
         col("sb.doc_id") === col("corpus_doc") &&
           col("sb.shingle") === col("sa.shingle"))
       .groupBy("new_doc", "corpus_doc", "nn", "nc")
