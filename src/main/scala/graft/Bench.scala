@@ -27,10 +27,13 @@ object Bench {
     * calib is machine-decidably load, not regression — the adjudication
     * that previously needed a manual same-session no-change re-run. */
   private def calibrate(s: SparkSession, runs: Int): Double = {
-    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    import org.apache.spark.sql.functions.{col, lit, sum, xxhash64}
     val ts = (1 to runs).map { _ =>
       val t0 = System.nanoTime()
-      s.range(400000000L).select(sum(xxhash64(col("id")))).head()
+      // mask to 32 bits: 4e8 × 2^32 ≈ 1.7e18 < Long.Max — a raw 64-bit
+      // hash sum overflows under ANSI and kills the bench
+      s.range(400000000L)
+        .select(sum(xxhash64(col("id")).bitwiseAND(lit(0xFFFFFFFFL)))).head()
       (System.nanoTime() - t0) / 1e9
     }
     median(ts)
