@@ -78,17 +78,16 @@ object LlmPretrain {
     * all), everything else clean — the `Quarantine.stageCorruptJsonl`
     * scheme on the documents table, so the oracle can state the intake
     * split arithmetically. */
-  private[graft] def stageCorruptDocsJsonl(s: SparkSession, d: String): String = {
-    val staged = graft.sources.Staging.dir("docs_q", d)
-    val clean = to_json(struct(
-      col("doc_id"), col("lang"), col("source"), col("text")))
-    Tables.documents(s, d)
-      .select(
-        when(col("doc_id") % 13 === 0, clean.substr(lit(1), length(clean) - 1))
-          .otherwise(clean).as("out"))
-      .write.mode(SaveMode.Overwrite).text(staged)
-    staged
-  }
+  private[graft] def stageCorruptDocsJsonl(s: SparkSession, d: String): String =
+    graft.sources.Staging.ensureFixture("docs_q", d) { staged =>
+      val clean = to_json(struct(
+        col("doc_id"), col("lang"), col("source"), col("text")))
+      Tables.documents(s, d)
+        .select(
+          when(col("doc_id") % 13 === 0, clean.substr(lit(1), length(clean) - 1))
+            .otherwise(clean).as("out"))
+        .write.mode(SaveMode.Overwrite).text(staged)
+    }
 
   def llmPretrainE2e(s: SparkSession, d: String): DataFrame = {
     // ---- stage 1: corrupt-tolerant intake ------------------------------

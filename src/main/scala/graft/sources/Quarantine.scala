@@ -69,21 +69,20 @@ object Quarantine {
     *   - event_id % 13 == 1 → `value` emitted as a non-numeric string
     *     (valid JSON, wrong type under the pinned schema);
     *   - everything else    → clean.  */
-  private[graft] def stageCorruptJsonl(s: SparkSession, d: String): String = {
-    val staged = Staging.dir("jsonl_q", d)
-    val clean = to_json(struct(
-      col("event_id"), col("user_id"), col("event_type"), col("value")))
-    val typed = to_json(struct(
-      col("event_id"), col("user_id"), col("event_type"),
-      lit("not_a_number").as("value")))
-    Tables.events(s, d)
-      .select(
-        when(col("event_id") % 13 === 0, clean.substr(lit(1), length(clean) - 1))
-          .when(col("event_id") % 13 === 1, typed)
-          .otherwise(clean).as("out"))
-      .write.mode(SaveMode.Overwrite).text(staged)
-    staged
-  }
+  private[graft] def stageCorruptJsonl(s: SparkSession, d: String): String =
+    Staging.ensureFixture("jsonl_q", d) { staged =>
+      val clean = to_json(struct(
+        col("event_id"), col("user_id"), col("event_type"), col("value")))
+      val typed = to_json(struct(
+        col("event_id"), col("user_id"), col("event_type"),
+        lit("not_a_number").as("value")))
+      Tables.events(s, d)
+        .select(
+          when(col("event_id") % 13 === 0, clean.substr(lit(1), length(clean) - 1))
+            .when(col("event_id") % 13 === 1, typed)
+            .otherwise(clean).as("out"))
+        .write.mode(SaveMode.Overwrite).text(staged)
+    }
 
   /** Driver-contract query: the SURVIVOR side — corrupt lines planted in
     * 2/13 of the fixture must not poison the ingest; the good rows

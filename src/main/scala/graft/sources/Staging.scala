@@ -136,6 +136,49 @@ object Staging {
   }
 
   // -------------------------------------------------------------------
+  // Staged /tmp FIXTURES that are pure functions of a static dataset
+  // (corrupt-JSONL intake fixtures): re-writing them on every query call
+  // paid the full serialize cost per bench run. Same per-JVM future
+  // latch + self-healing existence check as ensureDir. NOT for fixtures
+  // a harness deletes after use (the streaming split-replay trees) —
+  // those are intentionally per-call.
+  // -------------------------------------------------------------------
+
+  private val stagedFixtures = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
+
+  /** Stage the fixture for (tag, datasetDir) once per JVM via
+    * `write(path)` into Staging.dir(tag, datasetDir); returns the path.
+    * Restages if the directory vanished since staging. */
+  def ensureFixture(tag: String, datasetDir: String)(
+      write: String => Unit): String = {
+    val path = dir(tag, datasetDir)
+    val key = tag + ":" + datasetDir
+    var owner = false
+    val fut = stagedFixtures.computeIfAbsent(key, _ => {
+      owner = true
+      new java.util.concurrent.CompletableFuture[String]()
+    })
+    if (owner) {
+      try {
+        write(path)
+        fut.complete(path)
+      } catch {
+        case e: Throwable =>
+          stagedFixtures.remove(key, fut) // a later caller may retry
+          fut.completeExceptionally(e)
+          throw e
+      }
+    }
+    val p = fut.join()
+    if (new java.io.File(p).exists()) p
+    else {
+      stagedFixtures.remove(key, fut)
+      ensureFixture(tag, datasetDir)(write)
+    }
+  }
+
+  // -------------------------------------------------------------------
   // Staged warehouse DIRECTORIES that are not managed tables (Z-order /
   // ORC / hive-partitioned layout copies): same per-JVM future-latch as
   // ensureTable, so the orphan sweep can tell a live staged dir from
