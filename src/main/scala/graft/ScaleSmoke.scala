@@ -260,7 +260,8 @@ object ScaleSmoke {
         "dedup_containment" -> (operators.Dedup.dedupContainment _),
         "dedup_incremental_staged" -> (operators.Dedup.dedupIncrementalStaged _),
         "dedup_index_append_apply" ->
-          ((s: SparkSession, d: String) => operators.Dedup.indexAppendApply(s, d))
+          ((s: SparkSession, d: String) => operators.Dedup.indexAppendApply(s, d)),
+        "llm_pretrain_e2e" -> (operators.LlmPretrain.llmPretrainE2e _)
       ).filter(q => names.contains(q._1))
       qs.foreach { case (_, fn) => // warmup (JIT + codegen), untimed
         fn(spark, small).count(); spark.catalog.clearCache()
@@ -276,7 +277,8 @@ object ScaleSmoke {
       // pays in this arm's fresh JVM. Warm each scale untimed first so the
       // timed read is the daily path (the build cost is reported once,
       // separately).
-      val warmPerScale = Set("dedup_incremental_staged", "dedup_index_append_apply")
+      val warmPerScale = Set("dedup_incremental_staged", "dedup_index_append_apply",
+        "llm_pretrain_e2e")
       println(f"${"query"}%-24s ${"sf0.1 s"}%10s ${"sf1 s"}%10s ${"sf10 s"}%10s ${"e01"}%8s ${"e12"}%8s")
       qs.foreach { case (name, fn) =>
         def timed(dir: String): Double = {
