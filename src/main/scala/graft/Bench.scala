@@ -28,15 +28,17 @@ object Bench {
     * that previously needed a manual same-session no-change re-run. */
   private def calibrate(s: SparkSession, runs: Int): Double = {
     import org.apache.spark.sql.functions.{col, lit, sum, xxhash64}
-    val ts = (1 to runs).map { _ =>
+    // mask to 32 bits: 4e8 × 2^32 ≈ 1.7e18 < Long.Max — a raw 64-bit
+    // hash sum overflows under ANSI and kills the bench
+    def once(): Double = {
       val t0 = System.nanoTime()
-      // mask to 32 bits: 4e8 × 2^32 ≈ 1.7e18 < Long.Max — a raw 64-bit
-      // hash sum overflows under ANSI and kills the bench
       s.range(400000000L)
         .select(sum(xxhash64(col("id")).bitwiseAND(lit(0xFFFFFFFFL)))).head()
       (System.nanoTime() - t0) / 1e9
     }
-    median(ts)
+    once() // untimed warmup: the first-ever execution pays codegen/JIT,
+           // which would read as load in the before-bracket at runs=1
+    median((1 to runs).map(_ => once()))
   }
 
   def main(args: Array[String]): Unit = {

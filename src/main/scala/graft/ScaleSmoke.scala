@@ -247,7 +247,9 @@ object ScaleSmoke {
           "q_triangle_count_staged",
           // the daily-ingest dedup path (r10 verdict item 6): the family
           // the 100 TB story leans on hardest gets the full decade triple
-          "dedup_incremental_staged", "dedup_index_append_apply")
+          "dedup_incremental_staged", "dedup_index_append_apply",
+          // the composed curation pipeline — the headline e2e statement
+          "llm_pretrain_e2e")
       val qs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
         "q_clustering_coeff" -> (operators.Graph.qClusteringCoeff _),
         // the one plausibly-superlinear plan left after r9 (first-decade

@@ -769,7 +769,7 @@ object Dedup {
   // SAME algorithms under the SAME oracles against this layout — the
   // layout is semantically invisible, only the plan changes.
   // ---------------------------------------------------------------------
-  private def stagedShingles(s: SparkSession, d: String): String =
+  private[operators] def stagedShingles(s: SparkSession, d: String): String =
     graft.sources.Staging.ensureTable(s, "dedup_shingles", d,
       "documents.parquet", "doc_id", 32, Some("doc_id"))(
       shingleRelation(s, d))._1
@@ -876,9 +876,13 @@ object Dedup {
     val newB = minhashSignatures(shNew)
       .select(col("doc_id").as("new_doc"), col("n_sh").as("nn"),
         posexplode(bandArray).as(Seq("band_idx", "band_hash")))
+    // cand is CACHED: it feeds both the candDocs broadcast and the
+    // verification join — uncached, the corpus-index probe join (the one
+    // linear-in-corpus scan) would execute twice
     val cand = corpusB.join(broadcast(newB), Seq("band_idx", "band_hash"))
       .select("new_doc", "corpus_doc", "nn", "nc")
       .distinct()
+      .cache()
     // corpus-side verification shingles pruned to CANDIDATE docs BEFORE
     // any exchange: candidates are batch-sized, so the linear-in-corpus
     // cost is one sequential bucketed scan with a broadcast semi — the
@@ -937,9 +941,11 @@ object Dedup {
         posexplode(bandArray).as(Seq("band_idx", "band_hash")))
       .cache() // consumed by the probe AND the append arm
     // the probe (same staged path dedup_incremental_staged benches):
-    // batch docs with a verified J >= 0.5 corpus match do NOT enter
+    // batch docs with a verified J >= 0.5 corpus match do NOT enter.
+    // Cached for the same two-consumer reason as the incremental probe.
     val cand = corpusB.join(broadcast(newB), Seq("band_idx", "band_hash"))
       .select("new_doc", "corpus_doc", "nn", "nc").distinct()
+      .cache()
     val candDocs = cand.select(col("corpus_doc").as("doc_id")).distinct()
     val shCand = s.table(shT).join(broadcast(candDocs), "doc_id")
     val matched = cand

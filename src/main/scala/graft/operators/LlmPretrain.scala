@@ -114,7 +114,12 @@ object LlmPretrain {
       .drop("text", "len_chars", "n_alpha", "n_punct", "n_nonspace")
     // ---- stage 3: LSH keep-first over the persisted index --------------
     val s2ids = cnt.filter(col("exact_keeper")).select("doc_id")
-    val shAll = Dedup.stagedShingleRead(s, d)
+    // UNCACHED staged-table reads: the shingle relation is corpus-grain,
+    // and pinning it in memory is exactly the pattern the daily dedup
+    // path dropped — each consumer re-reads the persisted bucketed
+    // layout (a bounded number of sequential scans beats a corpus-sized
+    // cache at 100 TB)
+    val shAll = s.table(Dedup.stagedShingles(s, d))
     val sh2 = shAll.join(s2ids, Seq("doc_id"), "left_semi")
     val sig2 = s.table(Dedup.stagedSignatures(s, d))
       .join(s2ids, Seq("doc_id"), "left_semi")
@@ -229,12 +234,7 @@ object LlmPretrain {
        |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS exact_keeper
        |  FROM intake
        |), led1 AS (
-       |  SELECT *, CASE WHEN n_tokens < 20 THEN 'too_short'
-       |       WHEN n_nonspace < n_tokens * 3 THEN 'short_words'
-       |       WHEN n_nonspace > n_tokens * 12 THEN 'long_words'
-       |       WHEN n_alpha * 10 < len_chars * 6 THEN 'low_alpha'
-       |       WHEN n_punct * 100 > len_chars * 10 THEN 'high_punct'
-       |       ELSE 'keep' END AS reason
+       |  SELECT *, ${TextAnalysis.filterReasonSql} AS reason
        |  FROM led0
        |), s2 AS (
        |  SELECT doc_id, lang, source, text, n_tokens, reason

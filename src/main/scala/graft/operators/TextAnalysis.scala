@@ -664,24 +664,32 @@ object TextAnalysis {
       .when(col("n_punct") * 100 > col("len_chars") * 10, "high_punct")
       .otherwise("keep")
 
+  /** The SQL mirror of [[filterReason]] over the same counter columns —
+    * the ONE source of truth for the cascade's thresholds on the oracle
+    * side, shared by text_filter_chain and the composed curation
+    * pipeline (llm_pretrain_e2e) so a threshold change can never drift
+    * between the two oracles. */
+  private[operators] val filterReasonSql =
+    """CASE WHEN n_tokens < 20 THEN 'too_short'
+      |     WHEN n_nonspace < n_tokens * 3 THEN 'short_words'
+      |     WHEN n_nonspace > n_tokens * 12 THEN 'long_words'
+      |     WHEN n_alpha * 10 < len_chars * 6 THEN 'low_alpha'
+      |     WHEN n_punct * 100 > len_chars * 10 THEN 'high_punct'
+      |     ELSE 'keep' END""".stripMargin
+
   private val textFilterChainSql =
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT doc_id,
-      |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
-      |         ELSE array_length(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
+      |    CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
+      |         ELSE array_length(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS n_tokens,
       |    length(text) AS len_chars,
       |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
       |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
-      |    length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+      |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
       |  FROM documents
       |), v AS (
       |  SELECT doc_id, n_tokens,
-      |    CASE WHEN n_tokens < 20 THEN 'too_short'
-      |         WHEN n_nonspace < n_tokens * 3 THEN 'short_words'
-      |         WHEN n_nonspace > n_tokens * 12 THEN 'long_words'
-      |         WHEN n_alpha * 10 < len_chars * 6 THEN 'low_alpha'
-      |         WHEN n_punct * 100 > len_chars * 10 THEN 'high_punct'
-      |         ELSE 'keep' END AS reason
+      |    $filterReasonSql AS reason
       |  FROM b
       |)
       |SELECT doc_id, n_tokens, reason = 'keep' AS keep, reason

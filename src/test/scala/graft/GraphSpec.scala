@@ -349,8 +349,7 @@ class GraphSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    val plan = operators.Graph.qLinkPredict(spark, "/root/testdata/sf0.001")
-      .queryExecution.sparkPlan
+    val plan = operators.Graph.qLinkPredict(spark, sf).queryExecution.sparkPlan
     assert(!plan.toString.contains("SortAggregate"),
       s"wedge scoring fell back to a sort-based aggregate:\n$plan")
     def isWedgeJoin(p: SparkPlan): Boolean = p match {
