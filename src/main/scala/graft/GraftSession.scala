@@ -24,9 +24,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // the wedge family's closing-side broadcast gate
-      // (Graph.closingBroadcastGate, 50M edges ≈ 800 MB-1.4 GB) is
-      // collected through the driver by BroadcastExchange; the 1g default
-      // would fail edge counts just under the gate at runtime
+      // (Graph.closingBroadcastGate, heap-derived, ceiling 50M edges ≈
+      // 800 MB-1.4 GB) is collected through the driver by
+      // BroadcastExchange; the 1g default would fail edge counts just
+      // under the gate at runtime
       .config("spark.driver.maxResultSize", "4g")
       .config("spark.sql.session.timeZone", "UTC")
 
@@ -46,13 +47,12 @@ object GraftSession {
     if (mrs != 0L && mrs < 4L * 1024 * 1024 * 1024)
       org.slf4j.LoggerFactory.getLogger("graft").warn(
         s"graft: spark.driver.maxResultSize=$mrs < 4g (existing session?) — " +
-          "wedge-closing broadcasts near the 50M-edge gate will fail; " +
-          "set it at context start or lower Graph.closingBroadcastGate")
-    if (Runtime.getRuntime.maxMemory < 6L * 1024 * 1024 * 1024)
-      org.slf4j.LoggerFactory.getLogger("graft").warn(
-        s"graft: driver heap ${Runtime.getRuntime.maxMemory} < 6g — a " +
-          "closing-side broadcast collect near the 50M-edge gate can OOM; " +
-          "give the driver >= 8g (ScaleSmoke uses 96g) for sf >= 1 graph loads")
+          "wedge-closing broadcasts near the heap-derived gate " +
+          s"(Graph.closingBroadcastGate=${operators.Graph.closingBroadcastGate} " +
+          "edges) can fail; set it at context start")
+    // the heap side needs no warning: Graph.closingBroadcastGate is DERIVED
+    // from Runtime.maxMemory (gateFor), so a small-heap driver lowers the
+    // gate and flips to the shuffled-hash fallback instead of OOMing
     // clear warehouse litter from dead sessions (once per JVM): staged
     // graft_* tables are re-derived on first touch, so an unlatched,
     // uncataloged directory can only be a prior session's orphan

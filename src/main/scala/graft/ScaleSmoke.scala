@@ -189,6 +189,23 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
   }
 
+  /** orders at 100 replicas — the HITS family's bipartite derivation joins
+    * lineitem×orders, so its decade triple needs orders staged with the
+    * SAME orderkey stride as lineitem (custkeys offset too: 100× customers
+    * at the original per-customer basket distribution). */
+  private[graft] def stage100Orders(spark: SparkSession, src: String, out: String): Unit = {
+    val reps = 100
+    val rdf = broadcast(spark.range(reps).toDF("r"))
+    val maxO = orderStride(spark, src)
+    val or = spark.read.parquet(s"$src/orders.parquet")
+    val maxC = or.agg(max("o_custkey")).head.getLong(0) + 1
+    or.crossJoin(rdf)
+      .withColumn("o_orderkey", col("o_orderkey") + col("r") * maxO)
+      .withColumn("o_custkey", col("o_custkey") + col("r") * maxC)
+      .drop("r")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -249,7 +266,15 @@ object ScaleSmoke {
           // the 100 TB story leans on hardest gets the full decade triple
           "dedup_incremental_staged", "dedup_index_append_apply",
           // the composed curation pipeline — the headline e2e statement
-          "llm_pretrain_e2e")
+          "llm_pretrain_e2e",
+          // the iterate-to-fixpoint family (r12 verdict item 4): the one
+          // heavy family still on a single-decade read before r13
+          "q_label_propagation", "q_hits")
+      if (names.contains("q_hits") &&
+          !new java.io.File(s"$big10/orders.parquet").isDirectory) {
+        println(s"[scale] staging 100x orders -> $big10")
+        stage100Orders(spark, small, big10)
+      }
       val qs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
         "q_clustering_coeff" -> (operators.Graph.qClusteringCoeff _),
         // the one plausibly-superlinear plan left after r9 (first-decade
@@ -263,7 +288,9 @@ object ScaleSmoke {
         "dedup_incremental_staged" -> (operators.Dedup.dedupIncrementalStaged _),
         "dedup_index_append_apply" ->
           ((s: SparkSession, d: String) => operators.Dedup.indexAppendApply(s, d)),
-        "llm_pretrain_e2e" -> (operators.LlmPretrain.llmPretrainE2e _)
+        "llm_pretrain_e2e" -> (operators.LlmPretrain.llmPretrainE2e _),
+        "q_label_propagation" -> (operators.Graph.qLabelPropagation _),
+        "q_hits" -> (operators.Graph.qHits _)
       ).filter(q => names.contains(q._1))
       qs.foreach { case (_, fn) => // warmup (JIT + codegen), untimed
         fn(spark, small).count(); spark.catalog.clearCache()

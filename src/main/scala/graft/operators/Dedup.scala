@@ -860,7 +860,17 @@ object Dedup {
     * shingle relation are staged tables (built once, amortized over every
     * ingest); only the arriving batch computes signatures, and its banded
     * relation broadcasts to probe the index. Same unblocked cross-side
-    * oracle. */
+    * oracle.
+    *
+    * CACHE CONTRACT (also `indexAppendApply`, `LlmPretrain.llmPretrainE2e`):
+    * the returned DataFrame pins BATCH-sized cached intermediates (never
+    * corpus-grain) that two downstream consumers share; they stay cached
+    * after materialization so the lazy result stays re-runnable. The
+    * Verify/Bench harnesses call `spark.catalog.clearCache()` between
+    * queries; a library caller invoking these repeatedly should do the
+    * same (or `unpersist` via `spark.sharedState.cacheManager`) once the
+    * result is consumed, or the batch-sized entries accumulate until
+    * ContextCleaner GC. */
   def dedupIncrementalStaged(s: SparkSession, d: String): DataFrame = {
     val shT = stagedShingles(s, d)
     val corpusB = s.table(stagedCorpusBandIndex(s, d))
@@ -927,7 +937,10 @@ object Dedup {
     * matched batch docs, union the survivors' band rows onto the
     * persisted index. ScaleSmoke split-measures this (the ivfpq
     * build/search pattern): the oracled query below adds a full rebuild
-    * arm purely to PROVE the invariant, roughly doubling its cost. */
+    * arm purely to PROVE the invariant, roughly doubling its cost.
+    * Cache contract: see `dedupIncrementalStaged` — the batch-sized
+    * cached intermediates here follow the same clearCache-between-calls
+    * convention. */
   private[graft] def indexAppendApply(s: SparkSession, d: String): DataFrame = {
     val shT = stagedShingles(s, d)
     val corpusB = s.table(stagedCorpusBandIndex(s, d))

@@ -61,9 +61,13 @@ import graft.functions.TextFunctions._
   * Scale shape: one text scan of the fixture (codegen'd from_json), one
   * md5 window shuffle, semi-joins against the bucketed staged
   * shingle/signature tables on their bucket key, the banded LSH self-join
-  * (never all-pairs), a broadcast benchmark-shingle join, and a handful of
+  * (never all-pairs), a heap-gated broadcast benchmark-shingle join
+  * (shuffled-hash past the gate), and a handful of
   * metadata-sized funnel aggregates. The ledger cached for the funnel
-  * passes is narrow (ids + counters + flags, no text). */
+  * passes is narrow (ids + counters + flags, no text) and stays cached
+  * after materialization so the returned lazy DataFrame is re-runnable —
+  * the clearCache-between-calls contract documented on
+  * `Dedup.dedupIncrementalStaged` applies here too. */
 object LlmPretrain {
 
   private val tokenBudget = 1000000L
@@ -136,8 +140,22 @@ object LlmPretrain {
       .select("doc_id")
     val bench = shAll.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("benchmark_id"), col("shingle"))
+    // the benchmark relation is ~1% of CORPUS shingle rows — linear in the
+    // corpus, so a forced broadcast() would eventually hit the 8 GB
+    // broadcast cap / driver heap. Gate it on the same heap-derived
+    // threshold as the wedge family (rows here are two longs, the same
+    // width class as packed edges); past the gate, a shuffled-hash join
+    // builds on the benchmark side instead (never sort-merge — the corpus
+    // side streams). The count is a pure function of the static dataset,
+    // memoized per JVM.
+    val benchRows = graft.sources.Staging.memoizedCount(
+      "llm_bench_shingles", d, "documents.parquet")(bench.count())
+    val benchSide =
+      if (benchRows < Graph.gateFor(Runtime.getRuntime.maxMemory))
+        broadcast(bench)
+      else bench.hint("shuffle_hash")
     val contam = sh2.join(s4ids, Seq("doc_id"), "left_semi")
-      .join(broadcast(bench), "shingle")
+      .join(benchSide, "shingle")
       .groupBy("doc_id", "benchmark_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
       .select("doc_id").distinct()

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *  - the per-partition content hash is one hash-aggregate over the input
   *    (sum of per-row xxhash64 + row count — order-independent, so it is
   *    stable under any shuffle/partitioning of the same rows),
-  *  - the manifest (partition → hash) is driver-side metadata, one line per
-  *    partition — bounded like any partition listing, NOT data,
+  *  - the manifest (partition → hash) is a human-diffable line file up to
+  *    `driverManifestMax` partitions and a parquet table next to the
+  *    output beyond it — the diff against it is a partition-grain join
+  *    either way, so partition-key cardinality never pins driver memory,
   *  - changed partitions are rewritten via dynamic partition overwrite, so
   *    untouched partition directories are never rewritten (their files keep
   *    their timestamps — IncrementalSpec asserts exactly that).
@@ -28,19 +30,42 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
-  /** Order-independent content hash per partition-key value. */
-  private[graft] def partitionHashes(df: DataFrame, partitionCol: String): Map[String, Long] = {
+  /** Per-partition content hashes as a RELATION: (p string, h long). The
+    * per-row hashes are summed as DECIMAL(38,0) — a LONG sum of full-range
+    * 64-bit hashes overflows, which ANSI mode turns into a runtime THROW
+    * at a handful of rows per partition — then reduced mod 2^63-1 back to
+    * a long. Order-independent (sum), value- and count-sensitive. */
+  private[graft] def partitionHashDf(df: DataFrame, partitionCol: String): DataFrame = {
     val dataCols = df.columns.sorted.map(c => col(s"`$c`"))
+    val longMax = new java.math.BigDecimal(java.lang.Long.MAX_VALUE)
     df.groupBy(col(s"`$partitionCol`").cast("string").as("p"))
-      .agg(sum(xxhash64(dataCols: _*)).as("h"), count(lit(1)).as("n"))
-      .collect()
-      .map(r => r.getAs[String]("p") ->
-        (java.lang.Long.rotateLeft(r.getAs[Long]("h"), 17) ^ r.getAs[Long]("n")))
-      .toMap
+      .agg(sum(xxhash64(dataCols: _*).cast("decimal(38,0)")).as("hs"),
+        count(lit(1)).as("n"))
+      .select(col("p"), {
+        val m = pmod(col("hs"), lit(longMax)).cast("long")
+        shiftleft(m, 17).bitwiseOR(shiftrightunsigned(m, 47))
+          .bitwiseXOR(col("n")).as("h")
+      })
   }
+
+  /** Order-independent content hash per partition-key value (driver map
+    * form — bounded use only; `materialize` routes through the relation). */
+  private[graft] def partitionHashes(df: DataFrame, partitionCol: String): Map[String, Long] =
+    partitionHashDf(df, partitionCol).collect()
+      .map(r => r.getAs[String]("p") -> r.getAs[Long]("h")).toMap
+
+  /** Above this partition count the manifest is kept as a PARQUET table
+    * next to the output instead of a driver-side line file: a date-grain
+    * partition key is partition-listing-sized either way, but a
+    * high-cardinality key (user, url-host) would grow the driver map
+    * without bound. */
+  private[graft] val defaultDriverManifestMax = 100000L
 
   private def manifestPath(outDir: String) =
     java.nio.file.Paths.get(outDir, "_graft_manifest")
+
+  private def pqManifestPath(outDir: String) =
+    java.nio.file.Paths.get(outDir, "_graft_manifest_pq")
 
   private[sources] def readManifest(outDir: String): Map[String, Long] = {
     val p = manifestPath(outDir)
@@ -60,30 +85,76 @@ object Incremental {
       m.toSeq.sorted.map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8"))
   }
 
+  /** The previous run's manifest as a relation, whichever format it was
+    * written in; None = first run. */
+  private def readPrevHashDf(s: SparkSession, outDir: String): Option[DataFrame] = {
+    val pq = pqManifestPath(outDir)
+    if (java.nio.file.Files.isDirectory(pq)) Some(s.read.parquet(pq.toString))
+    else if (java.nio.file.Files.exists(manifestPath(outDir))) {
+      import s.implicits._
+      Some(readManifest(outDir).toSeq.toDF("p", "h"))
+    } else None
+  }
+
   /** Materialize `transform(input)` under `outDir` partitioned by
     * `partitionCol`, recomputing only partitions whose input changed.
     * Returns the partition values that were recomputed (empty = everything
-    * was up to date). */
-  def materialize(input: DataFrame, partitionCol: String, outDir: String)(
+    * was up to date).
+    *
+    * The change DIFF is a partition-grain left join computed on the
+    * cluster; only the CHANGED keys reach the driver (delta-bounded — the
+    * incremental contract — except on a first run, where the return value
+    * is partition-listing-sized by definition). The manifest itself stays
+    * a human-diffable line file up to `driverManifestMax` partitions and
+    * spills to a parquet table next to the output beyond it, so the key's
+    * cardinality never pins driver memory. */
+  def materialize(input: DataFrame, partitionCol: String, outDir: String,
+      driverManifestMax: Long = defaultDriverManifestMax)(
       transform: DataFrame => DataFrame): Seq[String] = {
     val s = input.sparkSession
-    val current = partitionHashes(input, partitionCol)
-    val previous = readManifest(outDir)
-    val changed = current.collect {
-      case (p, h) if !previous.get(p).contains(h) => p
-    }.toSeq.sorted
-    if (changed.nonEmpty) {
-      val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        transform(input.filter(col(s"`$partitionCol`").cast("string").isin(changed: _*)))
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy(partitionCol)
-          .parquet(outDir)
-      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    val hashes = partitionHashDf(input, partitionCol).cache()
+    try {
+      val nParts = hashes.count()
+      val prev = readPrevHashDf(s, outDir)
+      val changed: Seq[String] = prev match {
+        case None => // first run: everything is new
+          hashes.select("p").collect().map(_.getString(0)).toSeq.sorted
+        case Some(pdf) =>
+          hashes.join(pdf.select(col("p"), col("h").as("h_prev")), Seq("p"), "left")
+            .filter(col("h_prev").isNull || col("h_prev") =!= col("h"))
+            .select("p").collect().map(_.getString(0)).toSeq.sorted
+      }
+      if (changed.nonEmpty) {
+        val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          // first run writes the whole input — no isin over a full listing
+          val src = if (prev.isEmpty) input
+            else input.filter(
+              col(s"`$partitionCol`").cast("string").isin(changed: _*))
+          transform(src).write.mode(SaveMode.Overwrite)
+            .partitionBy(partitionCol)
+            .parquet(outDir)
+        } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      }
+      // manifest write AFTER the data write (a crash between them merely
+      // re-runs the changed partitions — idempotent); exactly one format
+      // survives so the next run's readPrevHashDf is unambiguous
+      if (nParts <= driverManifestMax) {
+        writeManifest(outDir, hashes.collect()
+          .map(r => r.getString(0) -> r.getAs[Long]("h")).toMap)
+        val pq = pqManifestPath(outDir).toFile
+        if (pq.isDirectory) Staging.deleteRecursively(pq)
+      } else {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        hashes.write.mode(SaveMode.Overwrite).parquet(pqManifestPath(outDir).toString)
+        java.nio.file.Files.deleteIfExists(manifestPath(outDir))
+      }
+      changed
+    } finally {
+      hashes.unpersist()
+      ()
     }
-    writeManifest(outDir, current)
-    changed
   }
 
   /** The RESUME DECISION as a relation — the reference's ProcessingTracker

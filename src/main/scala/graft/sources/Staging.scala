@@ -193,14 +193,21 @@ object Staging {
 
   /** Stage a warehouse directory `name` once per JVM via `write(path)`;
     * returns the absolute path. Latched against the orphan sweep while
-    * live; restages if the directory vanished since staging. */
+    * live; restages if the directory vanished since staging.
+    *
+    * The memo is keyed by the RESOLVED path (this session's warehouse dir
+    * + name), not by name alone: two SparkSessions in one JVM with
+    * different warehouse dirs each stage their own copy instead of the
+    * second silently reading the first session's path. The sweep's latch
+    * check compares directory NAMES (it only ever sweeps this session's
+    * warehouse), so it derives the name from each path key. */
   def ensureDir(s: org.apache.spark.sql.SparkSession, name: String)(
       write: String => Unit): String = {
     sweepOrphans(s) // first staging in the JVM clears dead-session litter
     val path = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
       s"/$name"
     var owner = false
-    val fut = stagedDirs.computeIfAbsent(name, _ => {
+    val fut = stagedDirs.computeIfAbsent(path, _ => {
       owner = true
       new java.util.concurrent.CompletableFuture[String]()
     })
@@ -210,7 +217,7 @@ object Staging {
         fut.complete(path)
       } catch {
         case e: Throwable =>
-          stagedDirs.remove(name, fut) // a later caller may retry
+          stagedDirs.remove(path, fut) // a later caller may retry
           fut.completeExceptionally(e)
           throw e
       }
@@ -218,7 +225,7 @@ object Staging {
     val p = fut.join()
     if (new java.io.File(p).exists()) p
     else { // self-heal: dir swept/deleted after staging — drop memo, restage
-      stagedDirs.remove(name, fut)
+      stagedDirs.remove(path, fut)
       ensureDir(s, name)(write)
     }
   }
@@ -297,14 +304,20 @@ object Staging {
         .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
       candidates.foreach { f =>
         val n = f.getName.toLowerCase(java.util.Locale.ROOT)
-        def latchedIn(m: java.util.concurrent.ConcurrentHashMap[String, _]) =
-          m.containsKey(n) || {
-            val it = m.keySet().iterator()
-            var hit = false
-            while (!hit && it.hasNext)
-              hit = it.next().toLowerCase(java.util.Locale.ROOT) == n
-            hit
+        // stagedTables is keyed by table name; stagedDirs by resolved
+        // path — compare the basename in both cases (the sweep only ever
+        // walks this session's warehouse, so a name hit from another
+        // session's path key merely keeps a same-named dir alive)
+        def latchedIn(m: java.util.concurrent.ConcurrentHashMap[String, _]) = {
+          val it = m.keySet().iterator()
+          var hit = false
+          while (!hit && it.hasNext) {
+            val k = it.next()
+            val base = k.substring(k.lastIndexOf('/') + 1)
+            hit = base.toLowerCase(java.util.Locale.ROOT) == n
           }
+          hit
+        }
         val latchedNow = latchedIn(stagedTables) || latchedIn(stagedDirs)
         if (!latchedNow && !inCatalog.contains(n)) deleteRecursively(f)
       }

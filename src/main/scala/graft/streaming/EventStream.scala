@@ -430,17 +430,31 @@ object EventStream {
   /** Write one long-ns-normalized single-file copy of the events table into
     * `staged/<name>` (FileStreamSource needs a directory of files, and the
     * physical ts type of the source parquet varies across testdata
-    * generations — see Tables.events). */
+    * generations — see Tables.events).
+    *
+    * The normalized file is a pure function of the static events table, so
+    * it is staged ONCE per JVM (Staging.ensureFixture — the quarantine
+    * memoization precedent) and each per-call replay tree takes a
+    * filesystem COPY of it: the Spark normalize+write job that every
+    * replay-harness streaming query used to pay per CALL becomes a
+    * millisecond file copy. The per-call trees themselves stay per-call —
+    * checkpoints can't be reused across runs. */
   private def stageNormalized(
       s: SparkSession, dir: String,
       staged: java.nio.file.Path, name: String): Unit = {
-    val tmp = staged.resolve("norm_tmp").toString
-    graft.Tables.events(s, dir).coalesce(1).write.parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head.toPath
-    java.nio.file.Files.move(part, staged.resolve(name))
-    val d = new java.io.File(tmp)
-    d.listFiles().foreach(_.delete()); d.delete()
+    val fixture = graft.sources.Staging.ensureFixture("events_norm", dir) { path =>
+      val tmp = path + "_tmp"
+      graft.Tables.events(s, dir).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(path, "events.parquet"))
+      val d = new java.io.File(tmp)
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fixture, "events.parquet"), staged.resolve(name))
+    ()
   }
 
   def runOnBatch(
@@ -564,11 +578,16 @@ object EventStream {
       revealB2()
       val planted = new java.util.concurrent.atomic.AtomicBoolean(false)
       val q1 = start(Some(planted))
+      // the planted crash is EXPECTED to kill the query; capture whatever
+      // processAllAvailable throws so a genuine unrelated batch-0 failure
+      // resurfaces as itself instead of as the "never fired" message
+      var phase1Failure: Throwable = null
       try q1.processAllAvailable()
-      catch { case _: Throwable => () } // the planted crash kills the query
+      catch { case t: Throwable => phase1Failure = t }
       finally if (q1.isActive) q1.stop()
-      require(planted.get,
-        "planted mid-batch crash never fired — batch boundaries changed?")
+      if (!planted.get)
+        throw Option(phase1Failure).getOrElse(new IllegalStateException(
+          "planted mid-batch crash never fired — batch boundaries changed?"))
       val q2 = start(None)
       try q2.processAllAvailable() finally q2.stop()
     } else if (interrupted) {

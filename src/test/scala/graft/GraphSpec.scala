@@ -338,6 +338,32 @@ class GraphSpec extends SparkSpec {
       s"closing fallback must stream wedges, not sort them:\n$above")
   }
 
+  test("closing gate derives from driver heap: a low-heap session picks SHJ where a big-heap one broadcasts") {
+    import org.apache.spark.sql.functions._
+    val gib = 1024L * 1024 * 1024
+    val lowGate = operators.Graph.gateFor(2L * gib)   // default-heap driver
+    val highGate = operators.Graph.gateFor(16L * gib) // provisioned driver
+    assert(highGate == 50000000L, "big heap keeps the measured 50M ceiling")
+    assert(lowGate > 0L && lowGate < highGate,
+      "small heap must lower the gate, not zero it")
+    // an edge count the provisioned driver broadcasts flips to the
+    // shuffled-hash fallback on the default-heap driver — the OOM window
+    // the constant gate left open
+    val n = lowGate + 1
+    val wedges = spark.range(1000).select(
+      (col("id") % 10).as("y"), (col("id") % 7).as("z"))
+    val closing = spark.range(50).select(
+      (col("id") % 10).as("cy"), (col("id") % 7).as("cz"))
+    def planWith(gate: Long): String = wedges
+      .join(operators.Graph.closingSideFor(closing, n, gate),
+        col("y") === col("cy") && col("z") === col("cz"), "left_semi")
+      .queryExecution.sparkPlan.toString
+    assert(planWith(highGate).contains("BroadcastHashJoin"))
+    val low = planWith(lowGate)
+    assert(low.contains("ShuffledHashJoin") && !low.contains("SortMergeJoin"),
+      s"low-heap fallback must stream wedges, not sort them:\n$low")
+  }
+
   test("link predict: the RA wedge feeds a hash-aggregate with no sort over the wedge relation") {
     // The O(Σdeg²) wedge relation is the materialization hazard: sorting
     // it (a SortAggregate, or a Sort planned between the z-join and its

@@ -94,6 +94,43 @@ class IncrementalSpec extends SparkSpec {
       (2L, "roads", false), (3L, "schools", false)))
   }
 
+  test("above the driver-manifest threshold the manifest spills to parquet and stays partition-selective") {
+    import SparkSpec.spark.implicits._
+    // adversarial partition count: 64 partitions against a threshold of 8 —
+    // the manifest must live as a parquet table, never a driver line file,
+    // and a one-partition delta must still rewrite exactly one partition
+    val out = java.nio.file.Files.createTempDirectory("graft_incr_pq").toString + "/docs"
+    val ident = (df: org.apache.spark.sql.DataFrame) => df
+    def mk(mut: Boolean) = SparkSpec.spark.range(256)
+      .select(col("id"),
+        concat(lit("k"), col("id") % 64).as("part"),
+        (when(lit(mut) && col("id") === 7, -1L).otherwise(col("id")) * 3).as("v"))
+    val first = Incremental.materialize(mk(false), "part", out, driverManifestMax = 8)(ident)
+    assert(first.size == 64, "first run must compute every partition")
+    assert(new java.io.File(s"$out/_graft_manifest_pq").isDirectory,
+      "above the threshold the manifest must be a parquet table")
+    assert(!new java.io.File(s"$out/_graft_manifest").exists(),
+      "the driver line file must not exist above the threshold")
+    val before = partFiles(out, "k8")
+
+    // no-op rerun: the relational diff finds nothing
+    assert(Incremental.materialize(mk(false), "part", out, driverManifestMax = 8)(ident).isEmpty)
+
+    // id 7 lives in partition k7: exactly that partition recomputes
+    Thread.sleep(1100)
+    val second = Incremental.materialize(mk(true), "part", out, driverManifestMax = 8)(ident)
+    assert(second == Seq("k7"), s"only k7 changed, got $second")
+    assert(partFiles(out, "k8") == before, "partition k8 was rewritten needlessly")
+
+    // format flip: a run back under the threshold reads the parquet
+    // manifest, finds no delta, and rewrites the manifest as a line file
+    assert(Incremental.materialize(mk(true), "part", out)(ident).isEmpty)
+    assert(new java.io.File(s"$out/_graft_manifest").exists())
+    assert(!new java.io.File(s"$out/_graft_manifest_pq").isDirectory)
+    // ...and the line file round-trips bit-for-bit against a fresh diff
+    assert(Incremental.materialize(mk(true), "part", out)(ident).isEmpty)
+  }
+
   test("manifestDiff classifies new/removed/changed/unchanged exactly") {
     import SparkSpec.spark.implicits._
     val prev = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
