@@ -25,6 +25,17 @@ object CatalystBridge {
   def planOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Unload every loaded state-store provider in this JVM (`StateStore
+    * .unloadAll` is `private[sql]`). Local-mode replay harnesses call this
+    * after stopping a query: a stopped query's providers otherwise stay
+    * registered — in-memory version maps included — until the 60 s
+    * maintenance tick notices the query is inactive, and back-to-back
+    * harness runs in one JVM accumulate them. An ACTIVE query that loses a
+    * provider merely reloads it from its checkpoint on the next batch, so
+    * the call is always safe, just not free. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   /** Register a builder as a SQL-callable function on a live session (the
     * runtime counterpart of SparkSessionExtensions.injectFunction, for
     * sessions that already exist). */
