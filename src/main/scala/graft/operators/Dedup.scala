@@ -1428,6 +1428,107 @@ object Dedup {
       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // dedup_substring_recall — THE WINDOW-FORM RECALL GAP, MEASURED:
+  // dedup_substring's stride-8 screen graded against the suffix-grain
+  // truth at the same minimum span length. The sliding-window lemma makes
+  // stride-1 L-grams EXACT for "docs sharing a verbatim span of length
+  // ≥ L": any such span contains a shared L-gram at every in-span offset,
+  // so stride 1 misses nothing — this is the relational form of Lee et
+  // al. 2022's suffix-array ExactSubstr at fixed minimum match length L,
+  // and like the suffix array it is linear in corpus size (|text| window
+  // rows per doc). The stride-8 screen, by contrast, keys windows at
+  // multiples of 8 from each doc's own start: two copies of one span at
+  // doc offsets a and b share a window key only when a ≡ b (mod 8) — and
+  // absent internal period-8 text, NEVER otherwise, no matter how long
+  // the span is (the window content at a stride-8 start of copy A sits
+  // at span position ≡ −a (mod 8), which copy B's starts reach only when
+  // the phases agree; ~1/8 of uniformly-placed pairs, more in real
+  // corpora where duplicated spans are prefix-aligned). This query
+  // reports, per source: truth-flagged docs (stride 1), screen-flagged
+  // docs (stride 8, a guaranteed subset), and the screen's doc-level
+  // recall in basis points — the quantitative statement the stride
+  // knob's 8x row savings must be weighed against.
+  //
+  // Plan: both arms are the dedup_substring shape — linear map-side
+  // explode, ONE hash-aggregate on the 16-hex window key, broadcast-
+  // eligible semi join of the ≥2-doc keys back onto the window relation
+  // (never a doc×doc or collect_set-per-key shape — a window shared by
+  // millions of docs stays a join, not a driver set). The stride-1 arm
+  // is 8x the rows of the screen, both Θ(corpus).
+  // ---------------------------------------------------------------------
+  def dedupSubstringRecall(s: SparkSession, d: String): DataFrame = {
+    val W = 32
+    def flagged(stride: Int, as: String): DataFrame = {
+      val wins = Tables.documents(s, d)
+        .filter(length(col("text")) >= W)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), length(col("text")) - W, lit(stride)))
+            .as("off"),
+          col("text"))
+        .select(col("doc_id"),
+          substring(md5(expr(s"substring(text, off + 1, $W)")), 1, 16).as("h"))
+        .cache()
+      val dupKeys = wins.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+        .select("h")
+      wins.join(dupKeys, Seq("h"), "left_semi")
+        .select("doc_id").distinct().withColumn(as, lit(1L))
+    }
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= W)
+      .select("doc_id", "source")
+      .join(flagged(1, "t"), Seq("doc_id"), "left")
+      .join(flagged(8, "w"), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("t"), lit(0L))).as("dup_docs_exact"),
+        sum(coalesce(col("w"), lit(0L))).as("dup_docs_window"))
+      .withColumn("recall_bp",
+        when(col("dup_docs_exact") > 0,
+          expr("(10000 * dup_docs_window) div dup_docs_exact"))
+          .otherwise(lit(10000L)))
+      .orderBy("source")
+  }
+
+  private val dedupSubstringRecallSql =
+    """WITH w1 AS MATERIALIZED (
+      |  SELECT d.doc_id,
+      |    substr(md5(substr(d.text, g.off + 1, 32)), 1, 16) AS h
+      |  FROM documents d,
+      |    LATERAL (SELECT unnest(generate_series(0, length(d.text) - 32, 1))
+      |             AS off) g
+      |  WHERE length(d.text) >= 32
+      |), t1 AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id FROM w1 WHERE h IN
+      |    (SELECT h FROM w1 GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+      |), w8 AS MATERIALIZED (
+      |  SELECT d.doc_id,
+      |    substr(md5(substr(d.text, g.off + 1, 32)), 1, 16) AS h
+      |  FROM documents d,
+      |    LATERAL (SELECT unnest(generate_series(0, length(d.text) - 32, 8))
+      |             AS off) g
+      |  WHERE length(d.text) >= 32
+      |), t8 AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id FROM w8 WHERE h IN
+      |    (SELECT h FROM w8 GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+      |)
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN t1.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS dup_docs_exact,
+      |  CAST(sum(CASE WHEN t8.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS dup_docs_window,
+      |  CAST(CASE WHEN sum(CASE WHEN t1.doc_id IS NOT NULL THEN 1 ELSE 0 END) > 0
+      |    THEN (10000 * sum(CASE WHEN t8.doc_id IS NOT NULL THEN 1 ELSE 0 END))
+      |      // sum(CASE WHEN t1.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    ELSE 10000 END AS BIGINT) AS recall_bp
+      |FROM documents d
+      |  LEFT JOIN t1 ON d.doc_id = t1.doc_id
+      |  LEFT JOIN t8 ON d.doc_id = t8.doc_id
+      |WHERE length(d.text) >= 32
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // dedup_sketch_calibration — MINHASH ESTIMATOR CALIBRATION: for a
   // deterministic linear pair sample (each doc vs its id-successor),
   // compare the k=16 MinHash Jaccard ESTIMATE (signature agreement share)
@@ -1539,6 +1640,8 @@ object Dedup {
     Q("dedup_sketch_calibration", dedupSketchCalibration,
       Some(dedupSketchCalibrationSql)),
     Q("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
+    Q("dedup_substring_recall", dedupSubstringRecall,
+      Some(dedupSubstringRecallSql)),
     Q("dedup_retention_funnel", dedupRetentionFunnel, Some(dedupRetentionFunnelSql)),
     Q("dedup_retention_funnel_staged", dedupRetentionFunnelStaged,
       Some(dedupRetentionFunnelSql)),

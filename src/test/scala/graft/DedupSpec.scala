@@ -302,6 +302,68 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substring recall: arms recompute naively; screen is a subset of truth") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Dedup.dedupSubstringRecall(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.length >= 32)
+    def flagged(stride: Int): Set[Long] = {
+      val wins = docs.flatMap { case (id, _, t) =>
+        (0 to t.length - 32 by stride).map(o => (id, t.substring(o, o + 32)))
+      }
+      val dup = wins.groupBy(_._2).collect {
+        case (w, g) if g.map(_._1).distinct.length >= 2 => w
+      }.toSet
+      wins.collect { case (id, w) if dup(w) => id }.toSet
+    }
+    val truth = flagged(1)
+    val screen = flagged(8)
+    assert(screen.subsetOf(truth)) // stride-8 starts ⊂ stride-1 starts
+    val perSrc = docs.groupBy(_._2)
+    assert(rows.map(_.getAs[String]("source")).toSet == perSrc.keySet)
+    rows.foreach { r =>
+      val ids = perSrc(r.getAs[String]("source")).map(_._1).toSet
+      val te = ids.count(truth).toLong
+      val we = ids.count(screen).toLong
+      assert(r.getAs[Long]("n_docs") == ids.size.toLong)
+      assert(r.getAs[Long]("dup_docs_exact") == te)
+      assert(r.getAs[Long]("dup_docs_window") == we)
+      assert(r.getAs[Long]("recall_bp") ==
+        (if (te > 0) 10000L * we / te else 10000L))
+    }
+  }
+
+  test("substring recall: a phase-misaligned span is missed by the screen") {
+    // One 47-char span copied at offset 0 of doc 1 and offset 3 of doc 2:
+    // phases differ mod 8, so NO stride-8 window key can match across the
+    // two copies, while stride-1 catches them — the gap the query measures.
+    val span = "the quick brown fox jumps over the lazy dog 123"
+    require(span.length == 47 && span.length % 8 != 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-recall").toFile
+    try {
+      import SparkSpec.spark.implicits._
+      Seq(
+        (1L, span + " tail one padding padding", "a"),
+        (2L, "xy " + span + " other trailing text", "a"),
+        (3L, "completely unrelated filler text with enough length here", "a"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"${dir.getPath}/documents.parquet")
+      val r = operators.Dedup.dedupSubstringRecall(spark, dir.getPath)
+        .collect()
+      assert(r.length == 1)
+      assert(r.head.getAs[Long]("dup_docs_exact") == 2L)
+      assert(r.head.getAs[Long]("dup_docs_window") == 0L)
+      assert(r.head.getAs[Long]("recall_bp") == 0L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("sketch calibration: estimates and histogram recompute from raw shingles") {
     import org.apache.spark.sql.functions.col
     val rows = operators.Dedup.dedupSketchCalibration(spark, sf).collect()
