@@ -269,7 +269,10 @@ object ScaleSmoke {
           "llm_pretrain_e2e",
           // the iterate-to-fixpoint family (r12 verdict item 4): the one
           // heavy family still on a single-decade read before r13
-          "q_label_propagation", "q_hits")
+          "q_label_propagation", "q_hits",
+          // r13: the stride-1 truth arm is 8x the screen's window rows —
+          // prove the 8x stays a constant factor, not a growth term
+          "dedup_substring_recall")
       if (names.contains("q_hits") &&
           !new java.io.File(s"$big10/orders.parquet").isDirectory) {
         println(s"[scale] staging 100x orders -> $big10")
@@ -290,7 +293,8 @@ object ScaleSmoke {
           ((s: SparkSession, d: String) => operators.Dedup.indexAppendApply(s, d)),
         "llm_pretrain_e2e" -> (operators.LlmPretrain.llmPretrainE2e _),
         "q_label_propagation" -> (operators.Graph.qLabelPropagation _),
-        "q_hits" -> (operators.Graph.qHits _)
+        "q_hits" -> (operators.Graph.qHits _),
+        "dedup_substring_recall" -> (operators.Dedup.dedupSubstringRecall _)
       ).filter(q => names.contains(q._1))
       qs.foreach { case (_, fn) => // warmup (JIT + codegen), untimed
         fn(spark, small).count(); spark.catalog.clearCache()
