@@ -1363,6 +1363,12 @@ object Dedup {
   // dashboard number that document-level MinHash (j ≥ 0.5 on the WHOLE
   // doc) structurally misses (a 100-word quote inside a 10k-word doc).
   //
+  // Recall caveat (measured by dedup_substring_recall): stride-8 windows
+  // detect a cross-doc span only when the two copies agree on offset
+  // phase mod 8 — 55.9% doc-level recall at sf0.1 vs the stride-1 truth.
+  // This screen is the cheap dashboard; use the stride-1 arm when the
+  // number must be exact.
+  //
   // Plan: windows explode map-side (|text|/8 rows per doc — linear, the
   // stride is the cost knob); dup detection is ONE hash-aggregate on the
   // 16-hex md5 window key + a broadcast-eligible semi join of the ≥2-doc
