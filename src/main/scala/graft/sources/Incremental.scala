@@ -116,22 +116,35 @@ object Incremental {
     try {
       val nParts = hashes.count()
       val prev = readPrevHashDf(s, outDir)
-      val changed: Seq[String] = prev match {
-        case None => // first run: everything is new
-          hashes.select("p").collect().map(_.getString(0)).toSeq.sorted
-        case Some(pdf) =>
-          hashes.join(pdf.select(col("p"), col("h").as("h_prev")), Seq("p"), "left")
-            .filter(col("h_prev").isNull || col("h_prev") =!= col("h"))
-            .select("p").collect().map(_.getString(0)).toSeq.sorted
+      // the changed set stays a RELATION: the write path semi-joins
+      // against it (a churn-heavy day on a high-cardinality partition key
+      // would otherwise put 10^4-10^5 string literals INTO the plan as an
+      // IN-list — analysis + codegen cost in exactly the cardinality
+      // regime the parquet manifest spill exists for); only the returned
+      // work list collects, and that stays delta-bounded
+      val changedDf: Option[DataFrame] = prev.map { pdf =>
+        hashes.join(pdf.select(col("p"), col("h").as("h_prev")), Seq("p"), "left")
+          .filter(col("h_prev").isNull || col("h_prev") =!= col("h"))
+          .select("p")
       }
+      val changed: Seq[String] = changedDf.getOrElse(hashes.select("p"))
+        .collect().map(_.getString(0)).toSeq.sorted
       if (changed.nonEmpty) {
         val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try {
-          // first run writes the whole input — no isin over a full listing
-          val src = if (prev.isEmpty) input
-            else input.filter(
-              col(s"`$partitionCol`").cast("string").isin(changed: _*))
+          // first run writes the whole input — no selection over a full
+          // listing; incremental runs semi-join the changed-keys relation
+          // (hashes is cached, so re-deriving the diff for the join is a
+          // partition-grain re-read, and AQE broadcasts the small side)
+          val src = changedDf match {
+            case None => input
+            case Some(cdf) =>
+              input.join(cdf.select(col("p").as("__graft_changed_p")),
+                col(s"`$partitionCol`").cast("string") ===
+                  col("__graft_changed_p"),
+                "left_semi")
+          }
           transform(src).write.mode(SaveMode.Overwrite)
             .partitionBy(partitionCol)
             .parquet(outDir)

@@ -78,8 +78,15 @@ object EventStream {
     applyStateStore(s)
     val key = "spark.sql.shuffle.partitions"
     val saved = s.conf.get(key)
-    s.conf.set(key,
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+    // fail AT the override site with the variable's name — an invalid
+    // value passed through to Spark planning surfaces as an opaque error
+    val n = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS").map { v =>
+      val p = v.trim.toIntOption.getOrElse(-1)
+      require(p > 0, s"SPARK_GRAFT_STREAM_STATE_PARTITIONS must be a " +
+        s"positive integer, got '$v'")
+      p
+    }.getOrElse(8)
+    s.conf.set(key, n.toString)
     try body finally s.conf.set(key, saved)
   }
 
@@ -415,7 +422,10 @@ object EventStream {
   }
 
   def streamingJoinOuter(s: SparkSession, dir: String): DataFrame = {
-    withReplayConf(s) {
+    // withReplayConf is generic in T: the block RETURNS the out dir it
+    // wrote, so the read-back below targets the same path even if
+    // Staging.dir ever gains per-call uniqueness.
+    val outDir = withReplayConf(s) {
       val (staged, sentFile) = stageJoinOuterInputs(s, dir)
       val src = s.readStream
         .schema(eventsSchema)
@@ -437,8 +447,8 @@ object EventStream {
         q.processAllAvailable() // phase 2: watermark jump flushes outer state
       } finally { q.stop(); unloadStateStores() }
       graft.sources.Staging.deleteRecursively(staged.toFile)
+      outDir
     }
-    val outDir = graft.sources.Staging.dir("stream_outer_out", dir)
     s.read.parquet(outDir)
       .filter(col("purchase_id") >= 0).orderBy("purchase_id", "click_id")
   }

@@ -131,6 +131,58 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.materialize(mk(true), "part", out)(ident).isEmpty)
   }
 
+  test("incremental selection is a semi-join, not a literal IN-list, at adversarial changed counts") {
+    // 64 partitions, 48 changed in one run — the churn-heavy regime where
+    // an IN-list selection would inline 10^4-10^5 literals into the plan.
+    // Asserts the write's physical plan uses LeftSemi and carries (almost)
+    // no partition-value literals.
+    val out = java.nio.file.Files.createTempDirectory("graft_incr_semi").toString + "/docs"
+    val ident = (df: org.apache.spark.sql.DataFrame) => df
+    def mk(mut: Boolean) = SparkSpec.spark.range(256)
+      .select(col("id"),
+        concat(lit("k"), col("id") % 64).as("part"),
+        (when(lit(mut) && col("id") % 64 < 48, col("id") + 1000000L)
+          .otherwise(col("id")) * 3).as("v"))
+    val first = Incremental.materialize(mk(false), "part", out, driverManifestMax = 8)(ident)
+    assert(first.size == 64)
+    Thread.sleep(1100)
+
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    SparkSpec.spark.listenerManager.register(listener)
+    try {
+      val changed = Incremental.materialize(mk(true), "part", out, driverManifestMax = 8)(ident)
+      assert(changed.size == 48, s"48 partitions changed, got ${changed.size}")
+      assert(changed == (0 until 48).map(i => s"k$i").sorted)
+      // listener delivery is async on the listener bus — poll for the plan
+      val deadline = System.currentTimeMillis() + 15000
+      def snap = plans.synchronized(plans.toList)
+      while (!snap.exists(_.contains("LeftSemi")) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val all = snap
+      assert(all.exists(_.contains("LeftSemi")),
+        "changed-partition selection must plan as a semi-join")
+      // no executed plan may inline the changed keys as literals (a few
+      // incidental matches from paths/metadata are tolerated; an IN-list
+      // would inline all 48)
+      all.foreach { p =>
+        val lits = (0 until 48).count(i => p.contains(s"k$i,") || p.contains(s"k$i)"))
+        assert(lits < 10, s"plan inlines $lits partition-value literals:\n${p.take(2000)}")
+      }
+    } finally SparkSpec.spark.listenerManager.unregister(listener)
+    // content check: the semi-join selected exactly the changed rows
+    val got = SparkSpec.spark.read.parquet(out)
+      .agg(sum(col("v"))).head().getLong(0)
+    val want = mk(true).agg(sum(col("v"))).head().getLong(0)
+    assert(got == want, "materialized content must equal transform(mutated input)")
+  }
+
   test("manifestDiff classifies new/removed/changed/unchanged exactly") {
     import SparkSpec.spark.implicits._
     val prev = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
