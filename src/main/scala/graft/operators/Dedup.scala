@@ -1434,6 +1434,38 @@ object Dedup {
       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Staged stride-1 window layout (the BucketedLayout pattern applied to
+  // ExactSubstr): the stride-1 window relation — ~|text| rows per doc, the
+  // corpus-character-grain relation both the recall measurement and the
+  // rewrite consume — is derived ONCE and persisted as a managed table
+  // bucketed+sorted on the 16-hex window hash. Downstream, BOTH hot
+  // operations on it are h-keyed — the ≥2-doc dup-key aggregate and the
+  // semi join of those keys back onto the windows — so against this
+  // layout they run bucket-local with NO exchange, and the stride-8
+  // screen arm is just the `off % 8 = 0` filter of the same table
+  // (stride-8 window starts are a subset of stride-1 starts; the filter
+  // preserves bucketing). This replaced the r13 shape that CACHED the
+  // stride-1 relation in full (the largest cache residency in the suite —
+  // r13 verdict item 6): at 100x the staged table spills to disk like any
+  // parquet relation instead of pinning executor storage memory.
+  // ---------------------------------------------------------------------
+  private val substrW = 32
+
+  private def stagedStride1Windows(s: SparkSession, d: String): String =
+    graft.sources.Staging.ensureTable(s, "substr_w1", d,
+      "documents.parquet", "h", 32, Some("h")) {
+      Tables.documents(s, d)
+        .filter(length(col("text")) >= substrW)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), length(col("text")) - substrW, lit(1)))
+            .as("off"),
+          col("text"))
+        .select(col("doc_id"), col("off"),
+          substring(md5(expr(s"substring(text, off + 1, $substrW)")), 1, 16)
+            .as("h"))
+    }._1
+
+  // ---------------------------------------------------------------------
   // dedup_substring_recall — THE WINDOW-FORM RECALL GAP, MEASURED:
   // dedup_substring's stride-8 screen graded against the suffix-grain
   // truth at the same minimum span length. The sliding-window lemma makes
@@ -1455,25 +1487,23 @@ object Dedup {
   // recall in basis points — the quantitative statement the stride
   // knob's 8x row savings must be weighed against.
   //
-  // Plan: both arms are the dedup_substring shape — linear map-side
-  // explode, ONE hash-aggregate on the 16-hex window key, broadcast-
-  // eligible semi join of the ≥2-doc keys back onto the window relation
-  // (never a doc×doc or collect_set-per-key shape — a window shared by
-  // millions of docs stays a join, not a driver set). The stride-1 arm
-  // is 8x the rows of the screen, both Θ(corpus).
+  // Plan: both arms read the STAGED stride-1 window table bucketed on h
+  // (the screen arm as its `off % 8 = 0` subset — stride-8 starts are by
+  // definition the stride-1 starts at multiples of 8): ONE bucket-local
+  // hash-aggregate on the 16-hex window key, bucket-local semi join of
+  // the ≥2-doc keys back onto the window relation (never a doc×doc or
+  // collect_set-per-key shape — a window shared by millions of docs
+  // stays a join, not a driver set). Nothing here caches: the r13 form
+  // cached both window relations (the stride-1 one was the largest cache
+  // resident in the suite); the staged layout replaces both.
   // ---------------------------------------------------------------------
   def dedupSubstringRecall(s: SparkSession, d: String): DataFrame = {
-    val W = 32
+    val W = substrW
+    val w1 = s.table(stagedStride1Windows(s, d))
     def flagged(stride: Int, as: String): DataFrame = {
-      val wins = Tables.documents(s, d)
-        .filter(length(col("text")) >= W)
-        .select(col("doc_id"),
-          explode(sequence(lit(0), length(col("text")) - W, lit(stride)))
-            .as("off"),
-          col("text"))
-        .select(col("doc_id"),
-          substring(md5(expr(s"substring(text, off + 1, $W)")), 1, 16).as("h"))
-        .cache()
+      val wins =
+        (if (stride == 1) w1 else w1.filter(col("off") % stride === 0))
+          .select("doc_id", "h")
       val dupKeys = wins.groupBy("h")
         .agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2)
@@ -1533,6 +1563,154 @@ object Dedup {
       |  LEFT JOIN t8 ON d.doc_id = t8.doc_id
       |WHERE length(d.text) >= 32
       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_substring_rewrite — the APPLY arm of ExactSubstr: EMIT THE
+  // CLEANED CORPUS with duplicated ≥32-char spans removed at stride-1
+  // grain (Lee et al. 2022 "Deduplicating Training Data Makes Language
+  // Models Better" — their ExactSubstr tool's actual OUTPUT is the
+  // rewritten corpus, not an audit; reference analog: the
+  // normalize-and-log rewrite motion of normalize_corpus.py:136). r13
+  // MEASURED that the stride-8 screen misses ~44% of substring-duplicated
+  // docs (dedup_substring_recall); this closes the audit→apply gap the
+  // way corpus_upsert_merge closed it for CDC. Exactness: the sliding-
+  // window lemma makes stride-1 32-gram flagging EXACT for spans ≥ 32 —
+  // every character of a duplicated span of length ≥ 32 lies inside some
+  // shared 32-gram window, so the merged removed intervals cover exactly
+  // the duplicated-span characters.
+  //
+  // Semantics: a window is duplicated iff its 32-gram occurs in ≥ 2
+  // DISTINCT docs (both copies are removed — the symmetric form; the
+  // keep-one-copy policy lives at doc grain in dedup_cluster_canonical).
+  // Per doc, duplicated windows [off, off+31] merge into maximal removed
+  // spans via the run-grouping window trick (new run when a window start
+  // exceeds the running max end + 1); the cleaned text is the ordered
+  // concatenation of the kept gaps. Conservation (spec-asserted):
+  // length(cleaned) + chars_removed = chars_in on every row.
+  //
+  // Scale shape: dup-key aggregate + semi join run BUCKET-LOCAL on the
+  // staged h-bucketed stride-1 window table (shared with
+  // dedup_substring_recall — staged once); the only data-grain shuffle is
+  // the doc_id repartition for the span-merge window, at DUPLICATED-
+  // window grain (≪ corpus unless the corpus is mostly duplicate). The
+  // span merge, gap derivation and concat are all doc-partitioned window
+  // functions + one hash aggregate — nothing driver-side, nothing n².
+  // ---------------------------------------------------------------------
+  def dedupSubstringRewrite(s: SparkSession, d: String): DataFrame = {
+    val W = substrW
+    val w1 = s.table(stagedStride1Windows(s, d))
+    val dupKeys = w1.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val dw = w1.join(dupKeys, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("off"), (col("off") + (W - 1)).as("e"))
+    val byOff = Window.partitionBy("doc_id").orderBy("off")
+    val prevMaxEnd =
+      max(col("e")).over(byOff.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dw
+      .withColumn("nr",
+        when(prevMaxEnd.isNull || col("off") > prevMaxEnd + 1, 1L)
+          .otherwise(0L))
+      .withColumn("rid",
+        sum(col("nr")).over(byOff.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "rid")
+      .agg(min("off").as("s"), max("e").as("e"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).cast("long").as("chars_in"))
+    // kept gaps: before each span (lag of the previous end), plus the tail
+    // after the last span; empty gaps filter out
+    val bySpan = Window.partitionBy("doc_id").orderBy("s")
+    val innerKept = spans.select(col("doc_id"),
+      (coalesce(lag(col("e"), 1).over(bySpan), lit(-1)) + 1).as("ks"),
+      (col("s") - 1).as("ke"))
+    val tailKept = spans.groupBy("doc_id").agg((max("e") + 1).as("ks"))
+      .join(docs.select(col("doc_id"), (col("chars_in") - 1).as("ke")),
+        "doc_id")
+      .select("doc_id", "ks", "ke")
+    val kept = innerKept.unionByName(tailKept).filter(col("ks") <= col("ke"))
+    val cleanedPer = kept.join(docs.select("doc_id", "text"), "doc_id")
+      .select(col("doc_id"), struct(col("ks"),
+        expr("substring(text, ks + 1, ke - ks + 1)").as("piece")).as("seg"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("seg"))),
+          x => x.getField("piece")), "").as("cleaned"))
+    val removedPer = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("chars_removed"))
+    docs
+      .join(removedPer, Seq("doc_id"), "left")
+      .join(cleanedPer, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("chars_in"),
+        coalesce(col("chars_removed"), lit(0L)).as("chars_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        // no spans → verbatim text; fully-removed doc → empty string
+        when(col("n_spans").isNull, col("text"))
+          .otherwise(coalesce(col("cleaned"), lit(""))).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupSubstringRewriteSql =
+    """WITH w1 AS MATERIALIZED (
+      |  SELECT d.doc_id, g.off,
+      |    substr(md5(substr(d.text, g.off + 1, 32)), 1, 16) AS h
+      |  FROM documents d,
+      |    LATERAL (SELECT unnest(generate_series(0, length(d.text) - 32, 1))
+      |             AS off) g
+      |  WHERE length(d.text) >= 32
+      |), dup AS (
+      |  SELECT h FROM w1 GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+      |), dw AS MATERIALIZED (
+      |  SELECT doc_id, off, off + 31 AS e
+      |  FROM w1 WHERE h IN (SELECT h FROM dup)
+      |), runs AS (
+      |  SELECT doc_id, off, e,
+      |    CASE WHEN off > coalesce(max(e) OVER (PARTITION BY doc_id
+      |        ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |        -2) + 1
+      |      THEN 1 ELSE 0 END AS nr
+      |  FROM dw
+      |), spans AS MATERIALIZED (
+      |  SELECT doc_id, min(off) AS s, max(e) AS e
+      |  FROM (SELECT doc_id, off, e,
+      |          sum(nr) OVER (PARTITION BY doc_id ORDER BY off
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+      |        FROM runs)
+      |  GROUP BY doc_id, rid
+      |), kept AS (
+      |  SELECT doc_id, ks, ke FROM (
+      |    SELECT doc_id,
+      |      coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), -1) + 1
+      |        AS ks,
+      |      s - 1 AS ke
+      |    FROM spans
+      |    UNION ALL
+      |    SELECT sp.doc_id, max(sp.e) + 1 AS ks, max(length(d.text)) - 1 AS ke
+      |    FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id
+      |    GROUP BY sp.doc_id
+      |  ) WHERE ks <= ke
+      |), cleanedper AS (
+      |  SELECT k.doc_id,
+      |    string_agg(substr(d.text, k.ks + 1, k.ke - k.ks + 1), ''
+      |      ORDER BY k.ks) AS cleaned
+      |  FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+      |  GROUP BY k.doc_id
+      |), removedper AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(e - s + 1) AS BIGINT) AS chars_removed
+      |  FROM spans GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, d.source, CAST(length(d.text) AS BIGINT) AS chars_in,
+      |  coalesce(r.chars_removed, 0) AS chars_removed,
+      |  coalesce(r.n_spans, 0) AS n_spans,
+      |  CASE WHEN r.doc_id IS NULL THEN d.text
+      |       ELSE coalesce(c.cleaned, '') END AS cleaned
+      |FROM documents d
+      |LEFT JOIN removedper r ON r.doc_id = d.doc_id
+      |LEFT JOIN cleanedper c ON c.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // dedup_sketch_calibration — MINHASH ESTIMATOR CALIBRATION: for a
@@ -1648,6 +1826,8 @@ object Dedup {
     Q("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     Q("dedup_substring_recall", dedupSubstringRecall,
       Some(dedupSubstringRecallSql)),
+    Q("dedup_substring_rewrite", dedupSubstringRewrite,
+      Some(dedupSubstringRewriteSql)),
     Q("dedup_retention_funnel", dedupRetentionFunnel, Some(dedupRetentionFunnelSql)),
     Q("dedup_retention_funnel_staged", dedupRetentionFunnelStaged,
       Some(dedupRetentionFunnelSql)),

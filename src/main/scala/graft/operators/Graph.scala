@@ -53,6 +53,33 @@ object Graph {
   private[graft] def ensureEdgesStaged(s: SparkSession, d: String): String =
     stagedEdges(s, d)._1
 
+  /** Staged MULTI-ORDER co-purchase edge layout (src, dst, n_shared):
+    * the ≥2-shared-orders symmetric relation that the peeling/traversal
+    * family (k-core, BFS, SSSP, link prediction) re-derives per query —
+    * each pays the DISTINCT-orderkey scan plus the basket² self-join
+    * before its own iterations even start (r13 verdict item 5: the five
+    * unstaged graph heavies were the largest remaining per-query
+    * re-derivation, 3.0–6.1 s each). Staged ONCE, bucketed+sorted on src
+    * (32 buckets = session parallelism; thousands at cluster scale): every
+    * per-round frontier/relaxation join keys on src, so the edge side of
+    * each iteration reads co-bucketed pre-sorted files with no exchange.
+    * n_shared is kept in the layout — SSSP derives its integer edge cost
+    * from it, everyone else projects it away (column pruning reaches the
+    * bucketed scan). The `_staged` variants run the SAME algorithm code
+    * against this layout under the SAME oracles. */
+  private def stagedMultiEdges(s: SparkSession, d: String): (String, Long) =
+    graft.sources.Staging.ensureTable(s, "edges_multi", d,
+      "lineitem.parquet", "src", 32, Some("src")) {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
+        .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+    }
+
   /** Staged LPA community labels (node, lbl): the shared derivation of the
     * community family, computed ONCE from the staged edge layout and
     * persisted bucketed on node — the production shape where one job
@@ -436,8 +463,16 @@ object Graph {
       .select("src", "dst")
   }
 
-  def qKcore(s: SparkSession, d: String): DataFrame = {
-    val edges = multiOrderEdges(s, d).cache()
+  def qKcore(s: SparkSession, d: String): DataFrame =
+    kcoreOn(multiOrderEdges(s, d).cache())
+
+  /** q_kcore against the staged multi-order layout — same oracle; the
+    * basket² edge derivation is amortized into the one-time staging and
+    * the cached read keeps the 24 per-round consumptions in memory. */
+  def qKcoreStaged(s: SparkSession, d: String): DataFrame =
+    kcoreOn(s.table(stagedMultiEdges(s, d)._1).select("src", "dst").cache())
+
+  private def kcoreOn(edges: DataFrame): DataFrame = {
     var cur = edges.select(col("src").as("node")).distinct().localCheckpoint()
     val trajectory = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def snapshot(r: Int, df: DataFrame): DataFrame =
@@ -505,8 +540,15 @@ object Graph {
   private val bfsRounds = 3
   private val bfsSeeds = 20
 
-  def qBfsLayers(s: SparkSession, d: String): DataFrame = {
-    val edges = multiOrderEdges(s, d).cache()
+  def qBfsLayers(s: SparkSession, d: String): DataFrame =
+    bfsLayersOn(multiOrderEdges(s, d).cache())
+
+  /** q_bfs_layers against the staged multi-order layout — same oracle. */
+  def qBfsLayersStaged(s: SparkSession, d: String): DataFrame =
+    bfsLayersOn(
+      s.table(stagedMultiEdges(s, d)._1).select("src", "dst").cache())
+
+  private def bfsLayersOn(edges: DataFrame): DataFrame = {
     val seeds = edges.select(col("src").as("node")).distinct()
       .orderBy("node").limit(bfsSeeds)
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
@@ -580,6 +622,17 @@ object Graph {
       .filter(col("n_shared") >= 2)
       .select(col("src"), col("dst"), expr("1000000 div n_shared").as("w"))
       .cache()
+    ssspOn(edges)
+  }
+
+  /** q_sssp_weighted against the staged multi-order layout — same oracle;
+    * the integer edge cost derives from the staged n_shared column. */
+  def qSsspWeightedStaged(s: SparkSession, d: String): DataFrame =
+    ssspOn(s.table(stagedMultiEdges(s, d)._1)
+      .select(col("src"), col("dst"), expr("1000000 div n_shared").as("w"))
+      .cache())
+
+  private def ssspOn(edges: DataFrame): DataFrame = {
     val seeds = edges.select(col("src").as("node")).distinct()
       .orderBy("node").limit(ssspSeeds)
     var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
@@ -642,8 +695,17 @@ object Graph {
   // a hub cap: a z with deg > D contributes ≤ 1e6/D per pair — dropping
   // mega-hubs bounds the wedge blowup with a provable score error bound.
   // ---------------------------------------------------------------------
-  def qLinkPredict(s: SparkSession, d: String): DataFrame = {
-    val edges = multiOrderEdges(s, d).cache() // symmetric (src, dst)
+  def qLinkPredict(s: SparkSession, d: String): DataFrame =
+    linkPredictOn(multiOrderEdges(s, d).cache()) // symmetric (src, dst)
+
+  /** q_link_predict against the staged multi-order layout — same oracle;
+    * the wedge generation reads the cached staged relation, never
+    * re-paying the basket² derivation. */
+  def qLinkPredictStaged(s: SparkSession, d: String): DataFrame =
+    linkPredictOn(
+      s.table(stagedMultiEdges(s, d)._1).select("src", "dst").cache())
+
+  private def linkPredictOn(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val ew = edges.join(deg, "src")
       .select(col("src").as("z"), col("dst").as("n"),
@@ -871,6 +933,18 @@ object Graph {
         col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
       .cache()
+    assortativityOn(und)
+  }
+
+  /** q_assortativity against the staged ORIENTED edge layout — same
+    * oracle: the staged relation holds each undirected distinct edge
+    * exactly once (degree-oriented, but every moment below is symmetric
+    * in (du, dv), so orientation is invisible to the result). */
+  def qAssortativityStaged(s: SparkSession, d: String): DataFrame =
+    assortativityOn(s.table(ensureEdgesStaged(s, d))
+      .select(col("src").as("u"), col("dst").as("v")).cache())
+
+  private def assortativityOn(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -1200,5 +1274,11 @@ object Graph {
     Q("q_label_propagation", qLabelPropagation, Some(qLabelPropagationSql)),
     Q("q_triangle_count", qTriangleCount, Some(qTriangleCountSql)),
     Q("q_kcore", qKcore, Some(qKcoreSql)),
-    Q("q_bfs_layers", qBfsLayers, Some(qBfsLayersSql)))
+    Q("q_kcore_staged", qKcoreStaged, Some(qKcoreSql)),
+    Q("q_bfs_layers", qBfsLayers, Some(qBfsLayersSql)),
+    Q("q_bfs_layers_staged", qBfsLayersStaged, Some(qBfsLayersSql)),
+    Q("q_sssp_weighted_staged", qSsspWeightedStaged, Some(qSsspWeightedSql)),
+    Q("q_link_predict_staged", qLinkPredictStaged, Some(qLinkPredictSql)),
+    Q("q_assortativity_staged", qAssortativityStaged,
+      Some(qAssortativitySql)))
 }

@@ -2299,7 +2299,104 @@ object TextAnalysis {
       |    * sx) / n_buckets) AS BIGINT) AS lnk_milli
       |FROM mom""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // text_dedup_lines — C4-STYLE LINE-GRAIN GLOBAL DEDUP as a REWRITE
+  // (Raffel et al. 2020 §2.2's "discard all but one of any three-sentence
+  // span occurring more than once" — the line/span-grain boilerplate
+  // removal every production corpus pass runs, here EMITTING the cleaned
+  // corpus, the transform sibling of dedup_common_spans's audit). The
+  // corpus has no newline structure (synthetic single-line docs), so the
+  // "line" unit is honestly defined as consecutive 10-token chunks —
+  // fixed-width spans, the same grain C4's three-sentence window
+  // approximates. Policy: of all occurrences of an identical chunk across
+  // the corpus, the FIRST (min (doc_id, chunk_idx)) survives; later
+  // occurrences are dropped. Cleaned text = kept chunks rejoined in
+  // order.
+  //
+  // Scale shape: chunks group on a 16-hex md5 key — the keeper choice is
+  // a MIN-aggregate on a packed (doc_id, chunk) key, not a row_number
+  // window, so a boilerplate chunk duplicated a billion times partial-
+  // aggregates map-side instead of sorting one hot partition. Packing
+  // bound: chunk_idx < 2^32 (a 40-billion-token doc) — documented, not
+  // checked. Reassembly is one doc-grain aggregate (sort_array over
+  // collect_list — per-doc memory, bounded by doc size like every
+  // text_* query).
+  // ---------------------------------------------------------------------
+  def textDedupLines(s: SparkSession, d: String): DataFrame = {
+    val K = 10
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(wsTrim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val lines = toks
+      .select(col("doc_id"), expr(s"CAST(pos div $K AS BIGINT)").as("ci"),
+        col("pos"), col("tok"))
+      .groupBy("doc_id", "ci")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("line"))
+    val keyed = lines.withColumn("h", substring(md5(col("line")), 1, 16))
+    val keeper = keyed.groupBy("h")
+      .agg(min(col("doc_id") * lit(4294967296L) + col("ci")).as("kk"))
+    val kept = keyed.join(keeper, Seq("h"))
+      .filter(col("doc_id") * lit(4294967296L) + col("ci") === col("kk"))
+    val keptPer = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("ci"), col("line")))),
+            x => x.getField("line")), " ").as("cleaned"))
+    val linesPer = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+    Tables.documents(s, d).select("doc_id", "source")
+      .join(linesPer, Seq("doc_id"), "left")
+      .join(keptPer, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        (coalesce(col("n_lines"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  private val textDedupLinesSql =
+    """WITH raw AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents
+      |), tk AS (
+      |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, array_length(t)))
+      |          AS i FROM raw)
+      |  WHERE length(t[i]) > 0
+      |), lines AS (
+      |  SELECT doc_id, pos // 10 AS ci, string_agg(tok, ' ' ORDER BY pos)
+      |    AS line
+      |  FROM tk GROUP BY doc_id, pos // 10
+      |), keyed AS (
+      |  SELECT doc_id, ci, line, substr(md5(line), 1, 16) AS h FROM lines
+      |), keeper AS (
+      |  SELECT h, min(doc_id * 4294967296 + ci) AS kk FROM keyed GROUP BY h
+      |), kept AS (
+      |  SELECT k.doc_id, k.ci, k.line
+      |  FROM keyed k JOIN keeper x ON k.h = x.h
+      |  WHERE k.doc_id * 4294967296 + k.ci = x.kk
+      |), keptper AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(line, ' ' ORDER BY ci) AS cleaned
+      |  FROM kept GROUP BY doc_id
+      |), linesper AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+      |  FROM lines GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, d.source, coalesce(p.n_lines, 0) AS n_lines,
+      |  coalesce(p.n_lines, 0) - coalesce(k.n_kept, 0) AS n_removed,
+      |  coalesce(k.cleaned, '') AS cleaned
+      |FROM documents d
+      |LEFT JOIN linesper p ON p.doc_id = d.doc_id
+      |LEFT JOIN keptper k ON k.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_dedup_lines", textDedupLines, Some(textDedupLinesSql)),
     Q("text_heaps_law", textHeapsLaw, Some(textHeapsLawSql)),
     Q("text_readability", textReadability, Some(textReadabilitySql)),
     Q("text_novelty", textNovelty, Some(textNoveltySql)),

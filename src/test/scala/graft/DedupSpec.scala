@@ -364,6 +364,93 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substring rewrite: conservation and a naive stride-1 recompute at sf") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Dedup.dedupSubstringRewrite(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // naive truth: every stride-1 32-char window; duplicated = 32-gram in
+    // >= 2 distinct docs; removed chars = union of duplicated windows
+    val wins = docs.filter(_._3.length >= 32).flatMap { case (id, _, t) =>
+      (0 to t.length - 32).map(o => (id, o, t.substring(o, o + 32)))
+    }
+    val dupSet = wins.groupBy(_._3).collect {
+      case (w, g) if g.map(_._1).distinct.length >= 2 => w
+    }.toSet
+    val removedByDoc: Map[Long, Array[Boolean]] = docs.map { case (id, _, t) =>
+      val cov = Array.fill(t.length)(false)
+      if (t.length >= 32)
+        (0 to t.length - 32).foreach { o =>
+          if (dupSet(t.substring(o, o + 32)))
+            (o until o + 32).foreach(cov(_) = true)
+        }
+      id -> cov
+    }.toMap
+    assert(rows.length == docs.length, "one output row per document")
+    val byId = docs.map(x => x._1 -> x).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (_, src, t) = byId(id)
+      val cov = removedByDoc(id)
+      val expectedCleaned = t.indices.collect {
+        case i if !cov(i) => t(i) }.mkString
+      val nSpans = {
+        var n = 0; var in = false
+        cov.foreach { c => if (c && !in) n += 1; in = c }
+        n.toLong
+      }
+      assert(r.getAs[String]("source") == src)
+      assert(r.getAs[Long]("chars_in") == t.length.toLong)
+      assert(r.getAs[Long]("chars_removed") == cov.count(identity).toLong)
+      assert(r.getAs[Long]("n_spans") == nSpans)
+      assert(r.getAs[String]("cleaned") == expectedCleaned)
+      // conservation: nothing is lost or invented
+      assert(r.getAs[String]("cleaned").length.toLong +
+        r.getAs[Long]("chars_removed") == r.getAs[Long]("chars_in"))
+    }
+  }
+
+  test("substring rewrite: overlapping copies merge into one span; phase never matters") {
+    // A 40-char span shared at MISALIGNED offsets (0 vs 5, differing mod
+    // 8) — the case the stride-8 screen provably misses — must be removed
+    // from BOTH docs at stride-1 grain, merged into exactly one span each.
+    val span = "quick brown foxes jump over lazy dogs 12"
+    require(span.length == 40)
+    val pre = "abcde"
+    val dir = java.nio.file.Files.createTempDirectory("graft-rewrite").toFile
+    try {
+      import SparkSpec.spark.implicits._
+      // the chars ADJACENT to the span differ between the docs ('X' vs
+      // 'Z') so the shared region is exactly the 40-char span — a common
+      // boundary char would legitimately extend the duplicated region
+      val d1 = span + "Xtail text that is unique to doc one yes"
+      val d2 = pre + span + "Zdifferent unique trailing text here ok"
+      val d3 = "completely unrelated filler text with enough length here"
+      Seq((1L, d1, "a"), (2L, d2, "a"), (3L, d3, "a"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"${dir.getPath}/documents.parquet")
+      val r = operators.Dedup.dedupSubstringRewrite(spark, dir.getPath)
+        .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+      // doc 1: span at [0,39] removed (one merged span of 40 chars)
+      assert(r(1L).getAs[Long]("n_spans") == 1L)
+      assert(r(1L).getAs[Long]("chars_removed") == 40L)
+      assert(r(1L).getAs[String]("cleaned") == d1.substring(40))
+      // doc 2: span at [5,44] removed despite the phase shift
+      assert(r(2L).getAs[Long]("n_spans") == 1L)
+      assert(r(2L).getAs[Long]("chars_removed") == 40L)
+      assert(r(2L).getAs[String]("cleaned") == pre + d2.substring(45))
+      // doc 3 untouched
+      assert(r(3L).getAs[Long]("chars_removed") == 0L)
+      assert(r(3L).getAs[String]("cleaned") == d3)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("sketch calibration: estimates and histogram recompute from raw shingles") {
     import org.apache.spark.sql.functions.col
     val rows = operators.Dedup.dedupSketchCalibration(spark, sf).collect()

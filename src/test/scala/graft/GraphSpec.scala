@@ -178,6 +178,22 @@ class GraphSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("dist_bucket") == 0L)
   }
 
+  test("staged traversal variants equal unstaged; staged plans never re-derive from lineitem") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val pairs = Seq(
+      ("kcore", qKcore(spark, sf), qKcoreStaged(spark, sf)),
+      ("bfs_layers", qBfsLayers(spark, sf), qBfsLayersStaged(spark, sf)),
+      ("sssp", qSsspWeighted(spark, sf), qSsspWeightedStaged(spark, sf)),
+      ("link_predict", qLinkPredict(spark, sf), qLinkPredictStaged(spark, sf)),
+      ("assortativity", qAssortativity(spark, sf), qAssortativityStaged(spark, sf)))
+    pairs.foreach { case (name, plain, staged) =>
+      assert(rows(plain) == rows(staged), s"$name: staged result differs")
+      val p = staged.queryExecution.executedPlan.toString
+      assert(!p.contains("lineitem"),
+        s"$name staged plan re-derives the edge relation from lineitem:\n$p")
+    }
+  }
+
   test("co-purchase edges are symmetric and loop-free") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()

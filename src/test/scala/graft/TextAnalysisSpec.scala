@@ -5,6 +5,40 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import operators.TextAnalysis._
 
+  test("dedup lines: keeper policy and cleaned text match a naive recompute") {
+    val rows = textDedupLines(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .sortBy(_._1)
+    // naive: 10-token chunks; the first (doc_id, chunk_idx) occurrence of
+    // each identical chunk survives, every later occurrence drops
+    val chunks = docs.flatMap { case (id, t) =>
+      t.trim.split("\\s+").filter(_.nonEmpty).grouped(10).zipWithIndex
+        .map { case (c, ci) => (id, ci.toLong, c.mkString(" ")) }
+    }
+    val keeper = chunks.groupBy(_._3)
+      .map { case (line, g) => line -> g.map(x => (x._1, x._2)).min }
+    val keptByDoc = chunks.filter { case (id, ci, line) =>
+      keeper(line) == ((id, ci)) }
+      .groupBy(_._1).view
+      .mapValues(g => g.sortBy(_._2).map(_._3)).toMap
+    val nByDoc = chunks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val kept = keptByDoc.getOrElse(id, Array.empty[String])
+      assert(r.getAs[Long]("n_lines") == nByDoc.getOrElse(id, 0L))
+      assert(r.getAs[Long]("n_removed") ==
+        nByDoc.getOrElse(id, 0L) - kept.length)
+      assert(r.getAs[String]("cleaned") == kept.mkString(" "))
+    }
+    // every duplicated chunk survives exactly once corpus-wide
+    val keptOcc = chunks.filter { case (id, ci, line) =>
+      keeper(line) == ((id, ci)) }
+    assert(keptOcc.map(_._3).distinct.length == keptOcc.length,
+      "keeper policy must retain exactly one occurrence per distinct chunk")
+  }
+
   test("tfidf top: per-doc top-5 matches a local tf/df recompute") {
     val rows = textTfidfTop(spark, sf).collect()
     assert(rows.nonEmpty)
