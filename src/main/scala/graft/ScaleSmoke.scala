@@ -272,7 +272,14 @@ object ScaleSmoke {
           "q_label_propagation", "q_hits",
           // r13: the stride-1 truth arm is 8x the screen's window rows —
           // prove the 8x stays a constant factor, not a growth term
-          "dedup_substring_recall")
+          "dedup_substring_recall",
+          // r14: the ExactSubstr APPLY arm (staged stride-1 windows →
+          // span merge at duplicated-window grain → per-doc gap concat)
+          // and the line-grain rewrite (chunk aggregate + min-keeper)
+          "dedup_substring_rewrite", "text_dedup_lines",
+          // r14: one staged traversal variant covers the edges_multi
+          // staging path + per-round bucketed reads at depth
+          "q_kcore_staged")
       if (names.contains("q_hits") &&
           !new java.io.File(s"$big10/orders.parquet").isDirectory) {
         println(s"[scale] staging 100x orders -> $big10")
@@ -294,7 +301,10 @@ object ScaleSmoke {
         "llm_pretrain_e2e" -> (operators.LlmPretrain.llmPretrainE2e _),
         "q_label_propagation" -> (operators.Graph.qLabelPropagation _),
         "q_hits" -> (operators.Graph.qHits _),
-        "dedup_substring_recall" -> (operators.Dedup.dedupSubstringRecall _)
+        "dedup_substring_recall" -> (operators.Dedup.dedupSubstringRecall _),
+        "dedup_substring_rewrite" -> (operators.Dedup.dedupSubstringRewrite _),
+        "text_dedup_lines" -> (operators.TextAnalysis.textDedupLines _),
+        "q_kcore_staged" -> (operators.Graph.qKcoreStaged _)
       ).filter(q => names.contains(q._1))
       qs.foreach { case (_, fn) => // warmup (JIT + codegen), untimed
         fn(spark, small).count(); spark.catalog.clearCache()
@@ -311,7 +321,10 @@ object ScaleSmoke {
       // timed read is the daily path (the build cost is reported once,
       // separately).
       val warmPerScale = Set("dedup_incremental_staged", "dedup_index_append_apply",
-        "llm_pretrain_e2e")
+        "llm_pretrain_e2e",
+        // rewrite: staging is part of its one-shot cost, but the split
+        // (build+first-run vs steady-state) localizes any knee
+        "dedup_substring_rewrite")
       println(f"${"query"}%-24s ${"sf0.1 s"}%10s ${"sf1 s"}%10s ${"sf10 s"}%10s ${"e01"}%8s ${"e12"}%8s")
       qs.foreach { case (name, fn) =>
         def timed(dir: String): Double = {

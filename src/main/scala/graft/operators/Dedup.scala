@@ -1456,6 +1456,17 @@ object Dedup {
       "documents.parquet", "h", 32, Some("h")) {
       Tables.documents(s, d)
         .filter(length(col("text")) >= substrW)
+        // EXPLODE parallelism: this derive is MAP-ONLY, so without an
+        // explicit exchange both the ~170x explode+md5 work AND the
+        // bucketed write inherit the documents SCAN's task count — a
+        // compact corpus parquet (few files) serialized ~50M windows per
+        // task at the sf10 decade measure (first read e12=2.18 / 1760 s;
+        // after fixing only the write side, the map side still held it at
+        // 575 s). Spreading the DOC rows first is a corpus-grain (cheap)
+        // shuffle that fans the window blowup across the session's
+        // parallelism; at cluster scale the input arrives in thousands of
+        // files and this exchange coalesces/spreads to the same effect.
+        .repartition(32)
         .select(col("doc_id"),
           explode(sequence(lit(0), length(col("text")) - substrW, lit(1)))
             .as("off"),
@@ -1463,6 +1474,11 @@ object Dedup {
         .select(col("doc_id"), col("off"),
           substring(md5(expr(s"substring(text, off + 1, $substrW)")), 1, 16)
             .as("h"))
+        // WRITE parallelism/layout: repartition on the bucket key so each
+        // writer task holds exactly one bucket — the sortBy sort is
+        // bucket-sized and the table lands as one file per bucket (bucket
+        // count = parallelism knob, as the staging convention documents).
+        .repartition(32, col("h"))
     }._1
 
   // ---------------------------------------------------------------------
@@ -1608,6 +1624,14 @@ object Dedup {
     val byOff = Window.partitionBy("doc_id").orderBy("off")
     val prevMaxEnd =
       max(col("e")).over(byOff.rowsBetween(Window.unboundedPreceding, -1))
+    // CACHED: spans feeds THREE consumers (the two kept-gap branches and
+    // the removal stats) — uncached, each re-executed the whole staged
+    // scan → dup-key aggregate → semi join → merge window (the sf10
+    // decade measure read 62x for 10x data from exactly that
+    // re-execution; with the cache the pipeline runs once). Grain bound:
+    // MERGED duplicated spans — at most chars/32 rows even for a fully
+    // duplicated corpus, typically far less; same harness
+    // clearCache-between-queries contract as the staged-probe family.
     val spans = dw
       .withColumn("nr",
         when(prevMaxEnd.isNull || col("off") > prevMaxEnd + 1, 1L)
@@ -1616,6 +1640,7 @@ object Dedup {
         sum(col("nr")).over(byOff.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "rid")
       .agg(min("off").as("s"), max("e").as("e"))
+      .cache()
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("text"),
         length(col("text")).cast("long").as("chars_in"))
