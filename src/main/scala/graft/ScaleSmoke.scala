@@ -427,7 +427,14 @@ object ScaleSmoke {
       "q_link_predict" -> operators.Graph.qLinkPredict,
       // the composed curation pipeline: its exponent is the headline
       // 100 TB statement (every stage is bucketed/blocked/broadcast)
-      "llm_pretrain_e2e" -> operators.LlmPretrain.llmPretrainE2e)
+      "llm_pretrain_e2e" -> operators.LlmPretrain.llmPretrainE2e,
+      // r15 additions: the compaction APPLY rewrite (one (source,bucket)
+      // exchange + one file per plan bucket), the overlapped-chunking
+      // transform (one doc_id exchange), and the stream-static band-index
+      // probe (staged-index read + micro-batch replay harness)
+      "corpus_compaction_apply" -> sources.Compaction.compactionApply,
+      "text_chunk_overlap" -> operators.TextAnalysis.textChunkOverlap,
+      "streaming_neardup" -> operators.Dedup.streamingNeardup)
     val queries =
       if (args.isEmpty) allQueries else allQueries.filter(q => args.contains(q._1))
 

@@ -916,6 +916,146 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // streaming_neardup — the band-index probe AS A STREAM (r14 verdict
+  // item 4; the 13th streaming rung): real crawl ingest arrives
+  // continuously, not as a daily batch, so the every-day near-dup path
+  // needs a micro-batch sibling of dedup_incremental_staged. Arriving
+  // docs compute their MinHash signatures PER ROW (shingle set → 32
+  // mins → 8 band hashes, all closed-form expressions over an array
+  // column — no aggregation, so the whole probe stays inside one
+  // streaming query), band rows stream-static join the PERSISTED corpus
+  // band index, and candidates verify exact Jaccard against a persisted
+  // corpus shingle-SET table via array_intersect — again per-row. The
+  // ONLY stateful op is the final pair-grain aggregate (a pair can
+  // surface via several matching bands), Complete mode, state bounded
+  // by the number of verified matches; a deployment keyed on real
+  // arrival time would bound even that with dropDuplicatesWithinWatermark
+  // (the streaming_dedup rung's mechanism). Stateless probe + static
+  // index is exactly why this scales: the stream side never buffers,
+  // the corpus index refreshes by swapping the table (dedup_index_append
+  // is the maintenance arm).
+  //
+  // Parity: the per-row signature pipeline reproduces the batch
+  // derivation exactly — same normalizeText tokenizer, distinct 3-gram
+  // shingles, xxhash64(i, shingle) mins, band hash over the same slot
+  // grouping — so the stream is oracled by the SAME unblocked cross-side
+  // Jaccard SQL as dedup_incremental, and StreamingSpec asserts
+  // stream == batch row-for-row.
+  // ---------------------------------------------------------------------
+
+  /** Corpus-side shingle SETS (corpus_doc, c_sh sorted array), staged
+    * bucketed on the probe key — the verification structure the stream
+    * reads per micro-batch (one sequential bucketed scan, the same
+    * linear-in-corpus cost as the batch probe's verification arm). */
+  private def stagedCorpusShingleSets(s: SparkSession, d: String): String = {
+    val shT = stagedShingles(s, d)
+    graft.sources.Staging.ensureTable(s, "dedup_corpusshset", d,
+      "documents.parquet", "corpus_doc", 32, Some("corpus_doc")) {
+      s.table(shT).join(sidesOf(s, d), "doc_id").filter(!col("is_new"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("shingle"))).as("c_sh"))
+        .select(col("doc_id").as("corpus_doc"), col("c_sh"))
+    }._1
+  }
+
+  /** The per-row probe pipeline over a (doc_id, text) micro-batch:
+    * shingle array → signature → band rows → index probe → exact-Jaccard
+    * verify → pair-grain aggregate. Pure function of its three inputs so
+    * StreamingSpec can also run it as a batch plan. */
+  private[graft] def neardupProbe(docs: DataFrame, corpusB: DataFrame,
+      shSets: DataFrame): DataFrame = {
+    val toksArr = split(normalizeText(col("text")), "\\s+")
+    // distinct 3-word shingles as an ARRAY column — the row-local form of
+    // shinglesOf (docs with < 3 tokens have no shingles there and are
+    // filtered here for the same reason). HOFs are fine at micro-batch
+    // grain: the corpus side never recomputes shingles.
+    val withSh = docs
+      .filter(size(toksArr) >= 3)
+      .withColumn("sh_arr", array_distinct(transform(
+        sequence(lit(0), size(toksArr) - lit(3)),
+        i => concat_ws(" ",
+          element_at(toksArr, i + lit(1)),
+          element_at(toksArr, i + lit(2)),
+          element_at(toksArr, i + lit(3))))))
+      .withColumn("n_sh", size(col("sh_arr")).cast("long"))
+    val hs = (0 until numHashes).map(i =>
+      array_min(transform(col("sh_arr"), x => xxhash64(lit(i), x))).as(s"h$i"))
+    val sig = withSh.select(
+      (col("doc_id") +: col("n_sh") +: col("sh_arr") +: hs): _*)
+    val banded = sig.select(col("doc_id").as("new_doc"), col("n_sh").as("nn"),
+      col("sh_arr"), posexplode(bandArray).as(Seq("band_idx", "band_hash")))
+    val cand = banded.join(corpusB, Seq("band_idx", "band_hash"))
+    val verified = cand.join(shSets, Seq("corpus_doc"))
+      .withColumn("n_common",
+        size(array_intersect(col("sh_arr"), col("c_sh"))).cast("long"))
+      .select(col("new_doc"), col("corpus_doc"),
+        round(col("n_common").cast("double") /
+          (col("nn") + col("nc") - col("n_common")).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    // the one stateful op: collapse multi-band hits to one row per pair
+    // (jaccard is a function of the pair, so min == the value)
+    verified.groupBy("new_doc", "corpus_doc").agg(min("jaccard").as("jaccard"))
+  }
+
+  /** Driver-contract entry: the arriving side replayed as TWO micro-
+    * batches (doc_id parity split) through a real streaming query against
+    * the persisted index tables; Complete-mode overwrite sink, read back
+    * lazily (the EventStream.runOnBatch conventions). */
+  def streamingNeardup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val corpusB = s.table(stagedCorpusBandIndex(s, d))
+    val shSets = s.table(stagedCorpusShingleSets(s, d))
+    val outDir = graft.sources.Staging.dir("stream_neardup_out", d)
+    graft.streaming.EventStream.withReplayConf(s) {
+      val staged = java.nio.file.Files.createTempDirectory("graft_sneardup")
+      val newDocs = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .select("doc_id", "text")
+      def writeHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+        val tmp = staged.resolve(name + "_tmp").toString
+        newDocs.filter(pred).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        java.nio.file.Files.move(part, staged.resolve(name))
+        val dtmp = new java.io.File(tmp)
+        dtmp.listFiles().foreach(_.delete()); dtmp.delete()
+      }
+      writeHalf(col("doc_id") % 2 === 0, "docs_b1.parquet")
+      writeHalf(col("doc_id") % 2 =!= 0, "docs_b2.parquet")
+      val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val src = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val outFile = new java.io.File(outDir)
+      if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
+      val q = neardupProbe(src, corpusB, shSets).writeStream
+        .outputMode(OutputMode.Complete)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+        }
+        .option("checkpointLocation", staged.resolve("ckpt").toString)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        graft.streaming.EventStream.unloadStateStores()
+      }
+      graft.sources.Staging.deleteRecursively(staged.toFile)
+    }
+    s.read.parquet(outDir).orderBy("new_doc", "corpus_doc")
+  }
+
+  /** Same unblocked cross-side truth as dedup_incremental. (A def — the
+    * referenced val is declared further down the object body, and a val
+    * here would capture null during object init.) */
+  def streamingNeardupSql: String = dedupIncrementalSql
+
+  // ---------------------------------------------------------------------
   // dedup_index_append — band-index MAINTENANCE, the other half of the
   // daily loop (reference analog: build_master_corpus.py:130-137 folding
   // the new source into the master): after the batch probes the persisted
@@ -1846,6 +1986,7 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(
+    Q("streaming_neardup", streamingNeardup, Some(streamingNeardupSql)),
     Q("dedup_sketch_calibration", dedupSketchCalibration,
       Some(dedupSketchCalibrationSql)),
     Q("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),

@@ -80,6 +80,15 @@ object Graph {
         .filter(col("n_shared") >= 2)
     }
 
+  /** The staged multi-order edge RELATION the four traversal `_staged`
+    * variants consume — exposed so GraphSpec can assert the relation's
+    * plan scans the staged bucketed table and never re-derives from
+    * lineitem (the final executedPlan of the checkpointing algorithms
+    * shows only RDD scans, so asserting there was vacuous for
+    * kcore/sssp). */
+  private[graft] def stagedMultiEdgeRelation(s: SparkSession, d: String): DataFrame =
+    s.table(stagedMultiEdges(s, d)._1)
+
   /** Staged LPA community labels (node, lbl): the shared derivation of the
     * community family, computed ONCE from the staged edge layout and
     * persisted bucketed on node — the production shape where one job
@@ -470,7 +479,7 @@ object Graph {
     * basket² edge derivation is amortized into the one-time staging and
     * the cached read keeps the 24 per-round consumptions in memory. */
   def qKcoreStaged(s: SparkSession, d: String): DataFrame =
-    kcoreOn(s.table(stagedMultiEdges(s, d)._1).select("src", "dst").cache())
+    kcoreOn(stagedMultiEdgeRelation(s, d).select("src", "dst").cache())
 
   private def kcoreOn(edges: DataFrame): DataFrame = {
     var cur = edges.select(col("src").as("node")).distinct().localCheckpoint()
@@ -546,7 +555,7 @@ object Graph {
   /** q_bfs_layers against the staged multi-order layout — same oracle. */
   def qBfsLayersStaged(s: SparkSession, d: String): DataFrame =
     bfsLayersOn(
-      s.table(stagedMultiEdges(s, d)._1).select("src", "dst").cache())
+      stagedMultiEdgeRelation(s, d).select("src", "dst").cache())
 
   private def bfsLayersOn(edges: DataFrame): DataFrame = {
     val seeds = edges.select(col("src").as("node")).distinct()
@@ -628,7 +637,7 @@ object Graph {
   /** q_sssp_weighted against the staged multi-order layout — same oracle;
     * the integer edge cost derives from the staged n_shared column. */
   def qSsspWeightedStaged(s: SparkSession, d: String): DataFrame =
-    ssspOn(s.table(stagedMultiEdges(s, d)._1)
+    ssspOn(stagedMultiEdgeRelation(s, d)
       .select(col("src"), col("dst"), expr("1000000 div n_shared").as("w"))
       .cache())
 
@@ -703,7 +712,7 @@ object Graph {
     * re-paying the basket² derivation. */
   def qLinkPredictStaged(s: SparkSession, d: String): DataFrame =
     linkPredictOn(
-      s.table(stagedMultiEdges(s, d)._1).select("src", "dst").cache())
+      stagedMultiEdgeRelation(s, d).select("src", "dst").cache())
 
   private def linkPredictOn(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))

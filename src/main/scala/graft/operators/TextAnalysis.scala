@@ -2317,14 +2317,22 @@ object TextAnalysis {
   // a MIN-aggregate on a packed (doc_id, chunk) key, not a row_number
   // window, so a boilerplate chunk duplicated a billion times partial-
   // aggregates map-side instead of sorting one hot partition. Packing
-  // bound: chunk_idx < 2^32 (a 40-billion-token doc) — documented, not
-  // checked. Reassembly is one doc-grain aggregate (sort_array over
-  // collect_list — per-doc memory, bounded by doc size like every
-  // text_* query).
+  // bounds are CHECKED, fail-loud: doc_id < 2^31 AND chunk_idx < 2^32
+  // (doc_id * 2^32 + ci fits a signed 64-bit long exactly under those —
+  // beyond them Spark would silently wrap while the DuckDB oracle errors
+  // on BIGINT overflow, an engine divergence; a corpus with wider ids
+  // should widen the key to a struct min instead). The guard is one
+  // codegen'd comparison per chunk row; raise_error fires before any
+  // wrapped key can reach the aggregate.
   // ---------------------------------------------------------------------
-  def textDedupLines(s: SparkSession, d: String): DataFrame = {
+  def textDedupLines(s: SparkSession, d: String): DataFrame =
+    textDedupLinesOn(Tables.documents(s, d))
+
+  /** Core over any (doc_id, source, text) relation — lets the spec drive
+    * the pack-bound guard with synthetic out-of-range ids. */
+  private[graft] def textDedupLinesOn(docs: DataFrame): DataFrame = {
     val K = 10
-    val toks = Tables.documents(s, d)
+    val toks = docs
       .select(col("doc_id"),
         posexplode(split(wsTrim(col("text")), "\\s+")).as(Seq("pos", "tok")))
       .filter(length(col("tok")) > 0)
@@ -2335,18 +2343,27 @@ object TextAnalysis {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x.getField("tok")), " ").as("line"))
+    // fail-loud packed key: see the pack-bounds note in the header comment
+    val packed = when(
+      col("doc_id") >= 0 && col("doc_id") < lit(2147483648L) &&
+        col("ci") >= 0 && col("ci") < lit(4294967296L),
+      col("doc_id") * lit(4294967296L) + col("ci"))
+      .otherwise(raise_error(concat(
+        lit("text_dedup_lines pack bound exceeded (need 0 <= doc_id < 2^31" +
+          ", 0 <= chunk_idx < 2^32): doc_id="),
+        col("doc_id"), lit(" chunk_idx="), col("ci"))).cast("long"))
     val keyed = lines.withColumn("h", substring(md5(col("line")), 1, 16))
-    val keeper = keyed.groupBy("h")
-      .agg(min(col("doc_id") * lit(4294967296L) + col("ci")).as("kk"))
+      .withColumn("pk", packed)
+    val keeper = keyed.groupBy("h").agg(min(col("pk")).as("kk"))
     val kept = keyed.join(keeper, Seq("h"))
-      .filter(col("doc_id") * lit(4294967296L) + col("ci") === col("kk"))
+      .filter(col("pk") === col("kk"))
     val keptPer = kept.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(
           transform(array_sort(collect_list(struct(col("ci"), col("line")))),
             x => x.getField("line")), " ").as("cleaned"))
     val linesPer = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
-    Tables.documents(s, d).select("doc_id", "source")
+    docs.select("doc_id", "source")
       .join(linesPer, Seq("doc_id"), "left")
       .join(keptPer, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
@@ -2395,7 +2412,93 @@ object TextAnalysis {
       |LEFT JOIN keptper k ON k.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // text_chunk_overlap — OVERLAPPED FIXED-SIZE TOKEN CHUNKING, the
+  // RAG/embedding-prep transform (r14 verdict item 5): 64-token windows at
+  // stride 48 (16-token overlap — the text sibling of mm_audio_chunk's
+  // 64/48 and the retrieval-side complement of text_pack_sequences' packing).
+  // Chunk i of an n-token doc spans tokens [48i, 48i + min(64, n-48i));
+  // n_chunks = 1 + ceil(max(n-64,0)/48), so chunks cover every token, the
+  // last chunk ends exactly at the doc end (length in [17,64]), and a doc
+  // with ≥1 token yields ≥1 chunk. Output is exact token-span accounting
+  // (chunk_idx, tok_start, tok_len, n_tokens) plus the md5 of the chunk's
+  // space-joined tokens — the hash proves actual CONTENT parity per chunk
+  // against the oracle, not just the span arithmetic.
+  //
+  // Scale shape: a token joins its ≤ ceil(64/48) = 2 covering chunks by a
+  // CLOSED-FORM sequence explode (i ∈ [max(0,⌈(p-63)/48⌉), min(⌊p/48⌋,
+  // n_chunks-1)]) — never a per-doc array materialization or a range join
+  // — and chunk assembly is one (doc_id, chunk) aggregate bounded by chunk
+  // size, not doc size; the contiguous renumber + per-doc count reuse the
+  // single doc_id window shuffle. At 100 TB this is one exchange on doc_id
+  // followed by map-side work.
+  // ---------------------------------------------------------------------
+  def textChunkOverlap(s: SparkSession, d: String): DataFrame =
+    textChunkOverlapOn(Tables.documents(s, d))
+
+  private[graft] def textChunkOverlapOn(docs: DataFrame): DataFrame = {
+    val C = 64; val S = 48
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(wsTrim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tk = toks
+      .select(col("doc_id"),
+        (row_number().over(w) - 1).cast("long").as("p"), col("tok"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // i_min = ceil((p-(C-1))/S) clamped to 0: trunc-vs-floor div is safe
+    // because the numerator is only negative when the clamp applies anyway
+    val iMin = greatest(lit(0L), expr(s"(p - ${C - S}) div $S"))
+    val iMax = least(expr(s"p div $S"),
+      expr(s"(greatest(n - $C, 0) + ${S - 1}) div $S"))
+    tk.select(col("doc_id"), col("p"), col("tok"), col("n"),
+        explode(sequence(iMin, iMax)).as("ci"))
+      .groupBy("doc_id", "ci")
+      .agg(min(col("p")).as("tok_start"),
+        count(lit(1)).as("tok_len"),
+        max(col("n")).as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")), " ")).as("chunk_md5"))
+      .select(col("doc_id"), col("ci").as("chunk_idx"), col("tok_start"),
+        col("tok_len"), col("n_tokens"), col("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val textChunkOverlapSql =
+    """WITH raw AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+      |  FROM documents
+      |), tk0 AS (
+      |  SELECT doc_id, i, t[i] AS tok
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, array_length(t)))
+      |          AS i FROM raw)
+      |  WHERE length(t[i]) > 0
+      |), tk AS (
+      |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+      |    AS p, tok
+      |  FROM tk0
+      |), nd AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY doc_id
+      |), chunks AS (
+      |  SELECT doc_id, n,
+      |    unnest(generate_series(0, (greatest(n - 64, 0) + 47) // 48)) AS ci
+      |  FROM nd
+      |)
+      |SELECT c.doc_id, CAST(c.ci AS BIGINT) AS chunk_idx,
+      |  CAST(c.ci * 48 AS BIGINT) AS tok_start,
+      |  CAST(count(*) AS BIGINT) AS tok_len,
+      |  c.n AS n_tokens,
+      |  md5(string_agg(k.tok, ' ' ORDER BY k.p)) AS chunk_md5
+      |FROM chunks c JOIN tk k ON k.doc_id = c.doc_id
+      |  AND k.p >= c.ci * 48 AND k.p < c.ci * 48 + 64
+      |GROUP BY c.doc_id, c.ci, c.n
+      |ORDER BY c.doc_id, chunk_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_chunk_overlap", textChunkOverlap, Some(textChunkOverlapSql)),
     Q("text_dedup_lines", textDedupLines, Some(textDedupLinesSql)),
     Q("text_heaps_law", textHeapsLaw, Some(textHeapsLawSql)),
     Q("text_readability", textReadability, Some(textReadabilitySql)),

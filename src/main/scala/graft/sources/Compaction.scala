@@ -84,7 +84,100 @@ object Compaction {
       |  CAST(max(file_id) AS BIGINT) AS last_file
       |FROM placed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // corpus_compaction_apply — EXECUTE the plan (r14 verdict item 3; the
+  // audit→apply symmetry dedup_substring_rewrite established, applied to
+  // table maintenance; reference analog: the collector's archive
+  // re-sharding, legiscan_collector.py:144-278). The landing state's
+  // 53-way hash-sharded files are rewritten so each plan bucket becomes
+  // EXACTLY ONE output file: rows join their (source, file_id) → bucket
+  // assignment (the same closed-form next-fit arithmetic as the plan —
+  // no driver loop), repartition on (source, bucket) so one task owns
+  // each bucket, and write partitioned by (source, bucket) — one file
+  // per bucket directory, spec-asserted by listing the real filesystem.
+  //
+  // The oracled query reads the COMPACTED files BACK and aggregates per
+  // bucket: doc/file counts, payload bytes, the file-id span, and the
+  // min/max md5(text) fingerprint pair — the container trio's
+  // losslessness aggregate. DuckDB computes the identical aggregate from
+  // `documents` + the plan arithmetic alone (it never sees the rewritten
+  // files), so the hash match proves the rewrite moved every byte to its
+  // planned bucket and invented none.
+  //
+  // Scale shape: one exchange on (source, bucket) — the rewrite's only
+  // shuffle — sized by the plan so each task writes ~target bytes; at
+  // 100 TB the same job distributes as one task per output file with no
+  // driver-side state (the plan relation IS the task list).
+  // ---------------------------------------------------------------------
+
+  /** (source, file_id) → bucket assignment, the plan's closed-form
+    * next-fit arithmetic at file grain (the plan aggregates this to
+    * bucket grain). */
+  private def bucketAssignment(s: SparkSession, d: String): DataFrame = {
+    val manifest = Tables.documents(s, d)
+      .groupBy(col("source"), (col("doc_id") % 53).as("file_id"))
+      .agg(sum(octet_length(col("text")).cast("long")).as("bytes"))
+    val w = Window.partitionBy(col("source")).orderBy(col("file_id"))
+    manifest
+      .withColumn("bytes_before",
+        coalesce(sum(col("bytes")).over(w) - col("bytes"), lit(0L)))
+      .select(col("source"), col("file_id"),
+        expr(s"bytes_before div $target").as("bucket"))
+  }
+
+  /** Rewrite the landing state per plan into a staged compacted layout
+    * (once per JVM per dataset stamp); returns the layout root. Exposed
+    * to CompactionSpec for the filesystem-grain assertions. */
+  private[graft] def compactedDir(s: SparkSession, d: String): String = {
+    val stamp = graft.sources.Staging.contentStamp(d, "documents.parquet")
+    graft.sources.Staging.ensureDir(s, s"graft_compacted_$stamp") { path =>
+      Tables.documents(s, d)
+        .withColumn("file_id", col("doc_id") % 53)
+        .join(bucketAssignment(s, d), Seq("source", "file_id"))
+        .repartition(col("source"), col("bucket"))
+        .write.mode("overwrite").partitionBy("source", "bucket").parquet(path)
+    }
+  }
+
+  /** Driver-contract query: the per-bucket losslessness aggregate over
+    * the REWRITTEN files. */
+  def compactionApply(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(compactedDir(s, d))
+      .groupBy(col("source"), col("bucket").cast("long").as("bucket"))
+      .agg(countDistinct(col("file_id")).as("n_files"),
+        count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text")).cast("long")).as("bucket_bytes"),
+        min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file"),
+        min(md5(col("text"))).as("fp_min"),
+        max(md5(col("text"))).as("fp_max"))
+      .orderBy(col("source"), col("bucket"))
+
+  private val compactionApplySql =
+    """WITH manifest AS (
+      |  SELECT source, doc_id % 53 AS file_id,
+      |    CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes
+      |  FROM documents GROUP BY 1, 2
+      |), placed AS (
+      |  SELECT source, file_id,
+      |    CAST(coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+      |      AS BIGINT) AS bucket
+      |  FROM manifest
+      |)
+      |SELECT d.source, p.bucket,
+      |  CAST(count(DISTINCT p.file_id) AS BIGINT) AS n_files,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS bucket_bytes,
+      |  CAST(min(p.file_id) AS BIGINT) AS first_file,
+      |  CAST(max(p.file_id) AS BIGINT) AS last_file,
+      |  min(md5(d.text)) AS fp_min, max(md5(d.text)) AS fp_max
+      |FROM documents d
+      |JOIN placed p ON p.source = d.source AND p.file_id = d.doc_id % 53
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("corpus_compaction_plan", compactionPlan, Some(compactionPlanSql))
+    Q("corpus_compaction_plan", compactionPlan, Some(compactionPlanSql)),
+    Q("corpus_compaction_apply", compactionApply, Some(compactionApplySql))
   )
 }

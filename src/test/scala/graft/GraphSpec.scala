@@ -188,10 +188,24 @@ class GraphSpec extends SparkSpec {
       ("assortativity", qAssortativity(spark, sf), qAssortativityStaged(spark, sf)))
     pairs.foreach { case (name, plain, staged) =>
       assert(rows(plain) == rows(staged), s"$name: staged result differs")
-      val p = staged.queryExecution.executedPlan.toString
-      assert(!p.contains("lineitem"),
-        s"$name staged plan re-derives the edge relation from lineitem:\n$p")
     }
+    // Plan assertion on the EDGE RELATION the staged variants consume, not
+    // the algorithms' final executedPlan: kcore/sssp localCheckpoint per
+    // round, so their final plan shows only RDD scans and a lineitem
+    // re-derivation would be invisible there (r14 advice). The multi-order
+    // relation must scan the staged bucketed table and nothing upstream.
+    val multi = operators.Graph.stagedMultiEdgeRelation(spark, sf)
+    val multiPlan = multi.queryExecution.executedPlan.toString
+    assert(multiPlan.toLowerCase.contains("graft_edges_multi"),
+      s"staged multi-order relation must scan the edges_multi table:\n$multiPlan")
+    assert(!multiPlan.contains("lineitem"),
+      s"staged multi-order relation re-derives from lineitem:\n$multiPlan")
+    // same for the oriented layout qAssortativityStaged reads
+    val orient = spark.table(operators.Graph.ensureEdgesStaged(spark, sf))
+    val orientPlan = orient.queryExecution.executedPlan.toString
+    assert(orientPlan.toLowerCase.contains("graft_edges_orient") &&
+      !orientPlan.contains("lineitem"),
+      s"staged oriented relation must scan edges_orient only:\n$orientPlan")
   }
 
   test("co-purchase edges are symmetric and loop-free") {

@@ -171,6 +171,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.keys.map(_._1).toSet.size > 1, "tier thresholds degenerate")
   }
 
+  test("streaming neardup equals the batch staged-index probe row-for-row") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("new_doc"), r.getAs[Long]("corpus_doc"),
+        r.getAs[Double]("jaccard"))
+    val streamed = operators.Dedup.streamingNeardup(spark, sf)
+      .collect().map(key).toSeq
+    val batch = operators.Dedup.dedupIncrementalStaged(spark, sf)
+      .collect().map(key).toSeq
+    assert(streamed == batch,
+      s"stream/batch near-dup divergence: stream=${streamed.toSet.diff(batch.toSet)} " +
+        s"batch=${batch.toSet.diff(streamed.toSet)}")
+    assert(streamed.nonEmpty, "fixture must contain at least one near-dup pair")
+  }
+
   test("watermark drops late micro-batch: output is batch-1-only finalized windows") {
     import org.apache.spark.sql.functions._
     val got = streaming.EventStream.streamingLateDrop(spark, sf).collect()

@@ -39,6 +39,70 @@ class TextAnalysisSpec extends SparkSpec {
       "keeper policy must retain exactly one occurrence per distinct chunk")
   }
 
+  test("chunk overlap: spans match a local sliding pass and cover every token") {
+    val rows = textChunkOverlap(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val C = 64; val S = 48
+    val expect = docs.flatMap { case (id, t) =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length
+      if (n == 0) Seq.empty
+      else {
+        val nc = 1 + (math.max(n - C, 0) + S - 1) / S
+        (0 until nc).map { i =>
+          val start = i * S
+          val len = math.min(C, n - start)
+          val body = toks.slice(start, start + len).mkString(" ")
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (id, i.toLong, start.toLong, len.toLong, n.toLong, md)
+        }
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+      r.getAs[Long]("tok_start"), r.getAs[Long]("tok_len"),
+      r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_md5"))).toSeq
+    assert(got == expect.toSeq)
+    // cover + overlap invariants: chunks tile [0, n) with stride-48 starts,
+    // every chunk len in [1, 64], consecutive chunks overlap by C-S except
+    // the final truncated one (overlap = min(16, n - 48i) >= 1)
+    got.groupBy(_._1).foreach { case (id, cs) =>
+      val n = cs.head._5
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2) == (0L until sorted.length.toLong))
+      sorted.foreach { case (_, i, start, len, _, _) =>
+        assert(start == i * S && len >= 1 && len <= C && start + len <= n) }
+      assert(sorted.last._3 + sorted.last._4 == n, s"doc $id: last chunk must end at doc end")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          val overlap = (a._3 + a._4) - b._3
+          assert(overlap >= 1 && overlap <= C - S, s"doc $id: chunk overlap $overlap")
+        case _ => ()
+      }
+    }
+  }
+
+  test("dedup lines: packed-key bounds are fail-loud, in-bound ids pass") {
+    import SparkSpec.spark.implicits._
+    def docsOf(ids: Long*) =
+      ids.map(i => (i, "src0", "alpha beta gamma")).toDF("doc_id", "source", "text")
+    // in-bound: the largest representable ids work and pack exactly
+    val maxOk = operators.TextAnalysis.textDedupLinesOn(docsOf(2147483647L))
+      .collect()
+    assert(maxOk.length == 1 && maxOk.head.getAs[Long]("n_lines") == 1L)
+    // out-of-bound doc_id (2^31): the guard must throw, not wrap — Spark's
+    // silent long wrap here diverged from the oracle's BIGINT overflow error
+    val e = intercept[Exception] {
+      operators.TextAnalysis.textDedupLinesOn(docsOf(2147483648L)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("pack bound exceeded")),
+      s"expected the pack-bound raise_error, got: $e")
+  }
+
   test("tfidf top: per-doc top-5 matches a local tf/df recompute") {
     val rows = textTfidfTop(spark, sf).collect()
     assert(rows.nonEmpty)
