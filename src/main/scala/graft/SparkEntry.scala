@@ -15,6 +15,7 @@ object SparkEntry {
       operators.Corpus.all ++
       operators.TextAnalysis.all ++
       operators.BpeTrain.all ++
+      operators.UnigramLm.all ++
       operators.Sessionize.all ++
       operators.Attribution.all ++
       operators.Privacy.all ++
