@@ -279,7 +279,12 @@ object ScaleSmoke {
           "dedup_substring_rewrite", "text_dedup_lines",
           // r14: one staged traversal variant covers the edges_multi
           // staging path + per-round bucketed reads at depth
-          "q_kcore_staged")
+          "q_kcore_staged",
+          // r15: the unigram trainer's claim is word-TYPE-boundedness —
+          // sf1 replicas rotate words (same vocabulary, 10x freq: cost
+          // must stay flat) while sf10 tags tokens per replica (100x
+          // vocabulary: cost may grow linearly in types, never in corpus)
+          "text_unigram_train")
       if (names.contains("q_hits") &&
           !new java.io.File(s"$big10/orders.parquet").isDirectory) {
         println(s"[scale] staging 100x orders -> $big10")
@@ -304,7 +309,8 @@ object ScaleSmoke {
         "dedup_substring_recall" -> (operators.Dedup.dedupSubstringRecall _),
         "dedup_substring_rewrite" -> (operators.Dedup.dedupSubstringRewrite _),
         "text_dedup_lines" -> (operators.TextAnalysis.textDedupLines _),
-        "q_kcore_staged" -> (operators.Graph.qKcoreStaged _)
+        "q_kcore_staged" -> (operators.Graph.qKcoreStaged _),
+        "text_unigram_train" -> (operators.UnigramLm.textUnigramTrain _)
       ).filter(q => names.contains(q._1))
       qs.foreach { case (_, fn) => // warmup (JIT + codegen), untimed
         fn(spark, small).count(); spark.catalog.clearCache()

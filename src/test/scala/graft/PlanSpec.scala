@@ -232,6 +232,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("chunk overlap: ONE data exchange — the chunk aggregate reuses the window's doc_id partitioning") {
+    val plan = planOf(TextAnalysis.textChunkOverlap(spark, sf))
+    // windows partition by doc_id (one hash exchange); the (doc_id, ci)
+    // aggregate's ClusteredDistribution is satisfied by that partitioning
+    // (subset rule), so no second data exchange may appear — only the
+    // presentation ORDER BY's range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"chunk aggregate re-shuffled instead of reusing the doc_id exchange:\n$plan")
+  }
+
+  test("compaction apply: reads the compacted layout; only the distinct-agg exchanges") {
+    val plan = planOf(sources.Compaction.compactionApply(spark, sf))
+    assert(plan.toLowerCase.contains("graft_compacted"),
+      s"apply must aggregate over the REWRITTEN files, not documents:\n$plan")
+    // count(DISTINCT file_id) plans the standard two-phase pair; nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2,
+      s"unexpected extra exchange in the read-back aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("unigram viterbi: the vocabulary joins the candidate relation by broadcast") {
+    import SparkSpec.spark.implicits._
+    val wc = Seq(("abab", 3L), ("aab", 2L)).toDF("word", "freq")
+    val vocab = Seq(("a", -500L), ("b", -600L), ("ab", -700L)).toDF("piece", "sc")
+    val plan = planOf(UnigramLm.viterbi(wc, vocab))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast (vocabulary is metadata-sized):\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("pagerank: per-iteration joins are equi joins, never a cartesian") {
     val plan = planOf(Graph.qPagerankCopurchase(spark, sf))
     assert(!plan.contains("CartesianProduct"), s"cartesian in pagerank:\n$plan")
