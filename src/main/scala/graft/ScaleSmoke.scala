@@ -280,6 +280,10 @@ object ScaleSmoke {
           // r14: one staged traversal variant covers the edges_multi
           // staging path + per-round bucketed reads at depth
           "q_kcore_staged",
+          // r15: the streaming band-index probe — the 13th rung's recurring
+          // cost is the per-batch probe against the persisted index (the
+          // one-time index build is warmPerScale, like its batch sibling)
+          "streaming_neardup",
           // r15: the unigram trainer's claim is word-TYPE-boundedness —
           // sf1 replicas rotate words (same vocabulary, 10x freq: cost
           // must stay flat) while sf10 tags tokens per replica (100x
@@ -310,7 +314,8 @@ object ScaleSmoke {
         "dedup_substring_rewrite" -> (operators.Dedup.dedupSubstringRewrite _),
         "text_dedup_lines" -> (operators.TextAnalysis.textDedupLines _),
         "q_kcore_staged" -> (operators.Graph.qKcoreStaged _),
-        "text_unigram_train" -> (operators.UnigramLm.textUnigramTrain _)
+        "text_unigram_train" -> (operators.UnigramLm.textUnigramTrain _),
+        "streaming_neardup" -> (operators.Dedup.streamingNeardup _)
       ).filter(q => names.contains(q._1))
       qs.foreach { case (_, fn) => // warmup (JIT + codegen), untimed
         fn(spark, small).count(); spark.catalog.clearCache()
@@ -327,7 +332,7 @@ object ScaleSmoke {
       // timed read is the daily path (the build cost is reported once,
       // separately).
       val warmPerScale = Set("dedup_incremental_staged", "dedup_index_append_apply",
-        "llm_pretrain_e2e",
+        "llm_pretrain_e2e", "streaming_neardup",
         // rewrite: staging is part of its one-shot cost, but the split
         // (build+first-run vs steady-state) localizes any knee
         "dedup_substring_rewrite")

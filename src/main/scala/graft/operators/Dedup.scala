@@ -923,9 +923,11 @@ object Dedup {
   // docs compute their MinHash signatures PER ROW (shingle set → 32
   // mins → 8 band hashes, all closed-form expressions over an array
   // column — no aggregation, so the whole probe stays inside one
-  // streaming query), band rows stream-static join the PERSISTED corpus
-  // band index, and candidates verify exact Jaccard against a persisted
-  // corpus shingle-SET table via array_intersect — again per-row. The
+  // streaming query), and band rows stream-static join the PERSISTED
+  // carried-set stream index (stagedStreamBandIndex): candidate
+  // generation AND exact-Jaccard verification happen in that ONE join,
+  // the verify a per-row array_intersect against the c_sh column the
+  // index carries — no second corpus-grain join per micro-batch. The
   // ONLY stateful op is the final pair-grain aggregate (a pair can
   // surface via several matching bands), Complete mode, state bounded
   // by the number of verified matches; a deployment keyed on real
@@ -944,9 +946,8 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** Corpus-side shingle SETS (corpus_doc, c_sh sorted array), staged
-    * bucketed on the probe key — the verification structure the stream
-    * reads per micro-batch (one sequential bucketed scan, the same
-    * linear-in-corpus cost as the batch probe's verification arm). */
+    * bucketed on doc id — the building block of the stream index below
+    * (and reusable by any per-doc verification consumer). */
   private def stagedCorpusShingleSets(s: SparkSession, d: String): String = {
     val shT = stagedShingles(s, d)
     graft.sources.Staging.ensureTable(s, "dedup_corpusshset", d,
@@ -958,12 +959,39 @@ object Dedup {
     }._1
   }
 
+  /** The STREAM-SIDE probe index: band rows WITH the owning doc's shingle
+    * set carried inline (corpus_doc, nc, band_idx, band_hash, c_sh),
+    * bucketed+sorted on the probe key. Carrying the set costs ~8x the
+    * shingle-set bytes at staging (one copy per band row) and buys the
+    * continuous-ingest path its scalability: probe + exact-Jaccard verify
+    * become ONE stream-static join whose static side is a bucketed scan
+    * on the join key — no second corpus-grain scan and NO corpus-grain
+    * exchange or sort per micro-batch. Measured before/after at the
+    * decade triple: the two-join form (probe index + separate shingle-set
+    * join) re-exchanged the corpus shingle sets EVERY micro-batch at the
+    * replay harness's state-sized 8 shuffle partitions — 370 s at sf10;
+    * the carried-set form reads the index sequentially per batch. A
+    * deliberate storage-for-latency trade, the same motion as carrying
+    * n_sh in the band index. */
+  private def stagedStreamBandIndex(s: SparkSession, d: String): String = {
+    val bandT = stagedCorpusBandIndex(s, d)
+    val setsT = stagedCorpusShingleSets(s, d)
+    graft.sources.Staging.ensureTable(s, "dedup_streamband", d,
+      "documents.parquet", "band_hash", 32, Some("band_hash")) {
+      s.table(bandT).join(s.table(setsT), Seq("corpus_doc"))
+        .select(col("corpus_doc"), col("nc"), col("band_idx"),
+          col("band_hash"), col("c_sh"))
+    }._1
+  }
+
   /** The per-row probe pipeline over a (doc_id, text) micro-batch:
-    * shingle array → signature → band rows → index probe → exact-Jaccard
-    * verify → pair-grain aggregate. Pure function of its three inputs so
-    * StreamingSpec can also run it as a batch plan. */
-  private[graft] def neardupProbe(docs: DataFrame, corpusB: DataFrame,
-      shSets: DataFrame): DataFrame = {
+    * shingle array → signature → band rows → ONE probe join against the
+    * carried-set stream index (candidate generation AND exact-Jaccard
+    * verification in the same join, per-row array_intersect) → pair-grain
+    * aggregate. Pure function of its two inputs so StreamingSpec can also
+    * run it as a batch plan. */
+  private[graft] def neardupProbe(docs: DataFrame,
+      corpusIx: DataFrame): DataFrame = {
     val toksArr = split(normalizeText(col("text")), "\\s+")
     // distinct 3-word shingles as an ARRAY column — the row-local form of
     // shinglesOf (docs with < 3 tokens have no shingles there and are
@@ -984,8 +1012,7 @@ object Dedup {
       (col("doc_id") +: col("n_sh") +: col("sh_arr") +: hs): _*)
     val banded = sig.select(col("doc_id").as("new_doc"), col("n_sh").as("nn"),
       col("sh_arr"), posexplode(bandArray).as(Seq("band_idx", "band_hash")))
-    val cand = banded.join(corpusB, Seq("band_idx", "band_hash"))
-    val verified = cand.join(shSets, Seq("corpus_doc"))
+    val verified = banded.join(corpusIx, Seq("band_idx", "band_hash"))
       .withColumn("n_common",
         size(array_intersect(col("sh_arr"), col("c_sh"))).cast("long"))
       .select(col("new_doc"), col("corpus_doc"),
@@ -1004,8 +1031,7 @@ object Dedup {
     * lazily (the EventStream.runOnBatch conventions). */
   def streamingNeardup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val corpusB = s.table(stagedCorpusBandIndex(s, d))
-    val shSets = s.table(stagedCorpusShingleSets(s, d))
+    val corpusIx = s.table(stagedStreamBandIndex(s, d))
     val outDir = graft.sources.Staging.dir("stream_neardup_out", d)
     graft.streaming.EventStream.withReplayConf(s) {
       val staged = java.nio.file.Files.createTempDirectory("graft_sneardup")
@@ -1032,7 +1058,7 @@ object Dedup {
         .option("maxFilesPerTrigger", "1").parquet(staged.toString)
       val outFile = new java.io.File(outDir)
       if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
-      val q = neardupProbe(src, corpusB, shSets).writeStream
+      val q = neardupProbe(src, corpusIx).writeStream
         .outputMode(OutputMode.Complete)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.write.mode("overwrite").parquet(outDir)
