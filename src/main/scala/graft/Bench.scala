@@ -81,9 +81,14 @@ object Bench {
     // is REPORTED, not hidden: prestage_sec on the stdout line, per-layout
     // seconds in bench_full.json ("staging", from Staging.stagingCosts).
     val tPre = System.nanoTime()
+    // prestage failures land in the ARTIFACT (not just stderr): a silently
+    // broken staging path would otherwise cold-stage inside a timed median
+    // and surface only as an unexplained >=2x row
+    val prestageFailures = scala.collection.mutable.ArrayBuffer[String]()
     bench.foreach { case (name, fn) =>
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
+        prestageFailures += name
         System.err.println(s"[bench] prestage $name failed: ${e.getMessage}") }
       spark.catalog.clearCache() // don't let warmup caches pollute timings
     }
@@ -151,6 +156,19 @@ object Bench {
     }.getOrElse(Map.empty)
     val fpChanged = names.sorted.filter(n =>
       refFps.contains(n) && fingerprints.get(n).exists(_ != refFps(n)))
+    // The documented cache-order-sensitive class (BASELINE.md, r12/r14/r15
+    // precedent): these two queries' run-1 plans capture whatever staged
+    // relations happen to already be cached when the suite's query ORDER
+    // shifts, so their fingerprint moving alone is expected bookkeeping,
+    // not a replan. Tagging them in the artifact lets a nonzero change
+    // count self-explain instead of demanding a rerun to adjudicate.
+    val cacheOrderSensitive = Set("llm_pretrain_e2e", "sim_centroid_by_label")
+    def fpJson(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fpChangedJson =
+      s""""fingerprint_changed":${fpJson(fpChanged)},"fingerprint_changed_cache_order":${fpJson(fpChanged.filter(cacheOrderSensitive))}"""
+    val prestageFailJson =
+      s""""prestage_failures":${fpJson(prestageFailures.toSeq)}"""
     val calibAfter = calibrate(spark, nRuns)
     val calib =
       s""""calib_before_sec":${math.round(calibBefore * 1000) / 1000.0},"calib_after_sec":${math.round(calibAfter * 1000) / 1000.0}"""
@@ -158,7 +176,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"runs":$nRuns,$calib,"prestage_sec":${math.round(prestageSec * 10) / 10.0},"staging":$stagingJson,"queries":$qs,"spread":$spread,"fingerprints":$fps,"fingerprint_changed":${fpChanged.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"runs":$nRuns,$calib,"prestage_sec":${math.round(prestageSec * 10) / 10.0},$prestageFailJson,"staging":$stagingJson,"queries":$qs,"spread":$spread,"fingerprints":$fps,$fpChangedJson,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(detailPath); try w.println(fullJson) finally w.close()
     // baseline medians from BASELINE.md's `| name | median | spread |` table
     val baseline: Map[String, Double] = scala.util.Try {
@@ -184,7 +202,7 @@ object Bench {
       if (ratios.isEmpty) ("none", -1.0) else ratios.maxBy(_._2)
     val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, m, _, _) => s"\"" + k + "\":" + r3(m) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failures":$failures,"runs":$nRuns,"n_queries":${results.size},"worst_ratio_vs_baseline":${r3(worstR)},"worst_query":"$worstQ","fingerprint_changes":${fpChanged.size},$calib,"prestage_sec":${math.round(prestageSec * 10) / 10.0},"queries":$top5,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failures":$failures,"runs":$nRuns,"n_queries":${results.size},"worst_ratio_vs_baseline":${r3(worstR)},"worst_query":"$worstQ","fingerprint_changes":${fpChanged.size},$fpChangedJson,$calib,"prestage_sec":${math.round(prestageSec * 10) / 10.0},$prestageFailJson,"queries":$top5,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

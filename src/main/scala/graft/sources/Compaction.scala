@@ -50,7 +50,10 @@ object Compaction {
       .orderBy(col(partCol), col("bucket"))
   }
 
-  private val target = 2048L // bytes; small so the sf fixtures produce multi-bucket plans
+  // bytes; small so the sf fixtures produce multi-bucket plans.
+  // private[graft]: CompactionSpec's overshoot-bound assertions reference
+  // THIS constant, so a target change can never silently test a stale bound.
+  private[graft] val target = 2048L
 
   /** Driver-contract query: derive a deterministic small-file manifest
     * from `documents` (file = (source, doc_id % 53) with its summed UTF-8

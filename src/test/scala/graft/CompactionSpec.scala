@@ -23,9 +23,10 @@ class CompactionSpec extends SparkSpec {
       .groupBy(col("source"), (col("doc_id") % 53).as("file_id"))
       .agg(sum(octet_length(col("text")).cast("long")).as("bytes"))
     val maxFile = manifest.groupBy("source").agg(max("bytes").as("max_file"))
-    val bad = Compaction.plan(manifest, "source", "file_id", "bytes", 2048L)
+    val bad = Compaction.plan(manifest, "source", "file_id", "bytes",
+        Compaction.target)
       .join(maxFile, "source")
-      .filter(col("bucket_bytes") > lit(2048L) + col("max_file"))
+      .filter(col("bucket_bytes") > lit(Compaction.target) + col("max_file"))
       .count()
     assert(bad == 0L)
   }
@@ -74,7 +75,8 @@ class CompactionSpec extends SparkSpec {
       .agg(sum(octet_length(col("text")).cast("long")).as("bytes"))
     val maxFile = manifest.groupBy("source").agg(max("bytes").as("max_file"))
     assert(applied.join(maxFile, "source")
-      .filter(col("bucket_bytes") > lit(2048L) + col("max_file")).count() == 0L)
+      .filter(col("bucket_bytes") > lit(Compaction.target) + col("max_file"))
+      .count() == 0L)
     val planSide = plan.map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
       (r.getAs[Long]("n_files"), r.getAs[Long]("bucket_bytes"),
         r.getAs[Long]("first_file"), r.getAs[Long]("last_file"))).toMap
