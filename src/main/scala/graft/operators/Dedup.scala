@@ -1035,6 +1035,12 @@ object Dedup {
     val outDir = graft.sources.Staging.dir("stream_neardup_out", d)
     graft.streaming.EventStream.withReplayConf(s) {
       val staged = java.nio.file.Files.createTempDirectory("graft_sneardup")
+      // stream INPUT lives in its own src/ subtree (the runSplitReplayBody
+      // layout): the checkpoint dir must be a SIBLING of the watched
+      // directory, never inside it — a FileStreamSource config that lists
+      // subdirectories would otherwise pick up offset/commit files as
+      // parquet input mid-run
+      val srcDir = java.nio.file.Files.createDirectory(staged.resolve("src"))
       val newDocs = Tables.documents(s, d)
         .filter(col("source").isin("src0", "src1"))
         .select("doc_id", "text")
@@ -1043,9 +1049,10 @@ object Dedup {
         newDocs.filter(pred).coalesce(1).write.parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .filter(_.getName.endsWith(".parquet")).head.toPath
-        java.nio.file.Files.move(part, staged.resolve(name))
-        val dtmp = new java.io.File(tmp)
-        dtmp.listFiles().foreach(_.delete()); dtmp.delete()
+        java.nio.file.Files.move(part, srcDir.resolve(name))
+        // recursive: a partially failed write leaves a _temporary subtree
+        // that a one-level delete would silently strand
+        graft.sources.Staging.deleteRecursively(new java.io.File(tmp))
       }
       writeHalf(col("doc_id") % 2 === 0, "docs_b1.parquet")
       writeHalf(col("doc_id") % 2 =!= 0, "docs_b2.parquet")
@@ -1055,7 +1062,7 @@ object Dedup {
         org.apache.spark.sql.types.StructField("text",
           org.apache.spark.sql.types.StringType)))
       val src = s.readStream.schema(docsSchema)
-        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
       val outFile = new java.io.File(outDir)
       if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
       val q = neardupProbe(src, corpusIx).writeStream
@@ -1787,6 +1794,16 @@ object Dedup {
       .select("h")
     val dw = w1.join(dupKeys, Seq("h"), "left_semi")
       .select(col("doc_id"), col("off"), (col("off") + (W - 1)).as("e"))
+    substringRewriteOn(s, d, dw)
+  }
+
+  /** The span-merge → gap-concat rewrite over any flagged duplicated-window
+    * relation `dw` = (doc_id, off, e) — shared by the cross-doc arm
+    * (dedup_substring_rewrite) and the within-doc arm
+    * (dedup_substring_within); the two arms differ ONLY in which windows
+    * they flag. */
+  private def substringRewriteOn(s: SparkSession, d: String,
+      dw: DataFrame): DataFrame = {
     val byOff = Window.partitionBy("doc_id").orderBy("off")
     val prevMaxEnd =
       max(col("e")).over(byOff.rowsBetween(Window.unboundedPreceding, -1))
@@ -1856,6 +1873,109 @@ object Dedup {
       |), dw AS MATERIALIZED (
       |  SELECT doc_id, off, off + 31 AS e
       |  FROM w1 WHERE h IN (SELECT h FROM dup)
+      |), runs AS (
+      |  SELECT doc_id, off, e,
+      |    CASE WHEN off > coalesce(max(e) OVER (PARTITION BY doc_id
+      |        ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |        -2) + 1
+      |      THEN 1 ELSE 0 END AS nr
+      |  FROM dw
+      |), spans AS MATERIALIZED (
+      |  SELECT doc_id, min(off) AS s, max(e) AS e
+      |  FROM (SELECT doc_id, off, e,
+      |          sum(nr) OVER (PARTITION BY doc_id ORDER BY off
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+      |        FROM runs)
+      |  GROUP BY doc_id, rid
+      |), kept AS (
+      |  SELECT doc_id, ks, ke FROM (
+      |    SELECT doc_id,
+      |      coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), -1) + 1
+      |        AS ks,
+      |      s - 1 AS ke
+      |    FROM spans
+      |    UNION ALL
+      |    SELECT sp.doc_id, max(sp.e) + 1 AS ks, max(length(d.text)) - 1 AS ke
+      |    FROM spans sp JOIN documents d ON d.doc_id = sp.doc_id
+      |    GROUP BY sp.doc_id
+      |  ) WHERE ks <= ke
+      |), cleanedper AS (
+      |  SELECT k.doc_id,
+      |    string_agg(substr(d.text, k.ks + 1, k.ke - k.ks + 1), ''
+      |      ORDER BY k.ks) AS cleaned
+      |  FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+      |  GROUP BY k.doc_id
+      |), removedper AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(e - s + 1) AS BIGINT) AS chars_removed
+      |  FROM spans GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, d.source, CAST(length(d.text) AS BIGINT) AS chars_in,
+      |  coalesce(r.chars_removed, 0) AS chars_removed,
+      |  coalesce(r.n_spans, 0) AS n_spans,
+      |  CASE WHEN r.doc_id IS NULL THEN d.text
+      |       ELSE coalesce(c.cleaned, '') END AS cleaned
+      |FROM documents d
+      |LEFT JOIN removedper r ON r.doc_id = d.doc_id
+      |LEFT JOIN cleanedper c ON c.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // dedup_substring_within — the WITHIN-DOC arm of ExactSubstr (r15
+  // verdict item 4): Lee et al. 2022's suffix array removes a repeated
+  // ≥50-char span even when both copies live in ONE document (boilerplate
+  // headers, templated sections, generation loops); the cross-doc arm
+  // above deliberately excludes that grain. This closes the disclosed
+  // gap with a DETERMINISTIC first-occurrence rule at window grain: for
+  // each (doc, 32-gram) occurring at ≥2 offsets, the MINIMUM offset
+  // survives and every LATER occurrence's windows are flagged; flagged
+  // windows feed the SAME span-merge → gap-concat rewrite as the
+  // cross-doc arm (substringRewriteOn). For a non-overlapping repeated
+  // span of length ≥ 32 this removes exactly the later copies and keeps
+  // the first verbatim. SEMANTICS NOTE (self-overlap): in PERIODIC text
+  // (e.g. a long run of one character) the merged removal trims into the
+  // tail of the kept first copy too — every position past the first
+  // occurrence of each distinct 32-gram is covered by some flagged
+  // window. Deterministic and oracle-stated; the suffix-array tool's
+  // boundary choice in the same case is equally arbitrary.
+  //
+  // Scale shape: identical to the cross-doc arm except the dup-key
+  // aggregate runs at (doc_id, h) grain instead of h grain — still
+  // bucket-local on the staged h-bucketed stride-1 window table (hash
+  // clustering on h satisfies the (doc_id, h) grouping and the join
+  // back), so the corpus-character-grain relation never re-exchanges;
+  // the span merge runs at duplicated-window grain as before.
+  // ---------------------------------------------------------------------
+  def dedupSubstringWithin(s: SparkSession, d: String): DataFrame = {
+    val W = substrW
+    val w1 = s.table(stagedStride1Windows(s, d))
+    // (doc, 32-gram) groups with ≥2 occurrences, keyed by their first
+    // offset: aggregate + join back both cluster on h → bucket-local
+    val dupMin = w1.groupBy("doc_id", "h")
+      .agg(min("off").as("m"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select("doc_id", "h", "m")
+    val dw = w1.join(dupMin, Seq("doc_id", "h"))
+      .filter(col("off") > col("m"))
+      .select(col("doc_id"), col("off"), (col("off") + (W - 1)).as("e"))
+    substringRewriteOn(s, d, dw)
+  }
+
+  private val dedupSubstringWithinSql =
+    """WITH w1 AS MATERIALIZED (
+      |  SELECT d.doc_id, g.off,
+      |    substr(md5(substr(d.text, g.off + 1, 32)), 1, 16) AS h
+      |  FROM documents d,
+      |    LATERAL (SELECT unnest(generate_series(0, length(d.text) - 32, 1))
+      |             AS off) g
+      |  WHERE length(d.text) >= 32
+      |), dw AS MATERIALIZED (
+      |  SELECT doc_id, off, off + 31 AS e
+      |  FROM (SELECT doc_id, off,
+      |          min(off) OVER (PARTITION BY doc_id, h) AS m,
+      |          count(*) OVER (PARTITION BY doc_id, h) AS cnt
+      |        FROM w1)
+      |  WHERE cnt >= 2 AND off > m
       |), runs AS (
       |  SELECT doc_id, off, e,
       |    CASE WHEN off > coalesce(max(e) OVER (PARTITION BY doc_id
@@ -2020,6 +2140,8 @@ object Dedup {
       Some(dedupSubstringRecallSql)),
     Q("dedup_substring_rewrite", dedupSubstringRewrite,
       Some(dedupSubstringRewriteSql)),
+    Q("dedup_substring_within", dedupSubstringWithin,
+      Some(dedupSubstringWithinSql)),
     Q("dedup_retention_funnel", dedupRetentionFunnel, Some(dedupRetentionFunnelSql)),
     Q("dedup_retention_funnel_staged", dedupRetentionFunnelStaged,
       Some(dedupRetentionFunnelSql)),

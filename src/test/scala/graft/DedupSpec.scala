@@ -451,6 +451,64 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substring within-doc: first occurrence kept, later copy removed; conservation at sf") {
+    import org.apache.spark.sql.functions.col
+    // constructed case: one doc repeats a 40-char span internally with
+    // unique separators — the later copy must be removed, the first kept
+    val span = "quick brown foxes jump over lazy dogs 12"
+    val dir = java.nio.file.Files.createTempDirectory("graft-within").toFile
+    try {
+      import SparkSpec.spark.implicits._
+      val d1 = span + "Xmiddle unique separator text hereY" + span + "Ztl"
+      val d2 = "completely unrelated filler text with enough length here"
+      Seq((1L, d1, "a"), (2L, d2, "a"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"${dir.getPath}/documents.parquet")
+      val r = operators.Dedup.dedupSubstringWithin(spark, dir.getPath)
+        .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+      val start2 = 40 + 35 // offset of the second copy
+      assert(r(1L).getAs[Long]("n_spans") == 1L)
+      assert(r(1L).getAs[Long]("chars_removed") == 40L)
+      assert(r(1L).getAs[String]("cleaned") ==
+        d1.substring(0, start2) + d1.substring(start2 + 40))
+      assert(r(2L).getAs[Long]("chars_removed") == 0L)
+      assert(r(2L).getAs[String]("cleaned") == d2)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+    // sf corpus: naive per-doc recompute of the first-occurrence rule —
+    // a window is flagged iff its 32-gram occurs at a SMALLER offset in
+    // the same doc; removed chars = union of flagged windows
+    val rows = operators.Dedup.dedupSubstringWithin(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byId = docs.toMap
+    assert(rows.length == docs.length, "one output row per document")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val t = byId(id)
+      val cov = Array.fill(t.length)(false)
+      if (t.length >= 32) {
+        val firstAt = scala.collection.mutable.Map[String, Int]()
+        (0 to t.length - 32).foreach { o =>
+          val w = t.substring(o, o + 32)
+          if (firstAt.contains(w)) (o until o + 32).foreach(cov(_) = true)
+          else firstAt(w) = o
+        }
+      }
+      val expectedCleaned = t.indices.collect {
+        case i if !cov(i) => t(i) }.mkString
+      assert(r.getAs[Long]("chars_removed") == cov.count(identity).toLong)
+      assert(r.getAs[String]("cleaned") == expectedCleaned)
+      assert(r.getAs[String]("cleaned").length.toLong +
+        r.getAs[Long]("chars_removed") == r.getAs[Long]("chars_in"))
+    }
+  }
+
   test("sketch calibration: estimates and histogram recompute from raw shingles") {
     import org.apache.spark.sql.functions.col
     val rows = operators.Dedup.dedupSketchCalibration(spark, sf).collect()
