@@ -991,12 +991,30 @@ object Dedup {
     * aggregate. Pure function of its two inputs so StreamingSpec can also
     * run it as a batch plan. */
   private[graft] def neardupProbe(docs: DataFrame,
-      corpusIx: DataFrame): DataFrame = {
+      corpusIx: DataFrame): DataFrame =
+    // the one stateful op: collapse multi-band hits to one row per pair
+    // (jaccard is a function of the pair, so min == the value)
+    neardupVerified(docs, corpusIx, Nil)
+      .groupBy("new_doc", "corpus_doc").agg(min("jaccard").as("jaccard"))
+
+  /** The stateless probe pipeline shared by the Complete-mode aggregate
+    * form (neardupProbe) and the watermarked Append form below: per-row
+    * signatures → band rows → ONE stream-static join doing candidate
+    * generation AND exact-Jaccard verification. Emits one row per
+    * (pair, matching band); `carry` names doc columns (e.g. the arrival
+    * timestamp) threaded through to the output. */
+  private def neardupVerified(docs: DataFrame, corpusIx: DataFrame,
+      carry: Seq[String]): DataFrame = {
     val toksArr = split(normalizeText(col("text")), "\\s+")
     // distinct 3-word shingles as an ARRAY column — the row-local form of
     // shinglesOf (docs with < 3 tokens have no shingles there and are
-    // filtered here for the same reason). HOFs are fine at micro-batch
-    // grain: the corpus side never recomputes shingles.
+    // filtered here for the same reason). The shingle TRANSFORM stays a
+    // HOF (one interpreted pass); the 32 signature minima use the native
+    // MinHashSig expression — as 32 array_min(transform(...)) HOFs they
+    // were the dominant arrival-side cost at sf10 (r15 ScaleSmoke,
+    // ~350 s), each an interpreted traversal; MinHashSig computes all 32
+    // in ONE codegen'd pass with bit-exact xxhash64 parity, so the staged
+    // corpus index still matches.
     val withSh = docs
       .filter(size(toksArr) >= 3)
       .withColumn("sh_arr", array_distinct(transform(
@@ -1006,23 +1024,24 @@ object Dedup {
           element_at(toksArr, i + lit(2)),
           element_at(toksArr, i + lit(3))))))
       .withColumn("n_sh", size(col("sh_arr")).cast("long"))
-    val hs = (0 until numHashes).map(i =>
-      array_min(transform(col("sh_arr"), x => xxhash64(lit(i), x))).as(s"h$i"))
+      .withColumn("sig_arr",
+        graft.functions.MinHashSig.minhashSig(col("sh_arr"), numHashes))
+    val carryCols = carry.map(col)
     val sig = withSh.select(
-      (col("doc_id") +: col("n_sh") +: col("sh_arr") +: hs): _*)
-    val banded = sig.select(col("doc_id").as("new_doc"), col("n_sh").as("nn"),
-      col("sh_arr"), posexplode(bandArray).as(Seq("band_idx", "band_hash")))
-    val verified = banded.join(corpusIx, Seq("band_idx", "band_hash"))
+      (col("doc_id") +: col("n_sh") +: col("sh_arr") +:
+        (0 until numHashes).map(i =>
+          element_at(col("sig_arr"), i + 1).as(s"h$i"))) ++ carryCols: _*)
+    val banded = sig.select(
+      col("doc_id").as("new_doc") +: col("n_sh").as("nn") +: col("sh_arr") +:
+        posexplode(bandArray).as(Seq("band_idx", "band_hash")) +: carryCols: _*)
+    banded.join(corpusIx, Seq("band_idx", "band_hash"))
       .withColumn("n_common",
         size(array_intersect(col("sh_arr"), col("c_sh"))).cast("long"))
-      .select(col("new_doc"), col("corpus_doc"),
+      .select(col("new_doc") +: col("corpus_doc") +:
         round(col("n_common").cast("double") /
           (col("nn") + col("nc") - col("n_common")).cast("double"), 4)
-          .as("jaccard"))
+          .as("jaccard") +: carryCols: _*)
       .filter(col("jaccard") >= 0.5)
-    // the one stateful op: collapse multi-band hits to one row per pair
-    // (jaccard is a function of the pair, so min == the value)
-    verified.groupBy("new_doc", "corpus_doc").agg(min("jaccard").as("jaccard"))
   }
 
   /** Driver-contract entry: the arriving side replayed as TWO micro-
@@ -1087,6 +1106,116 @@ object Dedup {
     * referenced val is declared further down the object body, and a val
     * here would capture null during object init.) */
   def streamingNeardupSql: String = dedupIncrementalSql
+
+  // ---------------------------------------------------------------------
+  // streaming_neardup_watermarked — the BOUNDED-STATE deployment form of
+  // streaming_neardup (r15 verdict item 3a): the Complete-mode pair
+  // aggregate above grows with verified matches forever; here the only
+  // stateful op is dropDuplicatesWithinWatermark on the pair key with a
+  // 1-hour watermark on ARRIVAL time, so pair state is GC'd once the
+  // watermark passes (the streaming_dedup rung's mechanism applied to
+  // the probe's multi-band duplicates) and output is Append-mode
+  // immediate emission — the shape that actually runs unbounded on a
+  // 100 TB ingest stream.
+  //
+  // The state GC is PROVEN IN THE OUTPUT by a late-drop-style three-phase
+  // replay: phase 1 streams every probe doc at arrival time T0 (each
+  // verified pair emits ONCE — multi-band duplicates within the
+  // watermark collapse); phase 2 streams a vocabulary-disjoint sentinel
+  // doc at T0+3h, advancing the watermark to T0+2h and expiring all
+  // phase-1 pair state (first-seen T0 + 1h delay < watermark); phase 3
+  // replays the SAME docs at T0+3h — every pair emits AGAIN because its
+  // state is gone. The read-back groups the sink by pair: n_emits must be
+  // EXACTLY 2 for every pair — 1 would mean state survived GC (phase-3
+  // drop), >2 would mean within-watermark dedup leaked band duplicates —
+  // and the DuckDB oracle states exactly that against the same unblocked
+  // cross-side Jaccard truth as streaming_neardup.
+  // ---------------------------------------------------------------------
+
+  /** Append-form probe: arrival-time watermark → stateless verified pairs
+    * (ats carried through) → pair-key dropDuplicatesWithinWatermark. */
+  private def neardupProbeWatermarked(docs: DataFrame,
+      corpusIx: DataFrame): DataFrame =
+    neardupVerified(
+      docs.withColumn("ats", timestamp_millis(col("ats_ms")))
+        .withWatermark("ats", "1 hour")
+        .select("doc_id", "text", "ats"),
+      corpusIx, Seq("ats"))
+      .dropDuplicatesWithinWatermark("new_doc", "corpus_doc")
+      .select("new_doc", "corpus_doc", "jaccard")
+
+  /** Driver-contract entry: three explicitly ordered micro-batches
+    * (probe docs at T0 → watermark-advancing sentinel at T0+3h → the same
+    * docs replayed at T0+3h) through the Append-mode watermarked probe;
+    * the sink is read back at pair grain with its emission count. */
+  def streamingNeardupWatermarked(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val corpusIx = s.table(stagedStreamBandIndex(s, d))
+    val outDir = graft.sources.Staging.dir("stream_neardup_wm", d)
+    graft.streaming.EventStream.withReplayConf(s) {
+      val staged = java.nio.file.Files.createTempDirectory("graft_sndwm")
+      val srcDir = java.nio.file.Files.createDirectory(staged.resolve("src"))
+      val newDocs = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .select("doc_id", "text")
+      val t0 = 1700000000000L // fixed epoch; only differences matter
+      val t3h = t0 + 3L * 3600000L
+      def stagePhase(df: DataFrame, atsMs: Long, name: String): Unit = {
+        val tmp = staged.resolve(name + "_tmp").toString
+        df.withColumn("ats_ms", lit(atsMs)).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        java.nio.file.Files.move(part, srcDir.resolve(name))
+        graft.sources.Staging.deleteRecursively(new java.io.File(tmp))
+      }
+      // sentinel: tokens that cannot occur in any document's text, so it
+      // advances the watermark but can never band-match (and even a hash
+      // coincidence dies at the exact-Jaccard verify)
+      val sentinel = s.range(1).select(lit(-1L).as("doc_id"),
+        lit((0 to 6).map(i => s"qqgraftwm$i").mkString(" ")).as("text"))
+      val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ats_ms",
+          org.apache.spark.sql.types.LongType)))
+      val outFile = new java.io.File(outDir)
+      if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
+      stagePhase(newDocs, t0, "docs_p1.parquet")
+      val src = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = neardupProbeWatermarked(src, corpusIx).writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", staged.resolve("ckpt").toString)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      try {
+        q.processAllAvailable() // phase 1: each pair emits once
+        stagePhase(sentinel, t3h, "advance.parquet")
+        q.processAllAvailable() // watermark → T0+2h; pair state expires
+        stagePhase(newDocs, t3h, "docs_p3.parquet")
+        q.processAllAvailable() // state gone → every pair emits again
+      } finally {
+        q.stop()
+        graft.streaming.EventStream.unloadStateStores()
+      }
+      graft.sources.Staging.deleteRecursively(staged.toFile)
+    }
+    s.read.parquet(outDir)
+      .groupBy("new_doc", "corpus_doc")
+      .agg(count(lit(1)).as("n_emits"), min("jaccard").as("jaccard"))
+      .orderBy("new_doc", "corpus_doc")
+  }
+
+  /** The same unblocked truth with the replay's emission count stated:
+    * exactly 2 per pair (once per doc phase; the GC proof). */
+  def streamingNeardupWatermarkedSql: String =
+    s"""SELECT new_doc, corpus_doc, CAST(2 AS BIGINT) AS n_emits, jaccard
+       |FROM ($dedupIncrementalSql)
+       |ORDER BY new_doc, corpus_doc""".stripMargin
 
   // ---------------------------------------------------------------------
   // dedup_index_append — band-index MAINTENANCE, the other half of the
@@ -2133,6 +2262,8 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     Q("streaming_neardup", streamingNeardup, Some(streamingNeardupSql)),
+    Q("streaming_neardup_watermarked", streamingNeardupWatermarked,
+      Some(streamingNeardupWatermarkedSql)),
     Q("dedup_sketch_calibration", dedupSketchCalibration,
       Some(dedupSketchCalibrationSql)),
     Q("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),

@@ -185,6 +185,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty, "fixture must contain at least one near-dup pair")
   }
 
+  test("watermarked neardup: same pair set as the Complete form; every pair emits exactly twice (state GC visible)") {
+    val wm = operators.Dedup.streamingNeardupWatermarked(spark, sf).collect()
+    val complete = operators.Dedup.streamingNeardup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("new_doc"), r.getAs[Long]("corpus_doc")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(wm.nonEmpty, "fixture must contain at least one near-dup pair")
+    val wmPairs = wm.map(r =>
+      (r.getAs[Long]("new_doc"), r.getAs[Long]("corpus_doc"))).toSet
+    assert(wmPairs == complete.keySet,
+      "watermarked/Complete pair-set divergence")
+    wm.foreach { r =>
+      // 1 emission = pair state survived the watermark GC (phase-3 drop);
+      // >2 = within-watermark band-duplicate dedup leaked
+      assert(r.getAs[Long]("n_emits") == 2L,
+        s"pair (${r.getAs[Long]("new_doc")}, ${r.getAs[Long]("corpus_doc")})" +
+          s" emitted ${r.getAs[Long]("n_emits")} times, want exactly 2")
+      assert(r.getAs[Double]("jaccard") ==
+        complete((r.getAs[Long]("new_doc"), r.getAs[Long]("corpus_doc"))))
+    }
+  }
+
   test("watermark drops late micro-batch: output is batch-1-only finalized windows") {
     import org.apache.spark.sql.functions._
     val got = streaming.EventStream.streamingLateDrop(spark, sf).collect()
