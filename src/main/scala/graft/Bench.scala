@@ -58,6 +58,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Plan-fingerprint stability: plan toString truncates metadata
+      // fields (DataFilters/PushedFilters/Location) at 100 chars, and the
+      // CUT POINT shifts with expression-id WIDTH (#74 vs #5041) — so a
+      // fingerprint captured early in a session differed from the same
+      // plan captured after ~300 queries advanced the id counter (the r16
+      // slim-prestage 26-change mystery: every diffed plan was
+      // structurally identical text up to ids). A large limit makes the
+      // metadata print whole, so normalization sees complete tokens no
+      // matter when in the session the capture happens.
+      .config("spark.sql.maxMetadataStringLength", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Silence ONLY the window package's "No Partition Defined" WARN: every
@@ -69,31 +79,47 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
-    // Untimed PRE-STAGE sweep at the BENCH dataset itself (not sf0.001):
-    // one full pass forces every Staging.ensureTable/ensureDir/ensureFixture
-    // layout for sfDir to exist BEFORE the timed loop, so the one-time
-    // staging cost of a cold warehouse can never land inside a timed
-    // median (the r12–r14 ≥2x artifact-row class: staged-family consumers
-    // read 3–5x in cold driver runs with unchanged plans). Production
-    // semantics amortize staging anyway — the timed numbers measure the
-    // steady state the baselines describe, and the sweep doubles as the
-    // JIT/codegen warmup the old sf0.001 pass provided. The staging cost
-    // is REPORTED, not hidden: prestage_sec on the stdout line, per-layout
-    // seconds in bench_full.json ("staging", from Staging.stagingCosts).
+    // Untimed PRE-STAGE at the BENCH dataset itself (not sf0.001): every
+    // Staging.ensureTable/ensureDir/ensureFixture layout for sfDir must
+    // exist BEFORE the timed loop, so the one-time staging cost of a cold
+    // warehouse can never land inside a timed median (the r12–r14 ≥2x
+    // artifact-row class: staged-family consumers read 3–5x in cold driver
+    // runs with unchanged plans). Since r16 the layouts derive DIRECTLY
+    // from the explicit registry (graft.Layouts — the r15 full-suite sweep
+    // spent 584 s first-executing all queries to reach ~59 s of staging);
+    // SPARK_GRAFT_BENCH_FULL_PRESTAGE=1 restores the full sweep for
+    // opt-in page-cache warmth. A registry gap cannot hide: the timed
+    // loop below diffs Staging.stagingCosts keys and names any layout
+    // staged DURING timed runs as a prestage_misses artifact entry.
+    // Staging cost is REPORTED, not hidden: prestage_sec on the stdout
+    // line, per-layout seconds in bench_full.json ("staging").
+    val fullSweep =
+      sys.env.get("SPARK_GRAFT_BENCH_FULL_PRESTAGE").contains("1")
     val tPre = System.nanoTime()
     // prestage failures land in the ARTIFACT (not just stderr): a silently
     // broken staging path would otherwise cold-stage inside a timed median
     // and surface only as an unexplained >=2x row
     val prestageFailures = scala.collection.mutable.ArrayBuffer[String]()
-    bench.foreach { case (name, fn) =>
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        prestageFailures += name
-        System.err.println(s"[bench] prestage $name failed: ${e.getMessage}") }
-      spark.catalog.clearCache() // don't let warmup caches pollute timings
+    if (fullSweep) {
+      bench.foreach { case (name, fn) =>
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          prestageFailures += name
+          System.err.println(s"[bench] prestage $name failed: ${e.getMessage}") }
+        spark.catalog.clearCache() // don't let warmup caches pollute timings
+      }
+    } else {
+      Layouts.all.foreach { case (name, stage) =>
+        try stage(spark, sfDir)
+        catch { case e: Throwable =>
+          prestageFailures += name
+          System.err.println(s"[bench] prestage $name failed: ${e.getMessage}") }
+      }
+      spark.catalog.clearCache()
     }
     val prestageSec = (System.nanoTime() - tPre) / 1e9
     val stagingCosts = graft.sources.Staging.stagingCosts
+    val prestagedTags = stagingCosts.keySet
     // Run the whole suite nRuns times (round-robin over queries, not
     // back-to-back per query, so one load spike on the shared machine can't
     // hit all runs of the same query), then take per-query medians.
@@ -109,7 +135,18 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try {
             val df = fn(spark, sfDir)
-            if (runIdx == 1) fingerprints(name) = PlanFingerprint.fingerprint(df)
+            if (runIdx == 1) {
+              fingerprints(name) = PlanFingerprint.fingerprint(df)
+              // diagnosis aid: dump the RAW sparkPlan text per query so a
+              // fingerprint diff can be adjudicated by diffing plan text
+              // across two runs instead of re-deriving from the hash
+              sys.env.get("SPARK_GRAFT_BENCH_DUMP_PLANS").foreach { dir =>
+                new java.io.File(dir).mkdirs()
+                val w = new java.io.PrintWriter(s"$dir/$name.plan.txt")
+                try w.println(df.queryExecution.sparkPlan.toString)
+                finally w.close()
+              }
+            }
             df.count(); true
           }
           catch { case e: Throwable =>
@@ -167,8 +204,13 @@ object Bench {
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fpChangedJson =
       s""""fingerprint_changed":${fpJson(fpChanged)},"fingerprint_changed_cache_order":${fpJson(fpChanged.filter(cacheOrderSensitive))}"""
+    // the registry self-audit: any staging tag first recorded DURING the
+    // timed loop names a layout the pre-stage registry missed (it
+    // cold-staged inside a timed median — fix graft.Layouts)
+    val prestageMisses = graft.sources.Staging.stagingCosts.keySet
+      .diff(prestagedTags).toSeq.sorted
     val prestageFailJson =
-      s""""prestage_failures":${fpJson(prestageFailures.toSeq)}"""
+      s""""prestage_failures":${fpJson(prestageFailures.toSeq)},"prestage_misses":${fpJson(prestageMisses)}"""
     val calibAfter = calibrate(spark, nRuns)
     val calib =
       s""""calib_before_sec":${math.round(calibBefore * 1000) / 1000.0},"calib_after_sec":${math.round(calibAfter * 1000) / 1000.0}"""

@@ -42,6 +42,18 @@ object PlanFingerprint {
 
   def fingerprint(df: DataFrame): String = {
     val normalized = df.queryExecution.sparkPlan.toString
+      // Metadata-field truncation guard: plan toString cuts
+      // DataFilters/PushedFilters/Location at spark.sql.maxMetadataStringLength
+      // chars and the cut position depends on expression-id WIDTH, so the
+      // partial token bordering the "..." varied with how far the session's
+      // id counter had advanced at capture time (26 same-plan fingerprint
+      // shifts in the r16 slim-prestage run, every diffed plan structurally
+      // identical). Bench raises the limit so truncation doesn't happen in
+      // the gate context; stripping any token that still touches a "..."
+      // additionally removes the partial-token artifact for callers on
+      // default-conf sessions (the token COUNT before a live cut can still
+      // shift there — the raised limit is the real fix).
+      .replaceAll("\\S*\\.\\.\\.\\S*", "TRUNC")
       .replaceAll("#\\d+", "#x")
       .replaceAll("(file:)?/[^\\s,\\)\\]\"]+", "/path")
       .replaceAll("\\d+(\\.\\d+)?\\s*(B|KiB|MiB|GiB|TiB)\\b", "SZ")

@@ -282,8 +282,17 @@ object ScaleSmoke {
           "q_kcore_staged",
           // r15: the streaming band-index probe — the 13th rung's recurring
           // cost is the per-batch probe against the persisted index (the
-          // one-time index build is warmPerScale, like its batch sibling)
+          // one-time index build is warmPerScale, like its batch sibling).
+          // r16 re-measure: the 32 signature HOFs became the codegen'd
+          // MinHashSig expression — the triple quantifies the arrival-side
+          // win (r15 verdict item 3b)
           "streaming_neardup",
+          // r16: the bounded-state watermarked sibling (three-phase replay,
+          // 2x the arrival volume of the Complete form by construction)
+          "streaming_neardup_watermarked",
+          // r16: the within-doc ExactSubstr arm — same staged stride-1
+          // window table, dup aggregate at (doc_id, h) grain
+          "dedup_substring_within",
           // r15: the unigram trainer's claim is word-TYPE-boundedness —
           // sf1 replicas rotate words (same vocabulary, 10x freq: cost
           // must stay flat) while sf10 tags tokens per replica (100x
@@ -315,7 +324,10 @@ object ScaleSmoke {
         "text_dedup_lines" -> (operators.TextAnalysis.textDedupLines _),
         "q_kcore_staged" -> (operators.Graph.qKcoreStaged _),
         "text_unigram_train" -> (operators.UnigramLm.textUnigramTrain _),
-        "streaming_neardup" -> (operators.Dedup.streamingNeardup _)
+        "streaming_neardup" -> (operators.Dedup.streamingNeardup _),
+        "streaming_neardup_watermarked" ->
+          (operators.Dedup.streamingNeardupWatermarked _),
+        "dedup_substring_within" -> (operators.Dedup.dedupSubstringWithin _)
       ).filter(q => names.contains(q._1))
       qs.foreach { case (_, fn) => // warmup (JIT + codegen), untimed
         fn(spark, small).count(); spark.catalog.clearCache()
@@ -332,7 +344,8 @@ object ScaleSmoke {
       // timed read is the daily path (the build cost is reported once,
       // separately).
       val warmPerScale = Set("dedup_incremental_staged", "dedup_index_append_apply",
-        "llm_pretrain_e2e", "streaming_neardup",
+        "llm_pretrain_e2e", "streaming_neardup", "streaming_neardup_watermarked",
+        "dedup_substring_within",
         // rewrite: staging is part of its one-shot cost, but the split
         // (build+first-run vs steady-state) localizes any knee
         "dedup_substring_rewrite")
@@ -445,7 +458,13 @@ object ScaleSmoke {
       // probe (staged-index read + micro-batch replay harness)
       "corpus_compaction_apply" -> sources.Compaction.compactionApply,
       "text_chunk_overlap" -> operators.TextAnalysis.textChunkOverlap,
-      "streaming_neardup" -> operators.Dedup.streamingNeardup)
+      "streaming_neardup" -> operators.Dedup.streamingNeardup,
+      // r16 additions: bounded-state watermarked probe, within-doc
+      // ExactSubstr, and the t-closeness governance aggregate
+      "streaming_neardup_watermarked" ->
+        operators.Dedup.streamingNeardupWatermarked,
+      "dedup_substring_within" -> operators.Dedup.dedupSubstringWithin,
+      "q_tcloseness" -> operators.Privacy.qTcloseness)
     val queries =
       if (args.isEmpty) allQueries else allQueries.filter(q => args.contains(q._1))
 

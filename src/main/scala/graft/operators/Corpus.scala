@@ -965,11 +965,15 @@ object Corpus {
     * is value-lossless (string/long/timestamp fidelity) — the same
     * layout-invisible contract as the bucketed/Z-order variants. Filter
     * pushdown and column pruning work identically on the ORC scan. */
-  def corpusOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    // ensureDir: latched against the orphan sweep, memo self-heals
-    val path = graft.sources.Staging.ensureDir(s,
+  /** Staged ORC copy of documents (ensureDir: latched against the orphan
+    * sweep, memo self-heals) — split out for Bench's pre-stage registry. */
+  private[graft] def stagedOrcDir(s: SparkSession, d: String): String =
+    graft.sources.Staging.ensureDir(s,
       s"graft_documents_orc_${d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")}")(
       p => Tables.documents(s, d).write.mode("overwrite").orc(p))
+
+  def corpusOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = stagedOrcDir(s, d)
     s.read.orc(path)
       .filter(col("n_chars") > 0)
       .groupBy("lang", "source")
@@ -1051,11 +1055,16 @@ object Corpus {
     * time/tenant-partitioned 100 TB table; SinksSpec asserts the pruned
     * file listing, this query proves result parity). Layout invisible:
     * oracle = the same filter over the plain table. */
-  def corpusPartitionedScan(s: SparkSession, d: String): DataFrame = {
-    // ensureDir: latched against the orphan sweep, memo self-heals
-    val path = graft.sources.Staging.ensureDir(s,
+  /** Staged lang-partitioned copy of documents (ensureDir: latched against
+    * the orphan sweep, memo self-heals) — split out for Bench's pre-stage
+    * registry. */
+  private[graft] def stagedByLangDir(s: SparkSession, d: String): String =
+    graft.sources.Staging.ensureDir(s,
       s"graft_documents_bylang_${d.replaceAll(".*/", "").replaceAll("[^a-zA-Z0-9]", "_")}")(
       p => graft.sources.Sinks.writePartitioned(Tables.documents(s, d), p, "lang"))
+
+  def corpusPartitionedScan(s: SparkSession, d: String): DataFrame = {
+    val path = stagedByLangDir(s, d)
     s.read.parquet(path)
       .filter(col("lang").isin("en", "de"))
       .groupBy("lang", "source")

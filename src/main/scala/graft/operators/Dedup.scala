@@ -2260,6 +2260,16 @@ object Dedup {
        |FROM scored GROUP BY 1 ORDER BY err_bucket""".stripMargin
   }
 
+  /** Stage every managed layout this family owns (Bench's direct
+    * pre-stage registry, graft.Layouts — the full-suite sweep first-ran
+    * all 302 queries to reach the same 7 tables). */
+  private[graft] def prestageLayouts(s: SparkSession, d: String): Unit = {
+    stagedShingles(s, d); stagedSignatures(s, d); stagedEmbCells(s, d)
+    stagedCorpusBandIndex(s, d); stagedCorpusShingleSets(s, d)
+    stagedStreamBandIndex(s, d); stagedStride1Windows(s, d)
+    ()
+  }
+
   val all: Seq[Q] = Seq(
     Q("streaming_neardup", streamingNeardup, Some(streamingNeardupSql)),
     Q("streaming_neardup_watermarked", streamingNeardupWatermarked,

@@ -1261,6 +1261,14 @@ object Graph {
        |FROM per_c""".stripMargin
   }
 
+  /** Stage every managed layout this family owns (Bench's direct
+    * pre-stage registry, graft.Layouts). */
+  private[graft] def prestageLayouts(s: SparkSession, d: String): Unit = {
+    stagedEdges(s, d); stagedMultiEdges(s, d); stagedLabels(s, d)
+    stagedBipartite(s, d)
+    ()
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_graph_modularity", qGraphModularity, Some(qGraphModularitySql)),
     Q("q_graph_modularity_staged", qGraphModularityStaged,

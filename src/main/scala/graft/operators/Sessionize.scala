@@ -101,18 +101,27 @@ object Sessionize {
     * orphan sweep can never mistake it for dead-JVM litter (a private
     * parquet dir + local memo here was exactly the r11 regression: the
     * sweep deleted the live dir and the stale memo kept reading it). */
-  def qIncrAgg(s: SparkSession, d: String): DataFrame = {
-    val cutNs = 1705968000000L * 1000000L // 2024-01-23T00:00Z, mid-range at every SF
-    val partial = (df: DataFrame) => df
-      .select(col("event_type"), col("ts"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("cents").as("val_cents"),
-        min("cents").as("min_cents"), max("cents").as("max_cents"))
-    // snapshot is metadata-sized (one row per event_type): small buckets
-    val (snap, _) = graft.sources.Staging.ensureTable(s, "events_aggsnap",
+  private val incrCutNs = 1705968000000L * 1000000L // 2024-01-23T00:00Z, mid-range at every SF
+
+  private def incrPartial(df: DataFrame): DataFrame = df
+    .select(col("event_type"), col("ts"),
+      round(col("value") * 100).cast("long").as("cents"))
+    .groupBy("event_type")
+    .agg(count(lit(1)).as("n"), sum("cents").as("val_cents"),
+      min("cents").as("min_cents"), max("cents").as("max_cents"))
+
+  /** The staged pre-cut aggregate snapshot (metadata-sized: one row per
+    * event_type, small buckets) — split out so Bench's pre-stage registry
+    * (graft.Layouts) can derive the layout directly. */
+  private[graft] def stagedAggSnapshot(s: SparkSession, d: String): String =
+    graft.sources.Staging.ensureTable(s, "events_aggsnap",
       d, "events.parquet", "event_type", 4, Some("event_type"))(
-      partial(Tables.events(s, d).filter(col("ts") < cutNs)))
+      incrPartial(Tables.events(s, d).filter(col("ts") < incrCutNs)))._1
+
+  def qIncrAgg(s: SparkSession, d: String): DataFrame = {
+    val cutNs = incrCutNs
+    val partial = (df: DataFrame) => incrPartial(df)
+    val snap = stagedAggSnapshot(s, d)
     s.table(snap)
       .unionByName(partial(Tables.events(s, d).filter(col("ts") >= cutNs)))
       .groupBy("event_type")

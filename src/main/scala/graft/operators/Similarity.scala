@@ -1884,6 +1884,13 @@ object Similarity {
       |FROM counts c JOIN drift d ON c.label = d.label
       |ORDER BY c.label""".stripMargin
 
+  /** Stage every managed layout this family owns (Bench's direct
+    * pre-stage registry, graft.Layouts). */
+  private[graft] def prestageLayouts(s: SparkSession, d: String): Unit = {
+    stagedIvf(s, d); stagedIvfpq(s, d)
+    ()
+  }
+
   val all: Seq[Q] = Seq(
     Q("sim_embedding_drift", simEmbeddingDrift, Some(simEmbeddingDriftSql)),
     Q("sim_label_spread", simLabelSpread, Some(simLabelSpreadSql)),

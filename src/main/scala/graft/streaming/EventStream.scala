@@ -491,10 +491,11 @@ object EventStream {
     * replay-harness streaming query used to pay per CALL becomes a
     * millisecond file copy. The per-call trees themselves stay per-call —
     * checkpoints can't be reused across runs. */
-  private def stageNormalized(
-      s: SparkSession, dir: String,
-      staged: java.nio.file.Path, name: String): Unit = {
-    val fixture = graft.sources.Staging.ensureFixture("events_norm", dir) { path =>
+  /** The memoized normalized-events fixture alone — split out so Bench's
+    * pre-stage registry (graft.Layouts) can stage it directly. */
+  private[graft] def ensureNormalizedFixture(
+      s: SparkSession, dir: String): String =
+    graft.sources.Staging.ensureFixture("events_norm", dir) { path =>
       val tmp = path + "_tmp"
       graft.Tables.events(s, dir).coalesce(1).write.parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
@@ -504,6 +505,11 @@ object EventStream {
       val d = new java.io.File(tmp)
       d.listFiles().foreach(_.delete()); d.delete()
     }
+
+  private def stageNormalized(
+      s: SparkSession, dir: String,
+      staged: java.nio.file.Path, name: String): Unit = {
+    val fixture = ensureNormalizedFixture(s, dir)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(fixture, "events.parquet"), staged.resolve(name))
     ()

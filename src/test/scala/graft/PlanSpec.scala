@@ -252,6 +252,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("substring within-doc: reads the staged stride-1 window table, never re-derives from documents") {
+    val plan = planOf(operators.Dedup.dedupSubstringWithin(spark, sf))
+    // the corpus-character-grain relation must come from the h-bucketed
+    // staged table; a re-derive would show the explode over documents.text
+    assert(plan.toLowerCase.contains("graft_substr_w1"),
+      s"within-doc arm must scan the staged window table:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("tcloseness: the segment vocabulary joins by broadcast; no cartesian at group grain") {
+    val plan = planOf(operators.Privacy.qTcloseness(spark, sf))
+    // groups × vocab is a broadcast nested loop over a ≤m-row build side;
+    // the counts join back is an equi join — nothing data-grain cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"vocabulary must broadcast (metadata-sized):\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("unigram viterbi: the vocabulary joins the candidate relation by broadcast") {
     import SparkSpec.spark.implicits._
     val wc = Seq(("abab", 3L), ("aab", 2L)).toDF("word", "freq")
