@@ -1063,25 +1063,39 @@ object Dedup {
       val newDocs = Tables.documents(s, d)
         .filter(col("source").isin("src0", "src1"))
         .select("doc_id", "text")
+      // Each half is staged as ~defaultParallelism files (r16): the
+      // arrival-side per-row work (shingle HOF + MinHashSig) runs in the
+      // micro-batch's SCAN stage, so a single-file half pinned the whole
+      // signature pass to one task (~1.6 s/batch at sf0.1). A multi-file
+      // half gives the batch scan one partition per file — the same
+      // parallelism a production ingest directory has naturally. The
+      // doc_id hash keeps file contents deterministic (no round-robin).
       def writeHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
         val tmp = staged.resolve(name + "_tmp").toString
-        newDocs.filter(pred).coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath
-        java.nio.file.Files.move(part, srcDir.resolve(name))
+        newDocs.filter(pred)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .write.parquet(tmp)
+        new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex
+          .foreach { case (part, i) =>
+            java.nio.file.Files.move(part.toPath,
+              srcDir.resolve(s"${name}_$i.parquet")) }
         // recursive: a partially failed write leaves a _temporary subtree
         // that a one-level delete would silently strand
         graft.sources.Staging.deleteRecursively(new java.io.File(tmp))
       }
-      writeHalf(col("doc_id") % 2 === 0, "docs_b1.parquet")
-      writeHalf(col("doc_id") % 2 =!= 0, "docs_b2.parquet")
+      writeHalf(col("doc_id") % 2 === 0, "docs_b1")
       val docsSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text",
           org.apache.spark.sql.types.StringType)))
-      val src = s.readStream.schema(docsSchema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      // No maxFilesPerTrigger: each processAllAvailable() drains the files
+      // staged so far, so the doc_id-parity phases still replay as
+      // separate micro-batches — phase boundaries are enforced by WHEN the
+      // files appear (the watermarked sibling's move-in pattern), not by a
+      // one-file-per-trigger cap that would serialize the scan.
+      val src = s.readStream.schema(docsSchema).parquet(srcDir.toString)
       val outFile = new java.io.File(outDir)
       if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
       val q = neardupProbe(src, corpusIx).writeStream
@@ -1092,8 +1106,11 @@ object Dedup {
         .option("checkpointLocation", staged.resolve("ckpt").toString)
         .trigger(Trigger.ProcessingTime(0))
         .start()
-      try q.processAllAvailable()
-      finally {
+      try {
+        q.processAllAvailable() // phase 1: even doc_ids
+        writeHalf(col("doc_id") % 2 =!= 0, "docs_b2")
+        q.processAllAvailable() // phase 2: odd doc_ids
+      } finally {
         q.stop()
         graft.streaming.EventStream.unloadStateStores()
       }
@@ -1160,12 +1177,25 @@ object Dedup {
         .select("doc_id", "text")
       val t0 = 1700000000000L // fixed epoch; only differences matter
       val t3h = t0 + 3L * 3600000L
-      def stagePhase(df: DataFrame, atsMs: Long, name: String): Unit = {
+      // Doc phases staged as ~defaultParallelism files (r16, the
+      // streaming_neardup rationale: the per-row signature pass runs in
+      // the batch scan stage, so a single-file phase pinned it to one
+      // task — 3.3 s + 2.9 s of the r16-before 10.2 s median); nFiles = 1
+      // keeps the one-row sentinel a single file. Phase boundaries stay
+      // where the files appear; a phase split across polls only splits a
+      // batch, and the pair-key dedup state makes emissions per phase
+      // single regardless of intra-phase batching.
+      def stagePhase(df: DataFrame, atsMs: Long, name: String,
+          nFiles: Int = s.sparkContext.defaultParallelism): Unit = {
         val tmp = staged.resolve(name + "_tmp").toString
-        df.withColumn("ats_ms", lit(atsMs)).coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath
-        java.nio.file.Files.move(part, srcDir.resolve(name))
+        val out = df.withColumn("ats_ms", lit(atsMs))
+        (if (nFiles == 1) out.coalesce(1)
+         else out.repartition(nFiles, col("doc_id"))).write.parquet(tmp)
+        new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex
+          .foreach { case (part, i) =>
+            java.nio.file.Files.move(part.toPath,
+              srcDir.resolve(s"${name}_$i.parquet")) }
         graft.sources.Staging.deleteRecursively(new java.io.File(tmp))
       }
       // sentinel: tokens that cannot occur in any document's text, so it
@@ -1182,9 +1212,11 @@ object Dedup {
           org.apache.spark.sql.types.LongType)))
       val outFile = new java.io.File(outDir)
       if (outFile.exists()) graft.sources.Staging.deleteRecursively(outFile)
-      stagePhase(newDocs, t0, "docs_p1.parquet")
-      val src = s.readStream.schema(docsSchema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      stagePhase(newDocs, t0, "docs_p1")
+      // no maxFilesPerTrigger: one poll drains a whole staged phase (the
+      // multi-file scan is the parallelism); phase ORDER is still strict —
+      // each phase is staged only after the previous processAllAvailable
+      val src = s.readStream.schema(docsSchema).parquet(srcDir.toString)
       val q = neardupProbeWatermarked(src, corpusIx).writeStream
         .outputMode(OutputMode.Append)
         .format("parquet")
@@ -1194,9 +1226,9 @@ object Dedup {
         .start()
       try {
         q.processAllAvailable() // phase 1: each pair emits once
-        stagePhase(sentinel, t3h, "advance.parquet")
+        stagePhase(sentinel, t3h, "advance", nFiles = 1)
         q.processAllAvailable() // watermark → T0+2h; pair state expires
-        stagePhase(newDocs, t3h, "docs_p3.parquet")
+        stagePhase(newDocs, t3h, "docs_p3")
         q.processAllAvailable() // state gone → every pair emits again
       } finally {
         q.stop()

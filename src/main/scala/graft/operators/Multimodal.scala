@@ -38,9 +38,29 @@ object Multimodal {
     * synthesis is imperative on purpose — string functions would UTF-8-mangle
     * bytes > 0x7F; real pipelines read binary payloads straight off parquet.)
     */
+  /** A small corpus arrives as ONE parquet split, so per-row decode work
+    * placed before the first exchange (payload synthesis, pixel/sample
+    * explodes, DCT terms — the expensive work of this family) would run on
+    * a single task (guide §2.5: one unsplittable input → repartition
+    * immediately after the read). Deterministic hash partitioning on
+    * doc_id — never round-robin (no sort, stable under retries) — which
+    * every downstream doc_id-keyed aggregate/window REUSES, so the plan
+    * gains no extra exchange, the one shuffle just moves from after the
+    * fan-out (frame/pixel grain) to before it (text grain — fewer bytes).
+    * Scale-adaptive: when the scan already has at least as many splits as
+    * cores (any production-sized corpus), this is a no-op. */
+  private def spreadByDocId(s: SparkSession, df: DataFrame): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < par)
+      df.repartition(par, col("doc_id"))
+    else df
+  }
+
   def withPayload(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select("doc_id", "source", "text").as[DocSlim]
+    val docs = spreadByDocId(s,
+      Tables.documents(s, d).select("doc_id", "source", "text"))
+    docs.as[DocSlim]
       .map { doc =>
         val w = (doc.doc_id % 512 + 16).toInt
         val h = (doc.doc_id * 7 % 512 + 16).toInt
@@ -509,7 +529,13 @@ object Multimodal {
   private[graft] def phashHashes(s: SparkSession, docs: DataFrame): DataFrame = {
     val w1 = s.createDataFrame(dctW).toDF("x", "u", "wx")
     val w2 = s.createDataFrame(dctW).toDF("y", "v", "wy")
-    val px = docs
+    // spread BEFORE the 256× pixel explode (r16): the old plan
+    // repartitioned the exploded pixel rows, so the explode + per-pixel
+    // ascii/substring still ran on the scan's single task AND the exchange
+    // carried pixel-grain rows (12.7 MB at sf0.1 vs 5 MB of text); the
+    // guarded doc_id spread parallelizes the fan-out and every downstream
+    // doc_id-keyed aggregate reuses the partitioning.
+    val px = spreadByDocId(s, docs)
       .select(col("doc_id"), rpad(col("text"), 256, ".").as("img"))
       .select(col("doc_id"), col("img"),
         posexplode(sequence(lit(0), lit(255))).as(Seq("ignored", "p")))
@@ -518,11 +544,8 @@ object Multimodal {
     // SEPARABLE 2-D DCT: contract the x axis first (256 px → 128 (y,u)
     // partials per image), then the y axis (128 → 64 coefficients) — the
     // textbook factorization; fan-out is 8+8 instead of ×64, and both
-    // hash-aggregates are map-side-combinable integer sums. The explicit
-    // repartition spreads the explode fan-out across the cluster: a small
-    // parquet input arrives as ~1 partition, and without it the whole
-    // weight-join pipeline would run on one task.
-    val sx = px.repartition(col("doc_id")).join(broadcast(w1), "x")
+    // hash-aggregates are map-side-combinable integer sums.
+    val sx = px.join(broadcast(w1), "x")
       .groupBy("doc_id", "y", "u")
       .agg(sum(col("pv") * col("wx")).as("sxv"))
     val coefs = sx.join(broadcast(w2), "y")
@@ -768,7 +791,10 @@ object Multimodal {
   // ---------------------------------------------------------------------
   def mmAudioFingerprint(s: SparkSession, d: String): DataFrame = {
     val frameLen = 32
-    val frames = Tables.documents(s, d)
+    // guarded doc_id spread before the frame×sample double explode (r16):
+    // the char-grain fan-out otherwise runs on the scan's single task; the
+    // (doc_id, n_frames, f) energy aggregate reuses the partitioning.
+    val frames = spreadByDocId(s, Tables.documents(s, d))
       .select(col("doc_id"), col("text"),
         expr(s"length(text) div $frameLen").cast("long").as("n_frames"))
       .filter(col("n_frames") > 2)
