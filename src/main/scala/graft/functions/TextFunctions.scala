@@ -16,12 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** The exact character set Java's regex `\s` matches (no UNICODE flag):
+    * space, tab, newline, vertical tab, form feed, carriage return. The
+    * translate/trim forms below are defined over this set so they are
+    * bit-identical to the regex forms they replaced (r16: the regex
+    * char-class scans were the dominant per-row cost of the quality/stats
+    * family — translate is a plain table lookup per char, no NFA). */
+  private val wsChars = " \t\n\u000B\f\r"
+
   /** Strip leading/trailing whitespace of ALL kinds. SQL `trim()` (Spark and
     * DuckDB alike) removes only spaces — Python's `.strip()`/`.split()`
     * semantics in the reference need tabs/newlines stripped too.
-    * DuckDB: regexp_replace(x, '^\s+|\s+$', '', 'g'). */
+    * Implementation: `trim(BOTH <\s charset> FROM c)` — identical to the
+    * previous regexp_replace(c, "^\\s+|\\s+$", "") on every string, ~10×
+    * cheaper. DuckDB oracle form stays regexp_replace(x, '^\s+|\s+$', '', 'g'). */
   def wsTrim(c: Column): Column =
-    regexp_replace(c, "^\\s+|\\s+$", "")
+    trim(c, wsChars)
 
   /** The reference's normalize_plain_text chain (normalize_corpus.py:117):
     * lowercase → HTML-entity decode → strip numeric-only lines → collapse
@@ -29,8 +39,10 @@ object TextFunctions {
     * DuckDB: regexp_replace(...,'g') chain with the same patterns. */
   def normalizeText(c: Column): Column = {
     val n0 = lower(c)
-    val n1 = regexp_replace(n0, "&amp;", "&")
-    val n2 = regexp_replace(n1, "&nbsp;", " ")
+    // literal entity decodes: replace() (plain substring scan) — identical
+    // to regexp_replace on a metachar-free literal pattern, regex-free
+    val n1 = replace(n0, lit("&amp;"), lit("&"))
+    val n2 = replace(n1, lit("&nbsp;"), lit(" "))
     val n3 = regexp_replace(n2, "(?m)^\\s*\\d+\\s*$", "")
     val n4 = regexp_replace(n3, "[ \\t]+", " ")
     val n5 = regexp_replace(n4, "\\n{3,}", "\n\n")
@@ -51,17 +63,23 @@ object TextFunctions {
     (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(marker), ""))) /
       lit(marker.length)
 
-  /** Characters remaining after dropping everything not in [a-z]. */
+  /** Characters remaining after dropping everything not in [a-z]: counted
+    * as length minus length-after-deleting-[a-z] via `translate` (char
+    * table lookup) — identical to length(regexp_replace(c, "[^a-z]", ""))
+    * at a fraction of the per-char cost. Oracle form stays the regex. */
   def alphaCount(c: Column): Column =
-    length(regexp_replace(c, "[^a-z]", "")).cast("long")
+    (length(c) - length(translate(c, "abcdefghijklmnopqrstuvwxyz", "")))
+      .cast("long")
 
-  /** Count of sentence punctuation characters. */
+  /** Count of sentence punctuation characters (translate form — identical
+    * to the regexp_replace char-class count). */
   def punctCount(c: Column): Column =
-    length(c) - length(regexp_replace(c, "[.,!?;:]", ""))
+    length(c) - length(translate(c, ".,!?;:", ""))
 
-  /** Non-whitespace character count. */
+  /** Non-whitespace character count (translate over the Java `\s` set —
+    * identical to length(regexp_replace(c, "\\s", ""))). */
   def nonSpaceCount(c: Column): Column =
-    length(regexp_replace(c, "\\s", "")).cast("long")
+    length(translate(c, wsChars, "")).cast("long")
 
   /** Distinct k-word shingles of a whitespace-tokenized text, as an array
     * column. Empty array when the text has fewer than k tokens.

@@ -47,7 +47,7 @@ object BpeTrain {
 
   private[graft] def bpeRun(docs: DataFrame, r: Int): BpeResult = {
     val toks = docs
-      .select(explode(split(regexp_replace(col("text"), "^\\s+|\\s+$", ""),
+      .select(explode(split(graft.functions.TextFunctions.wsTrim(col("text")),
         "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
     val wc = toks.groupBy("word").agg(count(lit(1)).as("freq"))
@@ -227,7 +227,7 @@ object BpeTrain {
     val wordTok = fin.groupBy("word").agg(count(lit(1)).as("n_sym"))
     val docToks = docs
       .select(col("doc_id"),
-        explode(split(regexp_replace(col("text"), "^\\s+|\\s+$", ""),
+        explode(split(graft.functions.TextFunctions.wsTrim(col("text")),
           "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
     docToks.join(wordTok, "word")

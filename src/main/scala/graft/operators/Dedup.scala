@@ -51,9 +51,22 @@ object Dedup {
     shinglesOf(Tables.documents(s, d))
 
   /** Shingle core over any (doc_id, text) relation — lets specs drive the
-    * dedup operators with synthetic corpora. */
+    * dedup operators with synthetic corpora.
+    *
+    * Guarded doc_id spread before tokenization (r16, guide §2.5): a small
+    * corpus scans as ONE split, so normalize+split+posexplode ran on a
+    * single task and the window exchange then carried TOKEN-grain rows
+    * (~4x the text bytes). Hash-repartitioning the docs first (only when
+    * splits < cores — a no-op at production scale) parallelizes the
+    * tokenize and the lead-window reuses the doc_id partitioning, so the
+    * one exchange moves from token grain to text grain. */
   private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.queryExecution.toRdd.getNumPartitions < par)
+        docs.repartition(par, col("doc_id"))
+      else docs
+    val toks = spread
       .select(col("doc_id"),
         posexplode(split(normalizeText(col("text")), "\\s+")).as(Seq("pos", "tok")))
     val w = Window.partitionBy("doc_id").orderBy("pos")

@@ -70,12 +70,8 @@ object Graph {
   private def stagedMultiEdges(s: SparkSession, d: String): (String, Long) =
     graft.sources.Staging.ensureTable(s, "edges_multi", d,
       "lineitem.parquet", "src", 32, Some("src")) {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
-        .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      basketPairs(s, d)
+        .groupBy(col("u").as("src"), col("v").as("dst"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)
     }
@@ -159,11 +155,7 @@ object Graph {
     * degree-oriented (src = (deg,id)-smaller endpoint, pdst packs the
     * destination's (deg,id) order) — the q_triangle_count machinery. */
   private def orientedEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    val und = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val und = basketPairs(s, d).filter(col("u") < col("v")).distinct()
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -178,13 +170,32 @@ object Graph {
         when(col("pu") < col("pv"), col("pv")).otherwise(col("pu")).as("pdst"))
   }
 
+  /** All ordered within-basket pairs (u, v), u ≠ v, one row per order —
+    * the shared first step of every co-purchase derivation. Replaces the
+    * distinct + ok-keyed self-join form (r16): groupBy(ok) collect_set
+    * dedups (ok, p) AND assembles the basket in ONE map-side-combinable
+    * exchange, then two codegen'd explodes generate the basket² fan-out
+    * in place — the old form paid a distinct exchange, a join exchange
+    * and a sort-merge sort before the same fan-out existed. sort_array
+    * makes basket order deterministic (collect_set order is not). */
+  private def basketPairs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .groupBy("ok").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .filter(col("u") =!= col("v"))
+
   def qPagerankCopurchase(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    // symmetric distinct co-purchase edges (both directions via p <> p)
-    val edges = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
-      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+    // symmetric distinct co-purchase edges (both directions via u <> v),
+    // cached PRE-PARTITIONED on src — the iteration join key — so every
+    // PageRank round's edge join and the degree aggregate reuse the cached
+    // partitioning instead of re-exchanging the edge relation per round
+    // (guide §2.4: operations keyed the same way share one exchange; the
+    // in-memory analog of the staged layout's bucketing-by-src)
+    val edges = basketPairs(s, d)
+      .select(col("u").as("src"), col("v").as("dst")).distinct()
+      .repartition(col("src"))
       .cache()
     pagerankOn(edges)
   }
@@ -254,12 +265,8 @@ object Graph {
     * on the cached oriented-edge relation; nothing materializes n².
     */
   def qTriangleCount(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
     // undirected edge set, one row per {u,v}: per-order basket² fanout
-    val und = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val und = basketPairs(s, d).filter(col("u") < col("v")).distinct()
       .cache()
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
@@ -274,6 +281,11 @@ object Graph {
         when(col("pu") < col("pv"), col("u")).otherwise(col("v")).as("src"),
         when(col("pu") < col("pv"), col("v")).otherwise(col("u")).as("dst"),
         when(col("pu") < col("pv"), col("pv")).otherwise(col("pu")).as("pdst"))
+      // cached PRE-PARTITIONED on src: the wedge self-join keys on src, so
+      // both its sides reuse the cached partitioning — zero exchanges in
+      // the O(Σ outdeg²) stage (the staged variant gets this from its
+      // src-bucketed table; this is the unstaged arm's in-memory analog)
+      .repartition(col("src"))
       .cache()
     // wedge at the lowest-ordered corner; close with the oriented (y→z) edge.
     // The wedge relation is O(Σ outdeg²) ≫ |E| — never shuffle it, and NEVER
@@ -358,11 +370,12 @@ object Graph {
   // ---------------------------------------------------------------------
 
   def qLabelPropagation(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    val edges = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
-      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+    // cached PRE-PARTITIONED on dst — LPA's per-round join key (labels
+    // attach to the edge DESTINATION) — so the 3 rounds reuse the cached
+    // partitioning instead of re-exchanging the edges each round
+    val edges = basketPairs(s, d)
+      .select(col("u").as("src"), col("v").as("dst")).distinct()
+      .repartition(col("dst"))
       .cache()
     labelPropagationOn(edges)
   }
@@ -461,19 +474,18 @@ object Graph {
   private val peelRounds = 12
 
   /** Co-purchase edges backed by >= 2 distinct shared orders (symmetric). */
-  private[graft] def multiOrderEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+  private[graft] def multiOrderEdges(s: SparkSession, d: String): DataFrame =
+    basketPairs(s, d)
+      .groupBy(col("u").as("src"), col("v").as("dst"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
       .select("src", "dst")
-  }
 
   def qKcore(s: SparkSession, d: String): DataFrame =
-    kcoreOn(multiOrderEdges(s, d).cache())
+    // cached PRE-PARTITIONED on src: each peel round's survivor join and
+    // the per-round degree aggregate key on src and reuse the cache's
+    // partitioning across all 12 rounds
+    kcoreOn(multiOrderEdges(s, d).repartition(col("src")).cache())
 
   /** q_kcore against the staged multi-order layout — same oracle; the
     * basket² edge derivation is amortized into the one-time staging and
@@ -550,7 +562,8 @@ object Graph {
   private val bfsSeeds = 20
 
   def qBfsLayers(s: SparkSession, d: String): DataFrame =
-    bfsLayersOn(multiOrderEdges(s, d).cache())
+    // src-partitioned cache: the per-round frontier join keys on src
+    bfsLayersOn(multiOrderEdges(s, d).repartition(col("src")).cache())
 
   /** q_bfs_layers against the staged multi-order layout — same oracle. */
   def qBfsLayersStaged(s: SparkSession, d: String): DataFrame =
@@ -622,14 +635,13 @@ object Graph {
   private val ssspSeeds = 20
 
   def qSsspWeighted(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    val edges = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+    // src-partitioned cache: the per-round relaxation join keys on src
+    val edges = basketPairs(s, d)
+      .groupBy(col("u").as("src"), col("v").as("dst"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
       .select(col("src"), col("dst"), expr("1000000 div n_shared").as("w"))
+      .repartition(col("src"))
       .cache()
     ssspOn(edges)
   }
@@ -705,7 +717,9 @@ object Graph {
   // mega-hubs bounds the wedge blowup with a provable score error bound.
   // ---------------------------------------------------------------------
   def qLinkPredict(s: SparkSession, d: String): DataFrame =
-    linkPredictOn(multiOrderEdges(s, d).cache()) // symmetric (src, dst)
+    // src-partitioned cache: the degree aggregate AND both sides of the
+    // wedge self-join key on src (= z)
+    linkPredictOn(multiOrderEdges(s, d).repartition(col("src")).cache())
 
   /** q_link_predict against the staged multi-order layout — same oracle;
     * the wedge generation reads the cached staged relation, never
@@ -772,12 +786,13 @@ object Graph {
     * the edge derivation (same per-order basket² shape as PageRank, never
     * table²) plus one node-grain aggregate into ≤64 bands. */
   def qDegreeHist(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    val edges = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
-      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // deg(u) = |distinct co-purchase neighbors| — count_distinct over the
+    // basket pairs collapses the old distinct-edges exchange AND the
+    // degree exchange into ONE src-keyed aggregate (same value: distinct
+    // (src, dst) then count per src ≡ count_distinct(dst) per src)
+    val deg = basketPairs(s, d)
+      .groupBy(col("u").as("src"))
+      .agg(count_distinct(col("v")).as("deg"))
     deg
       .withColumn("band", (length(bin(col("deg"))) - 1).cast("long"))
       .groupBy("band")
@@ -825,7 +840,10 @@ object Graph {
   // as distributed top-k, PlanSpec-guarded).
   // ---------------------------------------------------------------------
   def qHits(s: SparkSession, d: String): DataFrame =
-    hitsOn(bipartiteEdges(s, d).cache())
+    // c-partitioned cache: the hub-side joins/aggregates (h1 groupBy, the
+    // a1 and a2 joins) key on c and reuse the cached partitioning — the
+    // in-memory analog of the staged bipartite table's c-bucketing
+    hitsOn(bipartiteEdges(s, d).repartition(col("c")).cache())
 
   /** The bipartite customer–part purchase relation the HITS family scores
     * — the per-query derivation (one join + distinct). */
@@ -935,15 +953,9 @@ object Graph {
   // (co-partitioned shuffle joins), ONE aggregate to a single moment row.
   // No window, no sort, nothing quadratic.
   // ---------------------------------------------------------------------
-  def qAssortativity(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    val und = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-      .cache()
-    assortativityOn(und)
-  }
+  def qAssortativity(s: SparkSession, d: String): DataFrame =
+    assortativityOn(
+      basketPairs(s, d).filter(col("u") < col("v")).distinct().cache())
 
   /** q_assortativity against the staged ORIENTED edge layout — same
     * oracle: the staged relation holds each undirected distinct edge
@@ -1013,11 +1025,7 @@ object Graph {
   // all-integer (3T ≤ W guarantees ≤ 10000).
   // ---------------------------------------------------------------------
   def qClusteringCoeff(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    val und = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val und = basketPairs(s, d).filter(col("u") < col("v")).distinct()
       .cache()
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
@@ -1032,6 +1040,11 @@ object Graph {
         when(col("pu") < col("pv"), col("u")).otherwise(col("v")).as("src"),
         when(col("pu") < col("pv"), col("v")).otherwise(col("u")).as("dst"),
         when(col("pu") < col("pv"), col("pv")).otherwise(col("pu")).as("pdst"))
+      // cached PRE-PARTITIONED on src: the wedge self-join keys on src, so
+      // both its sides reuse the cached partitioning — zero exchanges in
+      // the O(Σ outdeg²) stage (the staged variant gets this from its
+      // src-bucketed table; this is the unstaged arm's in-memory analog)
+      .repartition(col("src"))
       .cache()
     val closing = e.select(col("src").as("cy"), col("dst").as("cz"))
     val closingSide = closingSideFor(closing, derivedEdgeCount(d, e))
@@ -1149,8 +1162,11 @@ object Graph {
     * flip-union symmetric relation as the staged LPA. */
   def qPagerankCopurchaseStaged(s: SparkSession, d: String): DataFrame = {
     val e = s.table(ensureEdgesStaged(s, d))
+    // the flip-union discards the staged bucketing — re-key the cache on
+    // src, the PageRank iteration join key
     val edges = e.select(col("src"), col("dst"))
       .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .cache()
     pagerankOn(edges)
   }
@@ -1168,8 +1184,12 @@ object Graph {
     * grain hash joins + community-grain arithmetic. */
   def qGraphModularity(s: SparkSession, d: String): DataFrame = {
     val e0 = s.table(ensureEdgesStaged(s, d))
+    // the flip-union discards the staged table's bucketing, so re-key the
+    // cache on dst — the 3 LPA rounds' join key (the src-side consumers
+    // pay one exchange each; the per-round loop pays none)
     val edges = e0.select(col("src"), col("dst"))
       .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .cache()
     modularityOn(edges)
   }

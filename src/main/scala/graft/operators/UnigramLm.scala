@@ -62,7 +62,7 @@ object UnigramLm {
     * over the same type relation). */
   private def wordCounts(docs: DataFrame): DataFrame =
     docs
-      .select(explode(split(regexp_replace(col("text"), "^\\s+|\\s+$", ""),
+      .select(explode(split(graft.functions.TextFunctions.wsTrim(col("text")),
         "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -202,7 +202,7 @@ object UnigramLm {
     val wordTok = seg2.select(col("word"), size(col("pieces")).cast("long").as("m"))
     val docToks = docs
       .select(col("doc_id"),
-        explode(split(regexp_replace(col("text"), "^\\s+|\\s+$", ""),
+        explode(split(graft.functions.TextFunctions.wsTrim(col("text")),
           "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
     docToks.join(wordTok, "word")
